@@ -1,0 +1,66 @@
+"""Life-like CA update — XLA implementation.
+
+The reference computes the Moore-neighbourhood sum with a float32 3x3
+``nn.Conv2d`` in 'circular' padding mode and applies rules by folding
+``count == digit`` comparisons over Python digit lists (env.py:219-227).
+Neighbour counts of a binary grid are exact small integers, so integer
+semantics are identical; here the whole update is integer arithmetic on
+uint8 grids:
+
+  * the neighbour sum is separable — 3 row-shifted adds then 3 column-shifted
+    adds minus the centre (6 circular rolls instead of 8), with circular
+    rolls giving the torus topology for free;
+  * the birth/survive decision is one shift of an 18-bit rule mask:
+    ``(rule_bits >> (count + 9*alive)) & 1`` (see rules.py for the layout),
+    so rules are data and rule changes never retrace.
+
+Everything here is shape-polymorphic over leading batch dims and fuses into
+a handful of VPU ops under jit; the Pallas kernel in pallas_ca.py implements
+the same function tiled through VMEM for the hot path.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..config import EnvConfig
+
+
+def neighbor_counts(grid: jax.Array) -> jax.Array:
+    """Count live Moore neighbours of each cell on a torus.
+
+    ``grid`` is uint8 (0/1) with shape [..., H, W]; returns uint8 counts 0-8.
+    Separable form: 6 rolls + 5 adds instead of 8 rolls + 7 adds.
+    """
+    rows = grid + jnp.roll(grid, 1, axis=-2) + jnp.roll(grid, -1, axis=-2)
+    return rows + jnp.roll(rows, 1, axis=-1) + jnp.roll(rows, -1, axis=-1) - grid
+
+
+def apply_rule(grid: jax.Array, counts: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """Next cell state from the packed 18-bit rule mask.
+
+    ``rule_bits`` is a scalar (traced) int32/uint32; bit ``count`` governs
+    birth and bit ``9 + count`` survival (rules.py:pack_rule_bits).
+    """
+    idx = counts.astype(jnp.int32) + 9 * grid.astype(jnp.int32)
+    bits = jnp.asarray(rule_bits, dtype=jnp.int32)
+    return ((bits >> idx) & 1).astype(jnp.uint8)
+
+
+def ca_step_grid(grid: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """One CA generation: neighbour count + rule table, torus boundary."""
+    return apply_rule(grid, neighbor_counts(grid), rule_bits)
+
+
+def pad_action(action: jax.Array, config: EnvConfig) -> jax.Array:
+    """Zero-pad an [inst, AH, AW] action patch into the centred action window
+    of a full [inst, H, W] grid (reference: set_action_padding, env.py:119-132;
+    floor-centred with the extra row/column below/right)."""
+    r0 = config.action_row_offset
+    c0 = config.action_col_offset
+    ah = config.eff_action_height
+    aw = config.eff_action_width
+    pad_rows = (r0, config.height - r0 - ah)
+    pad_cols = (c0, config.width - c0 - aw)
+    return jnp.pad(action, ((0, 0), pad_rows, pad_cols))

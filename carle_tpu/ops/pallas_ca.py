@@ -1,0 +1,133 @@
+"""Fused Pallas TPU kernels for the CA hot loop.
+
+Two kernels behind the same math as ops/ca.py (parity-tested against it):
+
+* :func:`ca_step_pallas` — one generation, fused action-XOR + neighbour sum +
+  rule lookup.  Grids are tiled over instances; each block holds a slab of
+  whole [H, W] universes in VMEM, so HBM traffic is exactly one uint8 read and
+  one uint8 write per cell per step (the XLA path materializes intermediates
+  unless fusion wins; this makes the fusion structural).
+* :func:`ca_multi_step_pallas` — K generations per kernel launch with the grid
+  resident in VMEM throughout: HBM traffic amortizes to 2/K bytes per cell per
+  generation, moving the kernel from bandwidth- to VPU-bound.  Used by the
+  action-free inner segments of rollouts and by the benchmark.
+
+The torus boundary uses ``pltpu.roll`` (circular lane/sublane shifts), so no
+halo handling is needed on-chip; cross-chip spatial sharding does halos with
+collectives instead (parallel/spatial.py).
+
+Why no MXU: the Moore sum could be written as a 3x3 conv, but a 9-tap conv on
+a 1-channel uint8 grid wastes a 128x128 systolic array (ratio of useful
+contraction depth 9/128); the separable roll-sum on the VPU is strictly less
+work and keeps everything in integer dtypes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import EnvConfig
+
+
+def _neighbor_rule(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """Separable Moore sum + 18-bit rule shift on one [..., H, W] uint8 block."""
+    rows = g + pltpu.roll(g, 1, g.ndim - 2) + pltpu.roll(g, -1, g.ndim - 2)
+    counts = rows + pltpu.roll(rows, 1, g.ndim - 1) + pltpu.roll(rows, -1, g.ndim - 1) - g
+    idx = counts.astype(jnp.int32) + 9 * g.astype(jnp.int32)
+    return ((rule_bits >> idx) & 1).astype(jnp.uint8)
+
+
+def _step_kernel(rule_ref, grid_ref, action_ref, out_ref, *, r0, c0, ah, aw):
+    g = grid_ref[...]
+    a = action_ref[...]
+    patch = jax.lax.dynamic_slice(g, (0, r0, c0), (g.shape[0], ah, aw)) ^ a
+    g = jax.lax.dynamic_update_slice(g, patch, (0, r0, c0))
+    out_ref[...] = _neighbor_rule(g, rule_ref[0])
+
+
+def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref):
+    def body(_, g):
+        return _neighbor_rule(g, rule_ref[0])
+
+    out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
+
+
+def _instance_tile(instances: int, h: int, w: int, budget_bytes: int = 6 * 2**20) -> int:
+    """Pick an instance-slab size whose uint8 + int32 working set fits VMEM."""
+    per_instance = h * w * (1 + 1 + 4 + 1)  # g, rows, idx(int32), out
+    tile = max(1, budget_bytes // per_instance)
+    while instances % tile:
+        tile -= 1
+    return tile
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def ca_step_pallas(
+    grid: jax.Array, action: jax.Array, rule_bits: jax.Array, *, config: EnvConfig
+) -> jax.Array:
+    """One fused CA generation with the action XOR'd into the centred window.
+
+    grid:   uint8 [instances, H, W]
+    action: uint8 [instances, AH, AW]
+    """
+    inst, h, w = grid.shape
+    tile = _instance_tile(inst, h, w)
+    kernel = functools.partial(
+        _step_kernel,
+        r0=config.action_row_offset,
+        c0=config.action_col_offset,
+        ah=config.eff_action_height,
+        aw=config.eff_action_width,
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(inst // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (tile, config.eff_action_height, config.eff_action_width),
+                    lambda i, *_: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(jnp.asarray(rule_bits, jnp.int32).reshape(1), grid, action)
+
+
+@jax.jit
+def ca_multi_step_pallas(
+    grid: jax.Array, rule_bits: jax.Array, num_steps: jax.Array
+) -> jax.Array:
+    """``num_steps`` action-free generations with the grid VMEM-resident."""
+    inst, h, w = grid.shape
+    tile = _instance_tile(inst, h, w)
+    return pl.pallas_call(
+        _multi_step_kernel,
+        out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.uint8),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(inst // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(
+        jnp.asarray(rule_bits, jnp.int32).reshape(1),
+        jnp.asarray(num_steps, jnp.int32).reshape(1),
+        grid,
+    )

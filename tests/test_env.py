@@ -1,0 +1,149 @@
+"""Environment behaviour tests: golden Life patterns (absent from the
+reference suite — SURVEY §4), master reset, action geometry, rule dynamics."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from carle_tpu import rules
+from carle_tpu.config import EnvConfig
+from carle_tpu.env import CARLE, env_step, init_state
+from carle_tpu.ops.ca import ca_step_grid
+
+
+def _life_step_np(grid):
+    """Straightforward numpy oracle for B3/S23 on a torus."""
+    n = sum(
+        np.roll(np.roll(grid, dr, 0), dc, 1)
+        for dr in (-1, 0, 1)
+        for dc in (-1, 0, 1)
+        if (dr, dc) != (0, 0)
+    )
+    return ((n == 3) | ((grid == 1) & (n == 2))).astype(np.uint8)
+
+
+def test_blinker_period_2():
+    g = np.zeros((1, 16, 16), dtype=np.uint8)
+    g[0, 7, 6:9] = 1
+    out1 = np.asarray(ca_step_grid(jnp.asarray(g), jnp.int32(rules.LIFE)))
+    out2 = np.asarray(ca_step_grid(jnp.asarray(out1), jnp.int32(rules.LIFE)))
+    expected_vert = np.zeros_like(g)
+    expected_vert[0, 6:9, 7] = 1
+    np.testing.assert_array_equal(out1, expected_vert)
+    np.testing.assert_array_equal(out2, g)
+
+
+def test_glider_period_4_displacement():
+    g = np.zeros((1, 32, 32), dtype=np.uint8)
+    # canonical glider
+    g[0, 10, 11] = 1
+    g[0, 11, 12] = 1
+    g[0, 12, 10:13] = 1
+    cur = jnp.asarray(g)
+    for _ in range(4):
+        cur = ca_step_grid(cur, jnp.int32(rules.LIFE))
+    shifted = np.roll(np.roll(g, 1, axis=1), 1, axis=2)
+    np.testing.assert_array_equal(np.asarray(cur), shifted)
+
+
+def test_random_soup_vs_numpy_oracle():
+    rng = np.random.RandomState(0)
+    g = (rng.rand(3, 48, 48) < 0.4).astype(np.uint8)
+    cur = jnp.asarray(g)
+    ref = g.copy()
+    for _ in range(8):
+        cur = ca_step_grid(cur, jnp.int32(rules.LIFE))
+        ref = np.stack([_life_step_np(r) for r in ref])
+    np.testing.assert_array_equal(np.asarray(cur), ref)
+
+
+def test_torus_wraparound():
+    g = np.zeros((1, 8, 8), dtype=np.uint8)
+    # blinker straddling the boundary
+    g[0, 0, 7] = 1
+    g[0, 0, 0] = 1
+    g[0, 0, 1] = 1
+    out = np.asarray(ca_step_grid(jnp.asarray(g), jnp.int32(rules.LIFE)))
+    expected = np.zeros_like(g)
+    expected[0, 7, 0] = 1
+    expected[0, 0, 0] = 1
+    expected[0, 1, 0] = 1
+    np.testing.assert_array_equal(out, expected)
+
+
+def test_master_reset():
+    """All-ones action performs a reset; near-all-ones does not
+    (reference tests/test_env.py:42-67)."""
+    env = CARLE()
+    reset_obs = env.reset()
+
+    action = np.ones((env.instances, 1, env.action_height, env.action_width))
+    toggle_obs = env.step(action)[0]
+
+    action[:, :, 0:10, 0:10] = 0.0
+    normal_obs = env.step(action)[0]
+
+    assert float(jnp.mean(toggle_obs)) == 0.0
+    assert float(jnp.mean(reset_obs)) == 0.0
+    assert float(jnp.mean(1.0 * (reset_obs == toggle_obs))) == 1.0
+    assert float(jnp.mean(1.0 * (toggle_obs == normal_obs))) != 1.0
+    # reset zeroed the step counter
+    assert env.step_number == 1  # reset step + one normal step
+
+
+def test_action_window_centered():
+    env = CARLE()
+    env.reset()
+    action = np.zeros((1, 1, 64, 64))
+    action[0, 0, 0, 0] = 1.0  # top-left of the action window
+    # use B-none/S-all so toggled cells persist verbatim
+    env.birth = []
+    env.survive = list(range(9))
+    obs, *_ = env.step(action)
+    grid = np.asarray(obs)[0, 0]
+    assert grid[96, 96] == 1.0  # (256-64)//2 = 96
+    assert grid.sum() == 1.0
+
+
+def test_env_step_counts():
+    env = CARLE(instances=2)
+    env.reset()
+    zero = np.zeros((2, 1, 64, 64))
+    one = zero.copy()
+    one[0, 0, 3, 3] = 1.0
+    env.step(one)
+    env.step(zero)
+    env.step(zero)
+    assert env.step_number == 3
+    assert env.steps_since_action == 2
+    assert int(env.state.step_num) == 3
+    assert int(env.state.steps_since_action) == 2
+
+
+def test_functional_step_shapes():
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16, instances=4)
+    state = init_state(cfg)
+    action = jnp.zeros(cfg.action_shape, dtype=jnp.uint8)
+    new_state, obs = env_step(state, action, config=cfg)
+    assert obs.shape == (4, 64, 64)
+    assert obs.dtype == jnp.uint8
+    assert int(new_state.step_num) == 1
+
+
+def test_b0_rule_all_born():
+    """B012345678/S012345678 turns an empty universe all-alive in one step."""
+    cfg = EnvConfig(height=32, width=32, action_height=8, action_width=8)
+    bits = rules.pack_rule_bits(list(range(9)), list(range(9)))
+    state = init_state(cfg, bits)
+    _, obs = env_step(state, jnp.zeros(cfg.action_shape, jnp.uint8), config=cfg)
+    assert int(obs.sum()) == 32 * 32
+
+
+def test_odd_universe_geometry():
+    """Odd-sized universes shrink the action window by one, as the reference
+    does (env.py:124-125)."""
+    env = CARLE(height=65, width=65, action_height=16, action_width=16)
+    assert env.action_height == 15
+    assert env.action_width == 15
+    env.reset()
+    obs, *_ = env.step(np.zeros((1, 1, 15, 15)))
+    assert obs.shape == (1, 1, 65, 65)

@@ -1,0 +1,132 @@
+"""Bit-exact trajectory parity against the installed PyTorch reference.
+
+The reference package at /root/reference is imported directly (with a stub for
+its scikit-image dependency) and driven with identical action streams; grid
+trajectories must match bit-for-bit (BASELINE.md target row 3).
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+# stub skimage before the reference import (only used for frame export)
+if "skimage" not in sys.modules:
+    _sk = types.ModuleType("skimage")
+    _sk_io = types.ModuleType("skimage.io")
+    _sk_io.imsave = lambda *a, **k: None
+    _sk.io = _sk_io
+    sys.modules["skimage"] = _sk
+    sys.modules["skimage.io"] = _sk_io
+
+sys.path.insert(0, "/root/reference")
+
+torch = pytest.importorskip("torch")
+from carle.env import CARLE as RefCARLE  # noqa: E402
+
+from carle_tpu.env import CARLE  # noqa: E402
+
+
+RULESETS = [
+    ([3], [2, 3]),            # Life
+    ([3, 6, 8], [2, 4, 5]),   # Move/Morley
+    ([3, 6, 7, 8], [3, 4, 6, 7, 8]),  # Day & Night
+    ([2], [0]),               # eval outgroup
+]
+
+
+def _make_ref(**kwargs):
+    """The reference's conv-kernel write (env.py:113) is an in-place op on a
+    grad-leaf, which modern torch rejects; construct under no_grad."""
+    with torch.no_grad():
+        return RefCARLE(**kwargs)
+
+
+def _run_pair(birth, survive, actions, instances=1, h=64, w=64, ah=16, aw=16):
+    ref = _make_ref(
+        height=h, width=w, action_height=ah, action_width=aw,
+        instances=instances, device="cpu",
+    )
+    ref.birth = list(birth)
+    ref.survive = list(survive)
+    ref.reset()
+
+    ours = CARLE(
+        height=h, width=w, action_height=ah, action_width=aw, instances=instances
+    )
+    ours.birth = list(birth)
+    ours.survive = list(survive)
+    ours.reset()
+
+    with torch.no_grad():
+        for act in actions:
+            t_act = torch.tensor(act, dtype=torch.float32)
+            ref_obs, *_ = ref.step(t_act)
+            our_obs, *_ = ours.step(act)
+            np.testing.assert_array_equal(
+                ref_obs.detach().numpy().astype(np.uint8),
+                np.asarray(our_obs).astype(np.uint8),
+            )
+
+
+@pytest.mark.parametrize("birth,survive", RULESETS)
+def test_trajectory_parity_random_actions(birth, survive):
+    rng = np.random.RandomState(42)
+    actions = [
+        (rng.rand(1, 1, 16, 16) < 0.1).astype(np.float32) for _ in range(24)
+    ]
+    # intersperse action-free steps
+    for i in range(0, len(actions), 3):
+        actions[i] = np.zeros_like(actions[i])
+    _run_pair(birth, survive, actions)
+
+
+def test_trajectory_parity_vectorized():
+    rng = np.random.RandomState(7)
+    actions = [
+        (rng.rand(4, 1, 16, 16) < 0.15).astype(np.float32) for _ in range(12)
+    ]
+    _run_pair([3], [2, 3], actions, instances=4)
+
+
+def test_trajectory_parity_glider_full_size():
+    """Default 256x256 geometry, glider seeded through the action window,
+    60 free-running steps (reference env.py __main__ pattern)."""
+    action = np.zeros((1, 1, 64, 64), dtype=np.float32)
+    action[0, 0, 14, 16] = 1.0
+    action[0, 0, 15, 16:18] = 1.0
+    action[0, 0, 16, 15:18:2] = 1.0
+    actions = [action] + [np.zeros_like(action)] * 60
+    _run_pair([3], [2, 3], actions, h=256, w=256, ah=64, aw=64)
+
+
+def test_master_reset_parity():
+    acts = [
+        np.ones((1, 1, 16, 16), dtype=np.float32),
+        np.zeros((1, 1, 16, 16), dtype=np.float32),
+    ]
+    rng = np.random.RandomState(3)
+    acts.insert(0, (rng.rand(1, 1, 16, 16) < 0.3).astype(np.float32))
+    _run_pair([3], [2, 3], acts)
+
+
+def test_rle_decode_parity_on_reference_output():
+    """A universe encoded by the *reference* encoder must decode identically
+    in both codecs (wire-format compatibility)."""
+    ref = _make_ref(height=64, width=64, action_height=16, action_width=16,
+                    device="cpu")
+    ref.reset()
+    act = torch.zeros(1, 1, 16, 16)
+    act[0, 0, 7, 6:9] = 1.0
+    with torch.no_grad():
+        ref.step(act)
+    rle_text = ref.get_rle(ref.universe[0, 0])
+
+    from carle_tpu import rle as our_rle
+
+    decoded = our_rle.parse_rle_text(rle_text)
+    ref_grid = ref.universe[0, 0].detach().numpy().astype(np.uint8)
+    np.testing.assert_array_equal(decoded.grid, ref_grid)
+    assert decoded.birth == [3]
+    assert decoded.survive == [2, 3]

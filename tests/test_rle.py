@@ -1,0 +1,84 @@
+"""RLE codec tests: round-trips, reference-file compatibility, header parsing."""
+
+import numpy as np
+
+from carle_tpu import rle
+from carle_tpu.env import CARLE
+
+
+def _random_grid(h, w, p=0.3, seed=0):
+    rng = np.random.RandomState(seed)
+    return (rng.rand(h, w) < p).astype(np.uint8)
+
+
+def test_encode_decode_roundtrip():
+    for seed in range(4):
+        grid = _random_grid(64, 64, seed=seed)
+        text = rle.encode_grid(grid, [3], [2, 3])
+        pattern = rle.parse_rle_text(text)
+        assert pattern.birth == [3]
+        assert pattern.survive == [2, 3]
+        assert pattern.torus == (64, 64)
+        np.testing.assert_array_equal(pattern.grid, grid)
+
+
+def test_roundtrip_trailing_live_rows():
+    # the reference's encoder drops unflushed trailing rows (env.py:455-462);
+    # ours must not
+    grid = np.zeros((32, 32), dtype=np.uint8)
+    grid[-1, -1] = 1
+    text = rle.encode_grid(grid, [3], [2, 3])
+    np.testing.assert_array_equal(rle.parse_rle_text(text).grid, grid)
+
+
+def test_decode_golly_reference_file():
+    # shipped reference pattern (carle/spaceship_duck.rle) uses bare 'b'/'o'
+    # runs and multiple headers; we decode the first pattern
+    pattern = rle.read_rle("/root/reference/carle/spaceship_duck.rle")
+    assert pattern.birth == [3]
+    assert pattern.survive == [2, 3]
+    assert pattern.grid.sum() > 0
+    assert pattern.grid.shape == (4, 6)
+
+
+def test_decode_row_skip():
+    body = "2o$3$2o!"
+    grid = rle.decode_body(body, 5, 4)
+    expected = np.zeros((5, 4), dtype=np.uint8)
+    expected[0, :2] = 1
+    expected[4, :2] = 1  # '$' then '3$' advances 1 + 3 rows
+    np.testing.assert_array_equal(grid, expected)
+
+
+def test_env_save_load_roundtrip(tmp_path):
+    env = CARLE(height=64, width=64, action_height=16, action_width=16)
+    env.reset()
+    # place a glider mid-grid through the universe setter
+    grid = np.zeros((1, 64, 64), dtype=np.uint8)
+    grid[0, 30, 31] = 1
+    grid[0, 31, 31:33] = 1
+    grid[0, 32, 30] = 1
+    grid[0, 32, 32] = 1
+    env.universe = grid
+
+    text = env.get_rle(env.state.grid[0])
+    path = tmp_path / "u.rle"
+    path.write_text(text)
+
+    env2 = CARLE(height=64, width=64, action_height=16, action_width=16)
+    env2.reset()
+    env2.load_universe(str(path))
+    np.testing.assert_array_equal(
+        np.asarray(env2.state.grid[0]), grid[0]
+    )
+    assert env2.birth == [3] and env2.survive == [2, 3]
+
+
+def test_rule_adopted_from_header(tmp_path):
+    grid = _random_grid(16, 16, seed=1)
+    text = rle.encode_grid(grid, [3, 6, 8], [2, 4, 5])
+    p = tmp_path / "morley.rle"
+    p.write_text(text)
+    pattern = rle.read_rle(str(p))
+    assert pattern.birth == [3, 6, 8]
+    assert pattern.survive == [2, 4, 5]

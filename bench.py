@@ -1,0 +1,131 @@
+"""Benchmark: CA cell-updates/s on one chip (BASELINE.md target >= 1e9).
+
+Config matches the driver target row: 256x256 universes, 4096-instance batch.
+The hot path is the fused Pallas multi-step kernel (ops/pallas_ca.py) which
+keeps each grid slab VMEM-resident for K generations per launch; the XLA
+roll-sum path is the fallback where Pallas is unavailable.
+
+Prints ONE JSON line:
+  {"metric": "cell_updates_per_s", "value": N, "unit": "cells/s",
+   "vs_baseline": N / 1e9, ...}
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_CELL_UPDATES_PER_S = 1e9  # BASELINE.md driver target
+
+
+def _random_grid(key, instances, h, w, p=0.5):
+    return (
+        jax.random.uniform(key, (instances, h, w)) < p
+    ).astype(jnp.uint8)
+
+
+def bench_pallas(grid, rule_bits, steps_per_launch, launches):
+    from carle_tpu.ops.pallas_ca import ca_multi_step_pallas
+
+    steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
+    # compile + warm
+    out = ca_multi_step_pallas(grid, rule_bits, steps)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    g = grid
+    for _ in range(launches):
+        g = ca_multi_step_pallas(g, rule_bits, steps)
+    g.block_until_ready()
+    dt = time.perf_counter() - t0
+    return dt, g
+
+
+def bench_xla(grid, rule_bits, steps_per_launch, launches):
+    from carle_tpu.ops.ca import ca_step_grid
+
+    @jax.jit
+    def multi(g, bits):
+        def body(g, _):
+            return ca_step_grid(g, bits), None
+
+        return jax.lax.scan(body, g, length=steps_per_launch)[0]
+
+    out = multi(grid, rule_bits)
+    out.block_until_ready()
+
+    t0 = time.perf_counter()
+    g = grid
+    for _ in range(launches):
+        g = multi(g, rule_bits)
+    g.block_until_ready()
+    dt = time.perf_counter() - t0
+    return dt, g
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--instances", type=int, default=4096)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--steps-per-launch", type=int, default=64)
+    parser.add_argument("--launches", type=int, default=8)
+    parser.add_argument("--backend", choices=("pallas", "xla", "auto"),
+                        default="auto")
+    args = parser.parse_args()
+
+    from carle_tpu import rules
+
+    h = w = args.size
+    grid = _random_grid(jax.random.PRNGKey(0), args.instances, h, w)
+    rule_bits = jnp.asarray(rules.LIFE, dtype=jnp.int32)
+
+    backend = args.backend
+    platform = jax.devices()[0].platform
+    if backend == "auto":
+        backend = "pallas" if platform in ("tpu", "axon") else "xla"
+
+    try:
+        if backend == "pallas":
+            dt, out = bench_pallas(grid, rule_bits, args.steps_per_launch,
+                                   args.launches)
+        else:
+            dt, out = bench_xla(grid, rule_bits, args.steps_per_launch,
+                                args.launches)
+    except Exception as exc:  # pallas unavailable -> XLA fallback
+        if backend == "pallas":
+            print(f"# pallas path failed ({exc!r}); falling back to XLA",
+                  file=sys.stderr)
+            backend = "xla"
+            dt, out = bench_xla(grid, rule_bits, args.steps_per_launch,
+                                args.launches)
+        else:
+            raise
+
+    total_updates = (
+        float(args.instances) * h * w * args.steps_per_launch * args.launches
+    )
+    value = total_updates / dt
+    print(json.dumps({
+        "metric": "cell_updates_per_s",
+        "value": value,
+        "unit": "cells/s",
+        "vs_baseline": value / BASELINE_CELL_UPDATES_PER_S,
+        "config": {
+            "instances": args.instances, "size": args.size,
+            "steps_per_launch": args.steps_per_launch,
+            "launches": args.launches, "backend": backend,
+            "device": str(jax.devices()[0]),
+        },
+        "checksum": int(np.asarray(out.sum())),
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -11,6 +11,10 @@ from .config import EnvConfig
 from .env import CARLE, EnvState, env_step, init_state, multi_step, reset_state
 from . import rules
 from . import rle
+from . import agents
+from . import checkpoint
+from . import mcl
+from .rollout import Rollout, RolloutCarry
 
 __version__ = "0.1.0"
 
@@ -18,10 +22,15 @@ __all__ = [
     "CARLE",
     "EnvConfig",
     "EnvState",
+    "Rollout",
+    "RolloutCarry",
+    "agents",
+    "checkpoint",
     "env_step",
     "init_state",
+    "mcl",
     "multi_step",
     "reset_state",
-    "rules",
     "rle",
+    "rules",
 ]

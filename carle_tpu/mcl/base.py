@@ -1,0 +1,302 @@
+"""Wrapper protocol + composition + the reference-compatible Motivator shell.
+
+Reference design (mcl.py:29-84): wrappers are ``nn.Module`` objects composed
+by ``env = Wrapper(env)``; each ``step`` calls the inner env's step and adds
+its bonus to the reward bubbling outward, with Python-side mutable state
+(loss buffers, frame buffers, optimizers) updated *inside* the step.
+
+TPU design: a wrapper is data + pure functions —
+
+* ``init(key) -> state`` builds the wrapper's state pytree (params,
+  optimizer state, carried statistics);
+* ``apply(state, ctx, reward) -> (state', reward')`` consumes a
+  :class:`StepCtx` describing one environment transition and transforms the
+  reward (usually ``reward + scale * bonus``);
+* ``on_reset(state, key, grid) -> (state', grid')`` hooks environment resets
+  (only MorphoBonus uses it, to seed nucleation noise — mcl.py:185-195).
+
+A :class:`WrapperStack` folds the env transition and every wrapper apply into
+ONE pure function, so a whole rollout segment — actions, CA updates, bonus
+networks, gradient accumulation, optimizer steps — compiles to a single XLA
+program with no host round-trips (the reference re-enters Python every step).
+
+Wrapper order follows reference composition: the first wrapper listed is the
+innermost (applied first, reward flows outward through the rest).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, List, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import EnvConfig
+from ..env import CARLE, EnvState, env_step, reset_state
+from ..ops.ca import pad_action
+
+
+class StepCtx(NamedTuple):
+    """Everything a wrapper may observe about one env transition."""
+
+    prev_grid: jax.Array    # uint8 [inst, H, W] universe BEFORE toggle+update
+    obs: jax.Array          # float32 [inst, 1, H, W] universe AFTER the update
+    action: jax.Array       # uint8 [inst, AH, AW] raw toggle patch
+    action_full: jax.Array  # uint8 [inst, H, W] patch padded to universe size
+    key: jax.Array          # per-step PRNG key (dropout, exploration noise)
+
+
+class WrapperDef(NamedTuple):
+    """A reward wrapper as pure functions over an explicit state pytree."""
+
+    name: str
+    init: Callable[[jax.Array], Any]
+    apply: Callable[[Any, StepCtx, jax.Array], Tuple[Any, jax.Array]]
+    on_reset: Callable[[Any, jax.Array, jax.Array], Tuple[Any, jax.Array]]
+
+
+def default_on_reset(
+    state: Any, key: jax.Array, grid: jax.Array
+) -> Tuple[Any, jax.Array]:
+    """Wrapper states deliberately survive resets — the reference never clears
+    frame/statistics buffers in ``reset`` (mcl.py:66-70, 408-421)."""
+    return state, grid
+
+
+class StackState(NamedTuple):
+    env: EnvState
+    wrappers: Tuple[Any, ...]
+
+
+class WrapperStack:
+    """Composes ``env_step`` with an ordered wrapper list into pure functions.
+
+    ``step(state, action, key)`` is the fused hot path: env transition + all
+    bonuses + all online learning, jittable and scannable.  ``reward`` starts
+    at zero (base env emits none — reference env.py:237) and is transformed by
+    each wrapper in order.
+    """
+
+    def __init__(self, config: EnvConfig, wrappers: Sequence[WrapperDef] = ()):
+        self.config = config
+        self.wrappers = tuple(wrappers)
+
+    def init(self, key: jax.Array, rule_bits: int) -> StackState:
+        from ..env import init_state
+
+        keys = jax.random.split(key, max(len(self.wrappers), 1))
+        wstates = tuple(
+            w.init(k) for w, k in zip(self.wrappers, keys)
+        )
+        return StackState(env=init_state(self.config, rule_bits), wrappers=wstates)
+
+    def step(
+        self, state: StackState, action: jax.Array, key: jax.Array
+    ) -> Tuple[StackState, Tuple[jax.Array, jax.Array]]:
+        """One fused transition.  ``action`` is uint8/float [inst, AH, AW]."""
+        action_bits = (action != 0).astype(jnp.uint8)
+        prev_grid = state.env.grid
+        env_state, grid = env_step(state.env, action_bits, config=self.config)
+        ctx = StepCtx(
+            prev_grid=prev_grid,
+            obs=grid.astype(jnp.float32)[:, None],
+            action=action_bits,
+            action_full=pad_action(action_bits, self.config),
+            key=key,
+        )
+        reward = jnp.zeros((self.config.instances, 1), dtype=jnp.float32)
+        new_wstates = []
+        for w, ws in zip(self.wrappers, state.wrappers):
+            ws, reward = w.apply(ws, ctx, reward)
+            new_wstates.append(ws)
+        return (
+            StackState(env=env_state, wrappers=tuple(new_wstates)),
+            (ctx.obs, reward),
+        )
+
+    def reset(self, state: StackState, key: jax.Array) -> Tuple[StackState, jax.Array]:
+        """Zero the universe, run wrapper reset hooks (in order) over the grid."""
+        env_state = reset_state(state.env)
+        grid = env_state.grid
+        keys = jax.random.split(key, max(len(self.wrappers), 1))
+        new_wstates = []
+        for w, ws, k in zip(self.wrappers, state.wrappers, keys):
+            ws, grid = w.on_reset(ws, k, grid)
+            new_wstates.append(ws)
+        env_state = env_state._replace(grid=grid)
+        return (
+            StackState(env=env_state, wrappers=tuple(new_wstates)),
+            grid.astype(jnp.float32)[:, None],
+        )
+
+
+# ---------------------------------------------------------------------------
+# Reference-compatible class shell
+# ---------------------------------------------------------------------------
+
+
+class Motivator:
+    """Class shell matching the reference wrapper surface (mcl.py:29-84):
+    ``env = Wrapper(env)``, ``step``/``reset`` forwarded inward, ``inner_env``
+    always the raw CARLE, rule setters proxied.
+
+    Subclasses define ``_make_def() -> WrapperDef`` and get a jitted
+    single-wrapper apply; reward bubbles outward exactly as in the reference
+    (inner wrappers' bonuses are applied first).
+    """
+
+    my_name = "Motivator"
+
+    def __init__(self, env: Any, **kwargs: Any) -> None:
+        inner = getattr(env, "inner_env", None)
+        self.inner_env: CARLE = env if inner is None else inner
+        self.env = env
+
+        self.height = self.inner_env.height
+        # reference quirk preserved: width copies height (mcl.py:42); square
+        # universes (the only shipped configs) are unaffected
+        self.width = self.inner_env.height
+        self.action_height = self.inner_env.action_height
+        self.action_width = self.inner_env.action_width
+        self._reward_scale_attr = kwargs.get("reward_scale", 1.0)
+
+        self._config: EnvConfig = self.inner_env.config
+        self._key = jax.random.PRNGKey(kwargs.get("seed", 0))
+        self._train = True
+        self._wdef: Optional[WrapperDef] = None
+        self._wstate: Any = None
+        self._jit_apply: Any = None
+        self._build(**kwargs)
+
+    # -- subclass hooks ----------------------------------------------------
+    def _make_def(self, **kwargs: Any) -> Optional[WrapperDef]:
+        return None
+
+    def _build(self, **kwargs: Any) -> None:
+        kwargs.pop("seed", None)  # consumed by the shell's own PRNG key
+        self._wdef = self._make_def(**kwargs)
+        if self._wdef is not None:
+            self._key, sub = jax.random.split(self._key)
+            self._wstate = self._wdef.init(sub)
+            self._jit_apply = jax.jit(self._wdef.apply)
+
+    # -- tunables that live inside jitted state ----------------------------
+    # The eval harness mutates reward_scale / batch_size AFTER construction
+    # (eval.py:43-45); both are data in the wrapper state pytree so the
+    # mutation is a state update, never a retrace.
+    @property
+    def reward_scale(self) -> float:
+        if self._wstate is not None and hasattr(self._wstate, "reward_scale"):
+            return float(self._wstate.reward_scale)
+        return self._reward_scale_attr
+
+    @reward_scale.setter
+    def reward_scale(self, value: float) -> None:
+        if self._wstate is not None and hasattr(self._wstate, "reward_scale"):
+            self._wstate = self._wstate._replace(
+                reward_scale=jnp.asarray(value, dtype=jnp.float32)
+            )
+        else:
+            self._reward_scale_attr = value
+
+    @property
+    def batch_size(self) -> int:
+        if self._wstate is not None and hasattr(self._wstate, "batch_size"):
+            return int(self._wstate.batch_size)
+        raise AttributeError(f"{type(self).__name__} has no batch_size")
+
+    @batch_size.setter
+    def batch_size(self, value: int) -> None:
+        if self._wstate is not None and hasattr(self._wstate, "batch_size"):
+            self._wstate = self._wstate._replace(
+                batch_size=jnp.asarray(value, dtype=jnp.int32)
+            )
+        else:
+            raise AttributeError(f"{type(self).__name__} has no batch_size")
+
+    # -- rule proxies (mcl.py:49-64) --------------------------------------
+    @property
+    def birth(self) -> List[int]:
+        return self.inner_env.birth
+
+    @birth.setter
+    def birth(self, digits: List[int]) -> None:
+        self.inner_env.birth = digits
+
+    @property
+    def survive(self) -> List[int]:
+        return self.inner_env.survive
+
+    @survive.setter
+    def survive(self, digits: List[int]) -> None:
+        self.inner_env.survive = digits
+
+    def rules_from_string(self, my_string: str = "B3/S23") -> None:
+        self.inner_env.rules_from_string(my_string)
+
+    def birth_rule_from_string(self, my_string: str = "b3") -> None:
+        self.inner_env.birth_rule_from_string(my_string)
+
+    def survive_rule_from_string(self, my_string: str = "s23") -> None:
+        self.inner_env.survive_rule_from_string(my_string)
+
+    # -- gym API -----------------------------------------------------------
+    def reset(self) -> jax.Array:
+        obs = self.env.reset()
+        if self._wdef is not None:
+            self._key, sub = jax.random.split(self._key)
+            grid = self.inner_env.state.grid
+            self._wstate, new_grid = self._wdef.on_reset(self._wstate, sub, grid)
+            if new_grid is not grid:
+                self.inner_env.state = self.inner_env.state._replace(
+                    grid=jnp.asarray(new_grid, dtype=jnp.uint8)
+                )
+                obs = self.inner_env.universe
+        return obs
+
+    def _make_ctx(self, prev_grid: jax.Array, obs: jax.Array,
+                  action_patch: np.ndarray, key: jax.Array) -> StepCtx:
+        action_bits = jnp.asarray(action_patch != 0, dtype=jnp.uint8)
+        return StepCtx(
+            prev_grid=prev_grid,
+            obs=jnp.asarray(obs, dtype=jnp.float32),
+            action=action_bits,
+            action_full=pad_action(action_bits, self._config),
+            key=key,
+        )
+
+    def step(self, action: Any) -> Tuple[jax.Array, jax.Array, jax.Array, Any]:
+        prev_grid = self.inner_env.state.grid
+        obs, reward, done, info = self.env.step(action)
+        if self._wdef is not None:
+            patch = self.inner_env._coerce_action(action)
+            self._key, sub = jax.random.split(self._key)
+            ctx = self._make_ctx(prev_grid, obs, patch, sub)
+            self._wstate, reward = self._jit_apply(self._wstate, ctx, reward)
+        return obs, reward, done, info
+
+    # -- torch-compat shims -------------------------------------------------
+    def eval(self) -> "Motivator":
+        self._train = False
+        self._rebuild_mode()
+        return self
+
+    def train(self) -> "Motivator":
+        self._train = True
+        self._rebuild_mode()
+        return self
+
+    def _rebuild_mode(self) -> None:
+        """Hook for learning wrappers to swap train/eval apply functions."""
+
+    def to(self, *a: Any, **k: Any) -> "Motivator":
+        return self
+
+    def set_grad(self) -> None:
+        pass
+
+    def set_no_grad(self) -> None:
+        pass

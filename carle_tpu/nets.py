@@ -1,0 +1,177 @@
+"""Neural-net primitives as pure functions over param pytrees.
+
+The reference builds its wrapper/agent networks from ``torch.nn`` modules
+(mcl.py:257-298, 445-481; agents.py:69-88).  Here the same architectures are
+expressed as explicit param pytrees plus pure ``apply`` functions, so they
+compose with ``jax.jit`` / ``jax.grad`` / ``lax.scan`` and can live inside the
+scanned environment step (online learning happens *inside* rollouts,
+mcl.py:333-341 — see mcl/rnd.py).
+
+Layout notes (TPU):
+
+* NCHW with OIHW kernels, matching torch's layout so reference checkpoints
+  load by direct reshape (checkpoint.py converts ``state_dict`` tensors 1:1);
+  XLA relayouts internally for the conv units.
+* Channel counts here are tiny (1-4), so convs lower to VPU-friendly stencil
+  fusions rather than MXU matmuls; the dense heads are real matmuls and get
+  the MXU.  ``preferred_element_type=float32`` keeps accumulation exact for
+  reward-curve parity.
+
+Initialization matches torch's defaults in distribution: Conv2d/Linear use
+kaiming_uniform(a=sqrt(5)) which reduces to U(-1/sqrt(fan_in), 1/sqrt(fan_in))
+for weights, and the same bound for biases.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+Params = Dict[str, jax.Array]
+
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+
+def _uniform(key: jax.Array, shape: Sequence[int], bound: float) -> jax.Array:
+    return jax.random.uniform(
+        key, tuple(shape), minval=-bound, maxval=bound, dtype=jnp.float32
+    )
+
+
+def conv_init(
+    key: jax.Array, out_ch: int, in_ch: int, k: int, bias: bool = True
+) -> Params:
+    """Conv2d weight (OIHW) + bias with torch-default init."""
+    wk, bk = jax.random.split(key)
+    fan_in = in_ch * k * k
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": _uniform(wk, (out_ch, in_ch, k, k), bound)}
+    if bias:
+        p["b"] = _uniform(bk, (out_ch,), bound)
+    return p
+
+
+def conv_transpose_init(
+    key: jax.Array, in_ch: int, out_ch: int, k: int, bias: bool = True
+) -> Params:
+    """ConvTranspose2d weight in torch layout (in_ch, out_ch, kH, kW).
+
+    torch computes fan_in of a ConvTranspose2d from weight.size(1)*k*k
+    = out_ch*k*k; replicated for distributional parity.
+    """
+    wk, bk = jax.random.split(key)
+    fan_in = out_ch * k * k
+    bound = 1.0 / math.sqrt(fan_in)
+    p = {"w": _uniform(wk, (in_ch, out_ch, k, k), bound)}
+    if bias:
+        p["b"] = _uniform(bk, (out_ch,), bound)
+    return p
+
+
+def linear_init(
+    key: jax.Array, out_features: int, in_features: int, bias: bool = True
+) -> Params:
+    """Linear weight in torch layout (out, in) + bias."""
+    wk, bk = jax.random.split(key)
+    bound = 1.0 / math.sqrt(in_features)
+    p = {"w": _uniform(wk, (out_features, in_features), bound)}
+    if bias:
+        p["b"] = _uniform(bk, (out_features,), bound)
+    return p
+
+
+# ---------------------------------------------------------------------------
+# layer applications
+# ---------------------------------------------------------------------------
+
+_DIMNUMS = ("NCHW", "OIHW", "NCHW")
+
+
+def conv2d(x: jax.Array, p: Params, stride: int = 1, padding: int = 0) -> jax.Array:
+    """2-D convolution, NCHW x OIHW."""
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(stride, stride),
+        padding=((padding, padding), (padding, padding)),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        out = out + p["b"][None, :, None, None]
+    return out
+
+
+def conv_transpose2d(
+    x: jax.Array, p: Params, stride: int = 2, padding: int = 1
+) -> jax.Array:
+    """torch-semantics ConvTranspose2d: out = (in-1)*stride - 2*padding + k.
+
+    Implemented as the transpose convolution identity: input dilation by
+    ``stride``, spatially-flipped kernel with swapped in/out channels, and
+    (k-1-padding) edge padding.
+    """
+    w = p["w"]  # (in_ch, out_ch, kH, kW)
+    k = w.shape[2]
+    flipped = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)  # -> OIHW
+    pad = k - 1 - padding
+    out = jax.lax.conv_general_dilated(
+        x,
+        flipped,
+        window_strides=(1, 1),
+        padding=((pad, pad), (pad, pad)),
+        lhs_dilation=(stride, stride),
+        dimension_numbers=_DIMNUMS,
+        preferred_element_type=jnp.float32,
+    )
+    if "b" in p:
+        out = out + p["b"][None, :, None, None]
+    return out
+
+
+def linear(x: jax.Array, p: Params) -> jax.Array:
+    out = jnp.dot(x, p["w"].T, preferred_element_type=jnp.float32)
+    if "b" in p:
+        out = out + p["b"]
+    return out
+
+
+def max_pool2(x: jax.Array) -> jax.Array:
+    """2x2 max pool, stride 2, no padding (torch MaxPool2d(2, 2, padding=0))."""
+    return jax.lax.reduce_window(
+        x,
+        -jnp.inf,
+        jax.lax.max,
+        window_dimensions=(1, 1, 2, 2),
+        window_strides=(1, 1, 2, 2),
+        padding="VALID",
+    )
+
+
+def dropout(
+    x: jax.Array, key: Optional[jax.Array], p: float, train: bool
+) -> jax.Array:
+    """Inverted dropout matching ``nn.Dropout``: train scales kept units by
+    1/(1-p); eval is the identity."""
+    if not train or p == 0.0:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - p, x.shape)
+    return jnp.where(keep, x / (1.0 - p), 0.0)
+
+
+def flatten(x: jax.Array) -> jax.Array:
+    return x.reshape(x.shape[0], -1)
+
+
+def split_keys(key: Optional[jax.Array], n: int) -> Tuple[Optional[jax.Array], ...]:
+    """Split a (possibly absent) dropout key into n subkeys."""
+    if key is None:
+        return (None,) * n
+    return tuple(jax.random.split(key, n))

@@ -1,0 +1,29 @@
+"""Multi-chip / multi-host scaling (SURVEY.md §2 parallelism checklist).
+
+The scale axes of this domain are **environment batch** and **grid size**:
+
+* env-batch data parallelism (`mesh.py`): the instances dimension shards over
+  a device mesh; wrapper/agent params replicate; XLA inserts the cross-device
+  reductions (batch-mean losses, batch-global statistics) automatically from
+  the sharding annotations — the idiomatic jit/GSPMD path.
+* spatial grid sharding (`spatial.py`): one huge universe sharded by rows
+  with a 1-cell halo exchanged per step over ICI via ``shard_map`` +
+  ``ppermute`` — the structural analogue of ring-attention halos; needed only
+  for grids that outgrow one chip's HBM/VMEM.
+
+The reference has no distributed anything (single process, one device); these
+modules are the TPU-native replacement for "scale = bigger instances count"
+(reference env.py:46-48, 558-573).
+"""
+
+from .mesh import env_sharding, make_mesh, shard_carry, replicate
+from .spatial import spatial_ca_step, spatial_multi_step
+
+__all__ = [
+    "env_sharding",
+    "make_mesh",
+    "shard_carry",
+    "replicate",
+    "spatial_ca_step",
+    "spatial_multi_step",
+]

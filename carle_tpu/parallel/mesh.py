@@ -1,0 +1,75 @@
+"""Env-batch data parallelism over a device mesh.
+
+Strategy (the north-star config in BASELINE.md: 65k envs over multiple
+hosts): shard every state leaf that carries an ``instances`` dimension over
+the ``env`` mesh axis, replicate everything else (wrapper params, optimizer
+moments, rule bits).  Rollouts jitted on such committed inputs compile to one
+SPMD program per device; cross-device terms (batch-mean losses feeding the
+replicated-parameter updates, batch-global Speed/Puffer statistics) become
+XLA all-reduces over ICI — no hand-written collectives and no host traffic
+in the loop.
+
+Works identically on a real TPU pod slice and on the CPU fake mesh
+(``XLA_FLAGS=--xla_force_host_platform_device_count=8``) used by tests and
+the driver's multi-chip dry run.  For multi-host, call
+``jax.distributed.initialize()`` first and pass ``jax.devices()``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EnvConfig
+
+
+def make_mesh(
+    devices: Optional[Sequence[jax.Device]] = None, axis_name: str = "env"
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    return Mesh(np.asarray(devices), (axis_name,))
+
+
+def env_sharding(
+    mesh: Mesh, leaf: Any, instances: int, axis_name: str = "env"
+) -> NamedSharding:
+    """Sharding for one state leaf: the first dimension equal to
+    ``instances`` shards over the env axis; everything else replicates.
+
+    The instances axis is identified by size.  For the state pytrees in this
+    package that is unambiguous as long as ``instances`` differs from grid
+    height/width and buffer lengths — assert rather than guess when a clash
+    could silently change placement.
+    """
+    shape = np.shape(leaf)
+    n = mesh.devices.size
+    spec: Any = P()
+    if instances % n == 0:
+        matches = [i for i, d in enumerate(shape) if d == instances]
+        if matches:
+            axes = [None] * len(shape)
+            axes[matches[0]] = axis_name
+            spec = P(*axes)
+    return NamedSharding(mesh, spec)
+
+
+def shard_carry(
+    carry: Any, mesh: Mesh, config: EnvConfig, axis_name: str = "env"
+) -> Any:
+    """Commit a rollout carry (or any state pytree) onto the mesh:
+    instance-batched leaves sharded, the rest replicated."""
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, env_sharding(mesh, leaf, config.instances, axis_name)
+        ),
+        carry,
+    )
+
+
+def replicate(tree: Any, mesh: Mesh) -> Any:
+    return jax.tree.map(
+        lambda leaf: jax.device_put(leaf, NamedSharding(mesh, P())), tree
+    )

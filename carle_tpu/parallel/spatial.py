@@ -1,0 +1,80 @@
+"""Spatial grid sharding with halo exchange — one universe across chips.
+
+For grids too large for one device, the universe shards by rows over a
+``space`` mesh axis.  Each CA step needs exactly one ghost row from each
+neighbour (the 3x3 Moore stencil), exchanged with ``lax.ppermute`` inside a
+``shard_map`` — two 1-row transfers per step riding ICI, overlapping with the
+row-local arithmetic.  The ring permutation wraps, which realizes the global
+torus topology across the device ring for free; columns stay device-local so
+their circular ``roll`` is untouched.
+
+This is the ring-attention-halo analogue flagged in SURVEY.md §2: the same
+math as ops/ca.py (parity-tested), different data movement.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..ops.ca import apply_rule
+
+
+def _local_step(local: jax.Array, rule_bits: jax.Array, axis_name: str) -> jax.Array:
+    """One CA generation on a [inst, H_local, W] row-shard with ring halos."""
+    n = jax.lax.axis_size(axis_name)
+    up_perm = [(i, (i + 1) % n) for i in range(n)]    # my last row -> next dev
+    down_perm = [(i, (i - 1) % n) for i in range(n)]  # my first row -> prev dev
+
+    top_halo = jax.lax.ppermute(local[:, -1:, :], axis_name, up_perm)
+    bottom_halo = jax.lax.ppermute(local[:, :1, :], axis_name, down_perm)
+    padded = jnp.concatenate([top_halo, local, bottom_halo], axis=1)
+
+    rows = padded[:, :-2, :] + padded[:, 1:-1, :] + padded[:, 2:, :]
+    counts = (
+        rows + jnp.roll(rows, 1, axis=-1) + jnp.roll(rows, -1, axis=-1) - local
+    )
+    return apply_rule(local, counts, rule_bits)
+
+
+def spatial_ca_step(
+    grid: jax.Array,
+    rule_bits: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "space",
+) -> jax.Array:
+    """One generation of a row-sharded universe [inst, H, W] (H sharded)."""
+    fn = shard_map(
+        partial(_local_step, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None),
+    )
+    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
+
+
+def spatial_multi_step(
+    grid: jax.Array,
+    rule_bits: jax.Array,
+    num_steps: int,
+    mesh: Mesh,
+    axis_name: str = "space",
+) -> jax.Array:
+    """``num_steps`` generations under one shard_map'd scan (halos exchanged
+    once per generation; no resharding between steps)."""
+
+    def body(g, _):
+        return _local_step(g, jnp.asarray(rule_bits, jnp.int32), axis_name), None
+
+    fn = shard_map(
+        lambda g: jax.lax.scan(body, g, length=num_steps)[0],
+        mesh=mesh,
+        in_specs=P(None, axis_name, None),
+        out_specs=P(None, axis_name, None),
+    )
+    return fn(grid)

@@ -1,0 +1,156 @@
+"""Wrapper pre-training driver (reference carle/train_mcl.py:15-89).
+
+Same protocol: stack CARLE -> RND2D -> AE2D, drive with a (random) agent,
+cycle epochs x rulesets, run ``steps_per_rule`` steps per segment, checkpoint
+the wrapper states and dump the reward history after each segment.
+
+TPU-native differences:
+
+* each ruleset segment is ONE jitted ``lax.scan`` (rollout.py), not a Python
+  loop of 2048 host round-trips;
+* rule changes are state updates (no retrace) — the whole multi-ruleset
+  training run reuses a single compiled program;
+* checkpoints are .npz pytrees of the FULL learner state (params + Adam
+  moments + accumulation counters), so training resumes exactly — the
+  reference can't resume (no optimizer state in its .pt files);
+* metrics are the same ``.npy`` reward histories the reference writes
+  (train_mcl.py:86).
+
+Run:  python -m carle_tpu.train_mcl
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+
+from . import rules as rules_mod
+from .agents import make_random_agent
+from .checkpoint import save_pytree, load_pytree
+from .config import EnvConfig
+from .mcl.ae import ae2d_def
+from .mcl.rnd import rnd2d_def
+from .rollout import Rollout
+
+# Life, Move/Morley, Day & Night, B3/S023 (train_mcl.py:95-98; the reference
+# comment calls the last one "Live Free or Die" but that rule is canonically
+# B2/S0 — kept as shipped)
+DEFAULT_RULES: List[List[List[int]]] = [
+    [[3], [2, 3]],
+    [[3, 6, 8], [2, 4, 5]],
+    [[3, 6, 7, 8], [3, 4, 6, 7, 8]],
+    [[3], [0, 2, 3]],
+]
+
+
+def train(
+    agent_fn: Optional[Callable[..., Any]] = None,
+    instances: int = 16,
+    steps: Sequence[int] = (64, 2048),
+    rules: Sequence[Sequence[Sequence[int]]] = None,
+    mcl: Optional[Sequence[Callable[..., Any]]] = None,
+    height: int = 256,
+    width: int = 256,
+    batch_size: int = 64,
+    seed: int = 0,
+    log_dir: str = "./logs/mcl",
+    resume_from: Optional[str] = None,
+    segment_callback: Optional[Callable[[Dict[str, Any]], None]] = None,
+) -> np.ndarray:
+    """Pre-train the RND2D + AE2D wrapper stack (reference train(),
+    train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
+    signature parity but the stack is RND2D + AE2D, train_mcl.py:38-39).
+
+    Returns the per-step summed reward history, and writes:
+      {log_dir}/models/RND2D_{exp}.npz, AE2D_{exp}.npz  (full learner states)
+      {log_dir}/metrics/mcl_rewards_{exp}.npy
+    """
+    if rules is None:
+        rules = DEFAULT_RULES
+    config = EnvConfig(
+        height=height, width=width, action_height=64, action_width=64,
+        instances=instances,
+    ).validate()
+
+    wrapper_defs = [
+        rnd2d_def(config, batch_size=batch_size),
+        ae2d_def(config, batch_size=batch_size),
+    ]
+    agent = (agent_fn or make_random_agent)(
+        action_width=config.eff_action_width,
+        action_height=config.eff_action_height,
+    ) if agent_fn else make_random_agent(
+        config.eff_action_width, config.eff_action_height
+    )
+
+    ro = Rollout(config, wrapper_defs, agent)
+    carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE)
+
+    if resume_from:
+        wstates = tuple(
+            load_pytree(os.path.join(resume_from, f"{name}.npz"), ws)
+            for name, ws in zip(("RND2D", "AE2D"), carry.stack.wrappers)
+        )
+        carry = carry._replace(stack=carry.stack._replace(wrappers=wstates))
+
+    exp_id = "mcl" + str(int(time.time()))
+    model_dir = os.path.join(log_dir, "models")
+    metric_dir = os.path.join(log_dir, "metrics")
+    os.makedirs(model_dir, exist_ok=True)
+    os.makedirs(metric_dir, exist_ok=True)
+
+    rewards_hist: List[np.ndarray] = []
+
+    epochs, steps_per_rule = int(steps[0]), int(steps[1])
+    for epoch in range(epochs):
+        for ruleset in rules:
+            bits = rules_mod.pack_rule_bits(ruleset[0], ruleset[1])
+            carry = ro.with_rules(carry, bits)
+            carry, _ = ro.reset(carry)
+
+            t1 = time.time()
+            carry, seg_rewards = ro.run(carry, num_steps=steps_per_rule)
+            seg_sum = np.asarray(seg_rewards.sum(axis=(1, 2)))  # [steps]
+            t2 = time.time()
+
+            rewards_hist.append(seg_sum)
+            steps_per_second = steps_per_rule * instances / (t2 - t1)
+            mean_reward = float(seg_sum.sum()) / (steps_per_rule * instances)
+            print(f"steps / second = {steps_per_second:.3f}")
+            print(
+                f"round {epoch}, ruleset {ruleset}, "
+                f"mean reward = {mean_reward:.3e}"
+            )
+
+            for name, ws in zip(("RND2D", "AE2D"), carry.stack.wrappers):
+                save_pytree(
+                    os.path.join(model_dir, f"{name}_{exp_id}.npz"), ws
+                )
+            if segment_callback:
+                segment_callback(
+                    dict(epoch=epoch, ruleset=ruleset,
+                         steps_per_second=steps_per_second,
+                         mean_reward=mean_reward)
+                )
+
+        np.save(
+            os.path.join(metric_dir, f"mcl_rewards_{exp_id}.npy"),
+            np.concatenate(rewards_hist),
+        )
+
+    return np.concatenate(rewards_hist)
+
+
+if __name__ == "__main__":
+    history = train(
+        instances=8,
+        steps=[2, 512],
+        rules=DEFAULT_RULES,
+    )
+    print(json.dumps({"total_reward": float(history.sum()),
+                      "segments": len(history) // 512}))

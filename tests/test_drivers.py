@@ -1,0 +1,103 @@
+"""train_mcl / evaluation driver tests (small shapes, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from carle_tpu.train_mcl import train
+
+
+def test_train_runs_and_checkpoints(tmp_path):
+    log_dir = str(tmp_path / "logs")
+    history = train(
+        instances=2,
+        steps=[1, 8],
+        rules=[[[3], [2, 3]], [[3, 6, 8], [2, 4, 5]]],
+        height=64,
+        width=64,
+        batch_size=4,
+        log_dir=log_dir,
+        seed=0,
+    )
+    assert history.shape == (16,)  # 2 rulesets x 8 steps
+    models = os.listdir(os.path.join(log_dir, "models"))
+    assert any(m.startswith("RND2D_") for m in models)
+    assert any(m.startswith("AE2D_") for m in models)
+    metrics = os.listdir(os.path.join(log_dir, "metrics"))
+    assert len(metrics) == 1
+    loaded = np.load(os.path.join(log_dir, "metrics", metrics[0]))
+    np.testing.assert_allclose(loaded, history)
+
+
+def test_train_resume_from_checkpoint(tmp_path):
+    log_dir = str(tmp_path / "logs")
+    train(instances=2, steps=[1, 4], rules=[[[3], [2, 3]]],
+          height=64, width=64, batch_size=2, log_dir=log_dir, seed=0)
+    models_dir = os.path.join(log_dir, "models")
+    # rename to the {name}.npz layout resume_from expects
+    for f in os.listdir(models_dir):
+        name = f.split("_")[0] + ".npz"
+        os.rename(os.path.join(models_dir, f), os.path.join(models_dir, name))
+    history = train(
+        instances=2, steps=[1, 4], rules=[[[3], [2, 3]]],
+        height=64, width=64, batch_size=2, log_dir=log_dir, seed=1,
+        resume_from=models_dir,
+    )
+    assert history.shape == (4,)
+
+
+def test_evaluate_protocol(tmp_path):
+    from carle_tpu.evaluation.eval import evaluate
+    from carle_tpu.evaluation.submission import SubmissionAgent
+    from carle_tpu.mcl import ParsimonyBonus, SpeedDetector
+
+    wrappers = [[SpeedDetector, 1e-2, None], [ParsimonyBonus, 1.0, None]]
+    rules = [[[3], [2, 3]], [[2], [0]]]
+    score, trace = evaluate(
+        SubmissionAgent, rules, wrappers, steps=6, verbose=False
+    )
+    assert len(trace) == 12
+    assert np.isfinite(score)
+
+
+def test_evaluate_with_reference_checkpoints():
+    """The full default stack with the reference's shipped .pt checkpoints
+    must load and produce finite scores (converted weights path)."""
+    from carle_tpu.evaluation.eval import DEFAULT_WRAPPERS, evaluate
+    from carle_tpu.evaluation.submission import SubmissionAgent
+
+    score, trace = evaluate(
+        SubmissionAgent,
+        [[[3], [2, 3]]],
+        DEFAULT_WRAPPERS,
+        steps=4,
+        verbose=False,
+    )
+    assert np.isfinite(score)
+    assert len(trace) == 4
+
+
+def test_evaluate_survive_bug_compat_flag():
+    """reference_compat must reproduce the eval.py:59 survive<-birth bug;
+    compat off must use the declared survive list."""
+    from carle_tpu.evaluation.eval import evaluate
+    from carle_tpu.evaluation.submission import SubmissionAgent
+    from carle_tpu.mcl import CornerBonus
+    from carle_tpu import CARLE
+
+    captured = {}
+
+    class Probe(CornerBonus):
+        def reset(self):
+            captured["birth"] = list(self.inner_env.birth)
+            captured["survive"] = list(self.inner_env.survive)
+            return super().reset()
+
+    rules = [[[3, 6], [2, 3]]]
+    evaluate(SubmissionAgent, rules, [[Probe, 1.0, None]], steps=1,
+             verbose=False)
+    assert captured["survive"] == [3, 6]  # the bug, replicated
+    evaluate(SubmissionAgent, rules, [[Probe, 1.0, None]], steps=1,
+             reference_compat=False, verbose=False)
+    assert captured["survive"] == [2, 3]  # the fix

@@ -1,0 +1,384 @@
+"""mcl wrapper system tests.
+
+Covers: bonus math of the stateless wrappers (vs hand computation and vs the
+torch reference where it runs), online-learning dynamics (reference
+tests/test_mcl.py behavioural contracts), buffer semantics, eval-mode
+freezing, and checkpoint conversion from reference .pt files.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from carle_tpu import CARLE
+from carle_tpu.mcl import (
+    AE2D,
+    CornerBonus,
+    MorphoBonus,
+    ParsimonyBonus,
+    PredictionBonus,
+    PufferDetector,
+    RND2D,
+    SpeedDetector,
+    SurpriseBonus,
+    get_glider,
+    get_morley_puffer,
+    get_symmetric_action,
+)
+from carle_tpu.mcl.corner import _build_masks
+from carle_tpu.mcl.puffer import puffer_def
+from carle_tpu.mcl.base import StepCtx
+
+
+SMALL = dict(height=64, width=64, action_height=16, action_width=16)
+
+
+def _f(x):
+    return float(np.asarray(x).reshape(-1)[0])
+
+
+def _glider_action(h=16, w=16):
+    a = np.zeros((1, 1, h, w), dtype=np.float32)
+    a[0, 0, 4, 5] = 1
+    a[0, 0, 5, 5:7] = 1
+    a[0, 0, 6, 4] = 1
+    a[0, 0, 6, 6] = 1
+    return a
+
+
+# ---------------------------------------------------------------------------
+# stateless wrappers
+# ---------------------------------------------------------------------------
+
+
+def test_parsimony_rescales_reward():
+    """~2048 toggles must earn far less than 0 toggles for the same inner
+    reward (reference tests/test_mcl.py:63-100 contract)."""
+    env = CornerBonus(CARLE())
+    env = ParsimonyBonus(env)
+    env.reset()
+
+    rng = np.random.RandomState(42)
+    busy = (rng.rand(1, 1, 64, 64) < 0.5).astype(np.float32)
+    n_busy = busy.sum()
+    _, r_busy, _, _ = env.step(busy)
+
+    env.reset()
+    _, r_idle, _, _ = env.step(np.zeros((1, 1, 64, 64), dtype=np.float32))
+
+    # CornerBonus on the post-step universe differs between the two runs, but
+    # the parsimony scaling (100/2048 vs 100/100) dominates by >10x.
+    assert abs(_f(r_busy)) < abs(_f(r_idle)) / 10 or _f(r_idle) == 0.0
+    # direct math check on the scaling factor
+    assert np.isclose(100.0 / max(n_busy, 100.0), 100.0 / n_busy)
+
+
+def test_corner_masks_match_reference_construction():
+    import torch
+
+    h = w = 256
+    reward_mask = torch.zeros(1, 1, h, w)
+    punish_mask = torch.zeros(1, 1, h, w)
+    reward_mask[:, :, :16, :16] = 1.0
+    for ii in range(96):
+        reward_mask[:, :, ii - 4 : ii + 4, ii - 4 : ii + 4] = 1.0
+    punish_mask[:, :, -64:, -64:] = -1.0
+    punish_mask[:, :, :64, -64:] = -1.0
+    ref = (reward_mask + punish_mask)[0, 0].numpy()
+    np.testing.assert_array_equal(_build_masks(h, w), ref)
+
+
+def test_corner_bonus_values():
+    env = CornerBonus(CARLE(**SMALL))
+    env.reset()
+    # toggle a block in the action window; with B3/S23 nothing survives a
+    # single sparse toggle far from mask regions, so seed heavy then measure
+    act = np.ones((1, 1, 16, 16), dtype=np.float32)
+    act[0, 0, 0, 0] = 0  # avoid master reset
+    obs, reward, _, _ = env.step(act)
+    mask = _build_masks(64, 64)
+    expected = float((mask * np.asarray(obs)[0, 0]).sum())
+    assert np.isclose(_f(reward), expected, atol=1e-4)
+
+
+def test_speed_detector_rewards_glider():
+    env = SpeedDetector(CARLE(**SMALL))
+    env.reset()
+    env.step(_glider_action())  # first step: CoM recorded, no reward yet
+    zeros = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    rewards = [_f(env.step(zeros)[1]) for _ in range(40)]
+    # a glider moves — average speed reward must be positive
+    assert np.mean(rewards) > 0.05
+
+
+def test_speed_detector_first_step_no_reward():
+    env = SpeedDetector(CARLE(**SMALL))
+    env.reset()
+    _, r, _, _ = env.step(_glider_action())
+    assert _f(r) == 0.0
+
+
+def test_puffer_detector_window_and_fire():
+    """Ring-buffer semantics: with a tiny threshold, growth fires +1 only
+    after the window fills, and any action clears it."""
+    config = CARLE(**SMALL).config
+    wdef = puffer_def(config, growth_threshold=4)
+    state = wdef.init(jax.random.PRNGKey(0))
+
+    def ctx_for(live_cells, acted):
+        grid = np.zeros((1, 64, 64), dtype=np.uint8)
+        grid[0, 0, :live_cells] = 1
+        action = np.zeros((1, 16, 16), dtype=np.uint8)
+        if acted:
+            action[0, 0, 0] = 1
+        return StepCtx(
+            prev_grid=jnp.asarray(grid),
+            obs=jnp.asarray(grid, jnp.float32)[:, None],
+            action=jnp.asarray(action),
+            action_full=jnp.zeros((1, 64, 64), jnp.uint8),
+            key=jax.random.PRNGKey(0),
+        )
+
+    reward0 = jnp.zeros((1, 1))
+    rewards = []
+    for step, cells in enumerate([1, 2, 3, 4, 5, 6, 7]):
+        state, r = wdef.apply(state, ctx_for(cells, acted=False), reward0)
+        rewards.append(_f(r))
+    # window=4: first fire on the 5th action-free step (len exceeds window)
+    assert rewards[:4] == [0.0, 0.0, 0.0, 0.0]
+    assert rewards[4:] == [1.0, 1.0, 1.0]
+
+    # an action clears the window
+    state, r = wdef.apply(state, ctx_for(8, acted=True), reward0)
+    assert _f(r) == 0.0
+    state, r = wdef.apply(state, ctx_for(9, acted=False), reward0)
+    assert _f(r) == 0.0  # window restarted
+
+
+def test_morpho_bonus_spikes_on_glider():
+    env = MorphoBonus(CARLE(**SMALL), seed=3)
+    env.reset()
+    zeros = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    env.step(zeros)
+    baseline = _f(env.step(zeros)[1])
+
+    # place a glider: the kernel bank contains its symmetry variants, so the
+    # max response must rise well above the noise baseline
+    env.step(_glider_action())
+    spike = _f(env.step(zeros)[1])
+    assert spike > baseline
+
+
+def test_morpho_reset_seeds_noise():
+    env = MorphoBonus(CARLE(), seed=1)
+    obs = env.reset()
+    density = float(np.asarray(obs).mean())
+    assert 0.001 < density < 0.02  # Bernoulli(0.005) nucleation seeds
+
+
+def test_morpho_add_rle_pattern_extends_bank():
+    from carle_tpu.mcl.patterns import pattern_path
+
+    env = MorphoBonus(CARLE(**SMALL))
+    k0 = env._wstate.kernels.shape[0]
+    env.add_rle_pattern(pattern_path("lwss"))
+    assert env._wstate.kernels.shape[0] == k0 + 6
+
+
+# ---------------------------------------------------------------------------
+# learned wrappers
+# ---------------------------------------------------------------------------
+
+
+def test_rnd_bonus_decreases_on_static_universe():
+    """The predictor learns a fixed observation → bonus shrinks
+    (random-network-distillation contract)."""
+    env = RND2D(CARLE(**SMALL), batch_size=2, seed=0)
+    env.reset()
+    # still life: a 2x2 block through the action window
+    act = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    act[0, 0, 7:9, 7:9] = 1.0
+    env.step(act)
+    zeros = np.zeros_like(act)
+    first = _f(env.step(zeros)[1])
+    for _ in range(60):
+        last = _f(env.step(zeros)[1])
+    assert last < first
+    assert env.updates > 0
+
+
+def test_ae_bonus_decreases_on_static_universe():
+    env = AE2D(CARLE(**SMALL), batch_size=2, seed=0)
+    env.reset()
+    act = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    act[0, 0, 7:9, 7:9] = 1.0
+    env.step(act)
+    zeros = np.zeros_like(act)
+    first = _f(env.step(zeros)[1])
+    for _ in range(60):
+        last = _f(env.step(zeros)[1])
+    assert last < first
+
+
+def test_prediction_bonus_rises_with_learning():
+    """Reference tests/test_mcl.py:17-53: seed a glider, step with
+    batch_size=2 — reward must rise as the forward model learns the
+    (periodic) trajectory."""
+    env = PredictionBonus(CARLE(**SMALL), batch_size=2, seed=0)
+    env.reset()
+    env.step(_glider_action())
+    zeros = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    rewards = [_f(env.step(zeros)[1]) for _ in range(96)]
+    assert np.mean(rewards[-16:]) > np.mean(rewards[:16])
+
+
+def test_prediction_bonus_zero_for_dead_universe():
+    env = PredictionBonus(CARLE(**SMALL), batch_size=4, seed=0)
+    env.reset()
+    zeros = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    _, r, _, _ = env.step(zeros)
+    assert _f(r) == 0.0  # dead universe earns exactly 0 (mcl.py:691-694)
+
+
+def test_surprise_is_positive_error():
+    env = SurpriseBonus(CARLE(**SMALL), batch_size=8, seed=0)
+    env.reset()
+    rng = np.random.RandomState(0)
+    r_total = 0.0
+    for _ in range(4):
+        act = (rng.rand(1, 1, 16, 16) < 0.3).astype(np.float32)
+        _, r, _, _ = env.step(act)
+        r_total += _f(r)
+    assert r_total > 0.0
+
+
+def test_eval_mode_freezes_updates_and_batch_size_mutation():
+    env = RND2D(CARLE(**SMALL), batch_size=2, seed=0)
+    env.batch_size = 10_000  # eval harness pattern (eval.py:45)
+    env.eval()
+    env.reset()
+    zeros = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    p_before = jax.tree.map(lambda x: np.asarray(x).copy(), env._wstate.params)
+    for _ in range(8):
+        env.step(zeros)
+    p_after = env._wstate.params
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(a, np.asarray(b)),
+        p_before,
+        p_after,
+    )
+    assert env.updates == 0
+
+
+def test_reward_scale_mutation_takes_effect():
+    env = CornerBonus(CARLE(**SMALL))
+    env.reset()
+    act = np.ones((1, 1, 16, 16), dtype=np.float32)
+    act[0, 0, 0, 0] = 0
+    _, r1, _, _ = env.step(act)
+    env.reset()
+    env.reward_scale = 2.0
+    _, r2, _, _ = env.step(act)
+    assert np.isclose(_f(r2), 2 * _f(r1), atol=1e-4)
+
+
+def test_wrapper_stack_composition_and_inner_env():
+    env = CARLE(**SMALL)
+    env = RND2D(env, batch_size=4)
+    env = ParsimonyBonus(env)
+    assert env.inner_env is env.env.inner_env
+    assert env.inner_env.__class__.__name__ == "CARLE"
+    env.rules_from_string("B36/S23")
+    assert env.inner_env.birth == [3, 6]
+    obs, reward, done, info = env.step(np.zeros((1, 1, 16, 16), np.float32))
+    assert reward.shape == (1, 1)
+
+
+def test_reference_checkpoint_conversion_forward_parity():
+    """Load the shipped reference RND2D/AE2D checkpoints into our pytrees and
+    check forward parity of predictor and random network vs torch."""
+    import sys
+
+    import torch
+
+    sys.path.insert(0, "/root/reference")
+    from carle.mcl import RND2D as RefRND, AE2D as RefAE
+    from carle.env import CARLE as RefCARLE
+
+    sd_rnd = torch.load("/root/reference/evaluation/RND2D_mcl.pt",
+                        weights_only=True, map_location="cpu")
+
+    from carle_tpu.mcl.rnd import (
+        predictor_forward,
+        predictor_params_from_torch,
+        random_forward,
+        random_network_params_from_torch,
+    )
+
+    params = predictor_params_from_torch(sd_rnd)
+    target = random_network_params_from_torch(sd_rnd)
+
+    with torch.no_grad():
+        ref_env = RefCARLE(device="cpu")
+        ref = RefRND(ref_env)
+    ref.load_state_dict(sd_rnd)
+    ref.eval()
+
+    rng = np.random.RandomState(0)
+    obs = (rng.rand(2, 1, 256, 256) < 0.1).astype(np.float32)
+    with torch.no_grad():
+        ref_pred = ref.forward(torch.tensor(obs)).numpy()
+        ref_rand = ref.random_forward(torch.tensor(obs)).numpy()
+
+    our_pred = np.asarray(predictor_forward(params, jnp.asarray(obs), None, False))
+    our_rand = np.asarray(random_forward(target, jnp.asarray(obs)))
+    np.testing.assert_allclose(our_pred, ref_pred, atol=2e-5)
+    np.testing.assert_allclose(our_rand, ref_rand, atol=2e-5)
+
+    # AE checkpoint
+    sd_ae = torch.load("/root/reference/evaluation/AE2D_mcl.pt",
+                       weights_only=True, map_location="cpu")
+    from carle_tpu.mcl.ae import ae_forward, ae_params_from_torch
+
+    ae_params = ae_params_from_torch(sd_ae)
+    with torch.no_grad():
+        ref_env2 = RefCARLE(device="cpu")
+        # the shipped AE2D checkpoint nests the RND2D it was trained on top of
+        # (eval.py:83-85 wrapper order), so rebuild that hierarchy to load it
+        ref_ae = RefAE(RefRND(ref_env2))
+    ref_ae.load_state_dict(sd_ae)
+    ref_ae.eval()
+    obs1 = obs[:1]  # reference AE2D.forward reshapes to instances=1 (mcl.py:440-442)
+    with torch.no_grad():
+        ref_out = ref_ae.forward(torch.tensor(obs1)).numpy()
+    our_out = np.asarray(ae_forward(ae_params, jnp.asarray(obs1), None, False))
+    np.testing.assert_allclose(our_out, ref_out, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# pattern helpers
+# ---------------------------------------------------------------------------
+
+
+def test_pattern_helpers_shapes():
+    assert get_glider().shape == (1, 1, 64, 64)
+    assert get_glider().sum() == 5
+    assert get_morley_puffer().shape == (1, 1, 64, 64)
+    sym = get_symmetric_action(seed=0)
+    assert sym.shape == (1, 1, 64, 64)
+    # mirror symmetry about the vertical midline over the toggled range
+    left = sym[0, 0, :, 32 - 31 : 32]
+    right = sym[0, 0, :, 33 : 33 + 31][:, ::-1]
+    np.testing.assert_array_equal(left[:, :-2], right[:, :-2])
+    assert get_symmetric_action(reference_compat=True).size == 0
+
+
+def test_glider_pattern_matches_reference_helper():
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    from carle.mcl import get_glider as ref_glider, get_morley_puffer as ref_puffer
+
+    np.testing.assert_array_equal(get_glider(), ref_glider().numpy())
+    np.testing.assert_array_equal(get_morley_puffer(), ref_puffer().numpy())

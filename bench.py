@@ -24,6 +24,16 @@ import numpy as np
 BASELINE_CELL_UPDATES_PER_S = 1e9  # BASELINE.md driver target
 
 
+def _sync(x) -> None:
+    """Synchronize with the device by forcing a host readback of a reduction.
+
+    On the tunneled 'axon' platform ``block_until_ready`` returns before the
+    computation finishes, which silently inflates throughput numbers; a
+    device->host transfer of a dependent scalar is a true barrier everywhere.
+    """
+    np.asarray(jax.device_get(x.sum()))
+
+
 def _random_grid(key, instances, h, w, p=0.5):
     return (
         jax.random.uniform(key, (instances, h, w)) < p
@@ -35,14 +45,13 @@ def bench_pallas(grid, rule_bits, steps_per_launch, launches):
 
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
     # compile + warm
-    out = ca_multi_step_pallas(grid, rule_bits, steps)
-    out.block_until_ready()
+    _sync(ca_multi_step_pallas(grid, rule_bits, steps))
 
     t0 = time.perf_counter()
     g = grid
     for _ in range(launches):
         g = ca_multi_step_pallas(g, rule_bits, steps)
-    g.block_until_ready()
+    _sync(g)
     dt = time.perf_counter() - t0
     return dt, g
 
@@ -57,14 +66,13 @@ def bench_xla(grid, rule_bits, steps_per_launch, launches):
 
         return jax.lax.scan(body, g, length=steps_per_launch)[0]
 
-    out = multi(grid, rule_bits)
-    out.block_until_ready()
+    _sync(multi(grid, rule_bits))
 
     t0 = time.perf_counter()
     g = grid
     for _ in range(launches):
         g = multi(g, rule_bits)
-    g.block_until_ready()
+    _sync(g)
     dt = time.perf_counter() - t0
     return dt, g
 

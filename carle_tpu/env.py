@@ -389,3 +389,52 @@ class CARLE:
 
     def to(self, *_args: Any, **_kwargs: Any) -> "CARLE":
         return self
+
+
+def _main() -> None:
+    """Demo + throughput harness (reference env.py:517-573): glider rollout,
+    RLE/log/frame export round-trip, then a vectorization sweep printing
+    'CA updates per second with {N}x vectorization'."""
+    import jax.numpy as _jnp
+
+    env = CARLE(logging=True)
+    env.reset()
+    action = np.zeros((1, 1, 64, 64), dtype=np.float32)
+    action[0, 0, 14, 16] = 1.0
+    action[0, 0, 15, 16:18] = 1.0
+    action[0, 0, 16, 15:18:2] = 1.0
+    obs, *_ = env.step(action)
+    for _ in range(2):
+        obs, *_ = env.step(action * 0)
+
+    my_rle = env.get_rle(env.state.grid[0])
+    rle_path = env.save_rle(my_rle)
+    env.save_frame()
+    env.save_log()
+
+    env2 = CARLE()
+    env2.reset()
+    env2.load_universe(rle_path)
+    assert int(np.asarray(jax.device_get(env2.state.grid)).sum()) == 5
+
+    for instances in (1, 64, 1024):
+        env = CARLE(instances=instances)
+        env.reset()
+        zeros = np.zeros((instances, 1, 64, 64), dtype=np.float32)
+        env.step(zeros)  # compile
+        steps = 256
+        t0 = time.time()
+        for _ in range(steps):
+            env.step(zeros)
+        # force completion (see bench.py on axon block semantics)
+        np.asarray(jax.device_get(env.state.grid.sum()))
+        dt = time.time() - t0
+        print(
+            "{:.2f} CA updates per second with {}x vectorization".format(
+                steps / dt, instances
+            )
+        )
+
+
+if __name__ == "__main__":
+    _main()

@@ -1,0 +1,70 @@
+"""ctypes bindings for the native RLE codec (rle_codec.cpp).
+
+Loads ``librle.so`` if present (build with ``make -C carle_tpu/native``); on
+import failure every symbol is None and rle.py silently uses its numpy
+implementation — the wire format is identical either way (parity-tested in
+tests/test_native.py).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+from typing import Optional
+
+import numpy as np
+
+_LIB_PATH = os.path.join(os.path.dirname(__file__), "librle.so")
+_lib: Optional[ctypes.CDLL] = None
+
+if os.path.exists(_LIB_PATH):
+    try:
+        _lib = ctypes.CDLL(_LIB_PATH)
+        _lib.rle_encode.restype = ctypes.c_int
+        _lib.rle_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_char_p, ctypes.c_long,
+        ]
+        _lib.rle_decode.restype = ctypes.c_int
+        _lib.rle_decode.argtypes = [
+            ctypes.c_char_p, ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+        ]
+    except OSError:
+        _lib = None
+
+
+def available() -> bool:
+    return _lib is not None
+
+
+def encode_body(grid: np.ndarray, wrap: int = 69) -> Optional[str]:
+    """Encode a 2-D 0/1 grid to an RLE body string, or None if the native
+    library is unavailable."""
+    if _lib is None:
+        return None
+    g = np.ascontiguousarray(grid != 0, dtype=np.uint8)
+    h, w = g.shape
+    cap = 16 * h * w + 1024  # worst case: alternating cells
+    buf = ctypes.create_string_buffer(cap)
+    n = _lib.rle_encode(
+        g.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h, w, wrap, buf, cap,
+    )
+    if n < 0:
+        return None
+    return buf.raw[:n].decode("ascii")
+
+
+def decode_body(body: str, height: int, width: int) -> Optional[np.ndarray]:
+    """Decode an RLE body into a uint8 grid, or None if unavailable."""
+    if _lib is None:
+        return None
+    grid = np.zeros((height, width), dtype=np.uint8)
+    raw = body.encode("ascii", errors="ignore")
+    _lib.rle_decode(
+        raw, len(raw),
+        grid.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        height, width,
+    )
+    return grid

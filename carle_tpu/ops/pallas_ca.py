@@ -36,10 +36,20 @@ from ..config import EnvConfig
 
 
 def _neighbor_rule(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
-    """Separable Moore sum + 18-bit rule shift on one [..., H, W] uint8 block."""
-    rows = g + pltpu.roll(g, 1, g.ndim - 2) + pltpu.roll(g, -1, g.ndim - 2)
-    counts = rows + pltpu.roll(rows, 1, g.ndim - 1) + pltpu.roll(rows, -1, g.ndim - 1) - g
-    idx = counts.astype(jnp.int32) + 9 * g.astype(jnp.int32)
+    """Separable Moore sum + 18-bit rule shift on one [..., H, W] uint8 block.
+
+    Mosaic vector arithmetic supports only i16/i32 lanes, so the block is
+    upcast to int32 for the sums (HBM traffic stays uint8; the upcast lives
+    in VMEM/registers).  ``pltpu.roll`` requires non-negative shifts, so the
+    -1 circular shift is expressed as size-1 (identical on a ring)."""
+    h, w = g.shape[-2], g.shape[-1]
+    ax_h, ax_w = g.ndim - 2, g.ndim - 1
+    gi = g.astype(jnp.int32)
+    rows = gi + pltpu.roll(gi, 1, ax_h) + pltpu.roll(gi, h - 1, ax_h)
+    counts = (
+        rows + pltpu.roll(rows, 1, ax_w) + pltpu.roll(rows, w - 1, ax_w) - gi
+    )
+    idx = counts + 9 * gi
     return ((rule_bits >> idx) & 1).astype(jnp.uint8)
 
 
@@ -59,8 +69,11 @@ def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref):
 
 
 def _instance_tile(instances: int, h: int, w: int, budget_bytes: int = 6 * 2**20) -> int:
-    """Pick an instance-slab size whose uint8 + int32 working set fits VMEM."""
-    per_instance = h * w * (1 + 1 + 4 + 1)  # g, rows, idx(int32), out
+    """Pick an instance-slab size whose working set fits VMEM.
+
+    Arithmetic runs in int32 (Mosaic lane constraint): ~4 int32 live buffers
+    (gi, rows, counts/idx, shifted temp) + uint8 in/out per cell."""
+    per_instance = h * w * (4 * 4 + 2)
     tile = max(1, budget_bytes // per_instance)
     while instances % tile:
         tile -= 1

@@ -47,7 +47,15 @@ def decode_body(body: str, height: int, width: int) -> np.ndarray:
     cells, '$' = advance N rows (intervening rows stay dead), '!' terminates,
     newlines are ignored, runs without an explicit count default to 1.
     Content outside the grid bounds is clipped rather than raising.
+
+    Uses the native C codec (native/rle_codec.cpp) when built; this Python
+    path is the always-available fallback with identical semantics.
     """
+    from . import native
+
+    native_grid = native.decode_body(body, height, width)
+    if native_grid is not None:
+        return native_grid
     grid = np.zeros((height, width), dtype=np.uint8)
     row, col = 0, 0
     count_chars: List[str] = []
@@ -101,6 +109,12 @@ def encode_grid(
     header += "".join(str(b) for b in sorted(set(birth)))
     header += "/S" + "".join(str(s) for s in sorted(set(survive)))
     header += ":T{}, {}\n".format(torus[0], torus[1])
+
+    from . import native
+
+    native_body = native.encode_body(grid, wrap=wrap)
+    if native_body is not None:
+        return header + native_body
 
     cells = grid.astype(np.uint8) != 0
     state_char = ("b", "o")

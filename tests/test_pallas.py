@@ -1,0 +1,56 @@
+"""Pallas kernel parity vs the XLA reference path (interpret mode on CPU).
+
+The kernels must compute exactly the math of ops/ca.py; on CPU they run
+through the Pallas interpreter, on TPU compiled — same code path shape-wise.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+from jax.experimental.pallas import tpu as pltpu
+
+from carle_tpu import EnvConfig, rules
+from carle_tpu.ops.ca import ca_step_grid, pad_action
+from carle_tpu.ops import pallas_ca
+
+
+@pytest.mark.parametrize("rule_bits", [rules.LIFE, rules.DAY_AND_NIGHT])
+def test_multi_step_kernel_parity(rule_bits):
+    rng = np.random.RandomState(0)
+    grid = (rng.rand(2, 64, 128) < 0.4).astype(np.uint8)
+
+    ref = jnp.asarray(grid)
+    for _ in range(5):
+        ref = ca_step_grid(ref, rule_bits)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_ca.ca_multi_step_pallas(
+            jnp.asarray(grid), jnp.asarray(rule_bits), jnp.asarray(5)
+        )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_step_kernel_parity_with_action():
+    config = EnvConfig(height=64, width=128, action_height=16,
+                       action_width=16, instances=2)
+    rng = np.random.RandomState(1)
+    grid = (rng.rand(2, 64, 128) < 0.3).astype(np.uint8)
+    action = (rng.rand(2, 16, 16) < 0.2).astype(np.uint8)
+
+    toggled = jnp.asarray(grid) ^ pad_action(jnp.asarray(action), config)
+    ref = ca_step_grid(toggled, rules.LIFE)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_ca.ca_step_pallas(
+            jnp.asarray(grid), jnp.asarray(action),
+            jnp.asarray(rules.LIFE), config=config,
+        )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_instance_tile_divides():
+    for inst in (1, 3, 8, 4096):
+        tile = pallas_ca._instance_tile(inst, 256, 256)
+        assert inst % tile == 0
+        assert tile >= 1

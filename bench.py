@@ -77,14 +77,65 @@ def bench_xla(grid, rule_bits, steps_per_launch, launches):
     return dt, g
 
 
+def bench_bitpack(grid, rule_bits, steps_per_launch, launches):
+    from carle_tpu.ops.bitpack import bit_ca_step, pack_grid
+
+    packed = pack_grid(grid)
+
+    @jax.jit
+    def multi(p, bits):
+        def body(p, _):
+            return bit_ca_step(p, bits), None
+
+        return jax.lax.scan(body, p, length=steps_per_launch)[0]
+
+    _sync(multi(packed, rule_bits))
+
+    t0 = time.perf_counter()
+    p = packed
+    for _ in range(launches):
+        p = multi(p, rule_bits)
+    _sync(p)
+    dt = time.perf_counter() - t0
+
+    from carle_tpu.ops.bitpack import unpack_grid
+
+    return dt, unpack_grid(p, grid.shape[-1])
+
+
+def bench_bitpack_pallas(grid, rule_bits, steps_per_launch, launches):
+    from carle_tpu.ops.bitpack import pack_grid, unpack_grid
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas
+
+    packed = pack_grid(grid)
+    steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
+    _sync(bit_multi_step_pallas(packed, rule_bits, steps))
+
+    t0 = time.perf_counter()
+    p = packed
+    for _ in range(launches):
+        p = bit_multi_step_pallas(p, rule_bits, steps)
+    _sync(p)
+    dt = time.perf_counter() - t0
+    return dt, unpack_grid(p, grid.shape[-1])
+
+
+BACKENDS = {
+    "pallas": bench_pallas,
+    "xla": bench_xla,
+    "bitpack": bench_bitpack,
+    "bitpack-pallas": bench_bitpack_pallas,
+}
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--instances", type=int, default=4096)
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--steps-per-launch", type=int, default=64)
     parser.add_argument("--launches", type=int, default=8)
-    parser.add_argument("--backend", choices=("pallas", "xla", "auto"),
-                        default="auto")
+    parser.add_argument("--backend",
+                        choices=tuple(BACKENDS) + ("auto",), default="auto")
     args = parser.parse_args()
 
     from carle_tpu import rules
@@ -96,22 +147,18 @@ def main() -> int:
     backend = args.backend
     platform = jax.devices()[0].platform
     if backend == "auto":
-        backend = "pallas" if platform in ("tpu", "axon") else "xla"
+        backend = "bitpack-pallas" if platform in ("tpu", "axon") else "bitpack"
 
     try:
-        if backend == "pallas":
-            dt, out = bench_pallas(grid, rule_bits, args.steps_per_launch,
-                                   args.launches)
-        else:
-            dt, out = bench_xla(grid, rule_bits, args.steps_per_launch,
-                                args.launches)
-    except Exception as exc:  # pallas unavailable -> XLA fallback
-        if backend == "pallas":
-            print(f"# pallas path failed ({exc!r}); falling back to XLA",
+        dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,
+                                    args.launches)
+    except Exception as exc:  # kernel path unavailable -> XLA fallback
+        if backend in ("pallas", "bitpack-pallas"):
+            print(f"# {backend} path failed ({exc!r}); falling back to bitpack",
                   file=sys.stderr)
-            backend = "xla"
-            dt, out = bench_xla(grid, rule_bits, args.steps_per_launch,
-                                args.launches)
+            backend = "bitpack"
+            dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,
+                                        args.launches)
         else:
             raise
 

@@ -26,6 +26,9 @@ class EnvConfig:
     action_height: int = 64
     action_width: int = 64
     instances: int = 1
+    # CA-update backend: "xla" (roll-sum, runs everywhere) or "pallas"
+    # (fused TPU kernel, ops/pallas_ca.py).  "auto" picks pallas on TPU.
+    backend: str = "xla"
 
     # --- derived geometry -------------------------------------------------
     # The reference shrinks the action window by (dim % 2) before centering

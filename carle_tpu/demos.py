@@ -1,0 +1,124 @@
+"""Demo drivers mirroring the reference's __main__ blocks.
+
+* :func:`prediction_demo` — reference mcl.py:895-959: CARLE -> PredictionBonus
+  -> ParsimonyBonus, seed a glider, 1024 predictable steps then 512 random
+  steps; the predictability reward rises then plummets.  Saves a reward curve
+  plot and the final frame.
+* :func:`wrapper_agent_demo` — reference agents.py:105-208: drive a wrapper
+  (AE2D/RND2D) env with a pentadecathlon seed or a RandomAgent across
+  rulesets, dumping reward curves + frames.
+
+matplotlib is optional: without it the curves are saved as .npy only.
+
+Run:  python -m carle_tpu.demos [outdir]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from typing import List, Optional
+
+import numpy as np
+
+from . import CARLE
+from .agents import RandomAgent
+from .mcl import AE2D, ParsimonyBonus, PredictionBonus, RND2D, get_glider
+from .utils.png import write_png
+
+
+def _save_curve(path_base: str, rewards: List[float], title: str) -> None:
+    np.save(path_base + ".npy", np.asarray(rewards))
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        plt.figure()
+        plt.plot(rewards, lw=2, label="rewards")
+        plt.legend()
+        plt.title(title)
+        plt.xlabel("steps")
+        plt.savefig(path_base + ".png")
+        plt.close()
+    except Exception:
+        pass  # .npy already captured the data
+
+
+def prediction_demo(
+    outdir: str = "./frames",
+    predictable_steps: int = 1024,
+    random_steps: int = 512,
+    seed: int = 0,
+) -> float:
+    os.makedirs(outdir, exist_ok=True)
+    env: object = CARLE()
+    env = PredictionBonus(env, seed=seed)
+    env = ParsimonyBonus(env)
+    env.inner_env.birth = [3]
+    env.inner_env.survive = [2, 3]
+
+    obs = env.reset()
+    rng = np.random.RandomState(seed)
+    action = get_glider()
+    rewards: List[float] = []
+    sum_reward = 0.0
+
+    for _ in range(predictable_steps):
+        obs, reward, done, info = env.step(action)
+        r = float(np.asarray(reward).sum())
+        rewards.append(r)
+        sum_reward += r
+        action = action * 0.0
+
+    for _ in range(random_steps):
+        action = (rng.rand(*np.shape(get_glider())) > 0.95).astype(np.float32)
+        obs, reward, done, info = env.step(action)
+        r = float(np.asarray(reward).sum())
+        rewards.append(r)
+        sum_reward += r
+
+    print("reward sum ", sum_reward)
+    _save_curve(
+        os.path.join(outdir, "prediction_demo_rewards"),
+        rewards,
+        "PredictionBonus: glider then noise",
+    )
+    frame = np.asarray(obs).reshape(obs.shape[-2], obs.shape[-1])
+    write_png(
+        os.path.join(outdir, "prediction_demo_final.png"),
+        (255 * frame).astype(np.uint8),
+    )
+    return sum_reward
+
+
+def wrapper_agent_demo(
+    outdir: str = "./frames", steps: int = 128, seed: int = 0
+) -> None:
+    os.makedirs(outdir, exist_ok=True)
+    rulesets = {"life": ([3], [2, 3]), "mouse_maze": ([3, 7], [1, 2, 3, 4, 5])}
+    for wrapper_cls, wrapper_name in ((AE2D, "AE2D"), (RND2D, "RND2D")):
+        for name, (birth, survive) in rulesets.items():
+            env = wrapper_cls(CARLE(), batch_size=32, seed=seed)
+            env.inner_env.birth = birth
+            env.inner_env.survive = survive
+            agent = RandomAgent(seed=seed)
+
+            obs = env.reset()
+            rewards: List[float] = []
+            for _ in range(steps):
+                obs, reward, done, info = env.step(agent(obs))
+                rewards.append(float(np.asarray(reward).sum()))
+
+            base = os.path.join(outdir, f"random_{wrapper_name}_{name}")
+            _save_curve(base, rewards, f"{name} CA with {wrapper_name} reward")
+            frame = np.asarray(obs).reshape(obs.shape[-2], obs.shape[-1])
+            write_png(base + "_final.png", (255 * frame).astype(np.uint8))
+
+
+if __name__ == "__main__":
+    out = sys.argv[1] if len(sys.argv) > 1 else "./frames"
+    prediction_demo(out, predictable_steps=256, random_steps=128)
+    wrapper_agent_demo(out, steps=64)
+    print(f"demo artifacts in {out}")

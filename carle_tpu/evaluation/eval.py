@@ -121,8 +121,120 @@ def evaluate(
     return score, score_trace
 
 
-if __name__ == "__main__":
-    score, trace = evaluate(
-        SubmissionAgent, DEFAULT_RULES, DEFAULT_WRAPPERS, steps=1024
+def evaluate_fused(
+    rules: Sequence[Sequence[Sequence[int]]] = None,
+    wrappers: Sequence[Sequence[Any]] = None,
+    steps: int = 1024,
+    reference_compat: bool = True,
+    seed: int = 0,
+    toggle_rate: float = 0.1,
+    verbose: bool = True,
+) -> Tuple[float, np.ndarray]:
+    """TPU-native scoring: the same protocol as :func:`evaluate`, but each
+    ruleset segment is ONE jitted ``lax.scan`` (policy + env + all bonuses),
+    so the whole 5x1024-step battery is a handful of device dispatches
+    instead of ~5000 host round-trips.  Eval semantics (frozen updates,
+    dropout off) come from building the wrapper defs with ``train=False``
+    — behaviourally identical to the huge-batch_size trick (eval.py:45).
+
+    The agent is the reference baseline: Bernoulli(toggle_rate) toggles
+    (submission.py:34-41).  Returns (mean score, per-step trace).
+    """
+    import jax
+
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.agents import make_random_agent
+    from carle_tpu.mcl.ae import ae2d_def, ae_params_from_torch
+    from carle_tpu.mcl.puffer import puffer_def
+    from carle_tpu.mcl.rnd import (
+        predictor_params_from_torch,
+        random_network_params_from_torch,
+        rnd2d_def,
     )
+    from carle_tpu.mcl.speed import speed_def
+    from carle_tpu.rollout import Rollout
+
+    if rules is None:
+        rules = DEFAULT_RULES
+    if wrappers is None:
+        wrappers = DEFAULT_WRAPPERS
+
+    config = EnvConfig()
+    factory = {
+        RND2D: lambda scale: rnd2d_def(config, reward_scale=scale, train=False),
+        AE2D: lambda scale: ae2d_def(config, reward_scale=scale, train=False),
+        SpeedDetector: lambda scale: speed_def(config, reward_scale=scale),
+        PufferDetector: lambda scale: puffer_def(config, reward_scale=scale),
+    }
+    defs = [factory[cls](scale) for cls, scale, _ in wrappers]
+    ro = Rollout(config, defs, make_random_agent(
+        config.eff_action_width, config.eff_action_height, toggle_rate
+    ))
+    carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE)
+
+    # inject reference checkpoints into the functional states
+    new_wstates = list(carry.stack.wrappers)
+    for i, (cls, _, ckpt) in enumerate(wrappers):
+        if ckpt is None:
+            continue
+        if ckpt.endswith(".npz"):
+            new_wstates[i] = load_pytree(ckpt, new_wstates[i])
+            continue
+        import torch
+
+        sd = torch.load(ckpt, weights_only=True, map_location="cpu")
+        if cls is RND2D:
+            new_wstates[i] = new_wstates[i]._replace(
+                params=predictor_params_from_torch(sd),
+                target_params=random_network_params_from_torch(sd),
+            )
+        elif cls is AE2D:
+            new_wstates[i] = new_wstates[i]._replace(
+                params=ae_params_from_torch(sd)
+            )
+        else:
+            raise ValueError(f"no torch converter for {cls.__name__}")
+    carry = carry._replace(stack=carry.stack._replace(
+        wrappers=tuple(new_wstates)
+    ))
+
+    score = 0.0
+    traces = []
+    total = 0
+    for ruleset in rules:
+        birth = list(ruleset[0])
+        survive = list(ruleset[0] if reference_compat else ruleset[1])
+        carry = ro.with_rules(
+            carry, rules_mod.pack_rule_bits(birth, survive)
+        )
+        carry, _ = ro.reset(carry)
+        carry, rewards = ro.run(carry, num_steps=steps)
+        seg = np.asarray(rewards.sum(axis=(1, 2)))  # [steps]
+        traces.append(seg)
+        score += float(seg.sum())
+        total += steps
+        if verbose:
+            print(
+                "cumulative score = {:.3e} at total steps = {}, rulset = {}"
+                .format(score, total, ruleset)
+            )
+
+    return score / total, np.concatenate(traces)
+
+
+if __name__ == "__main__":
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--fused", action="store_true",
+                        help="one jitted scan per ruleset (TPU-native path)")
+    parser.add_argument("--steps", type=int, default=1024)
+    args = parser.parse_args()
+
+    if args.fused:
+        score, trace = evaluate_fused(steps=args.steps)
+    else:
+        score, trace = evaluate(
+            SubmissionAgent, DEFAULT_RULES, DEFAULT_WRAPPERS, steps=args.steps
+        )
     print("mean evaluation score is {:.3e}".format(score))

@@ -1,0 +1,126 @@
+"""Bit-packed CA engine — 32 cells per uint32 word.
+
+The uint8 paths (ops/ca.py, ops/pallas_ca.py) spend one VPU lane per cell.
+Packing 32 cells into each uint32 word turns the update into word-wide
+bitwise logic: a carry-save adder tree produces the Moore-neighbour count
+*bit-sliced* (four bit-planes n0..n3), and the B/S rule is applied with a
+5-level binary multiplexer tree over (n0..n3, alive) whose leaves are the 18
+bits of the rule mask — so rules remain DATA (no recompilation on rule
+change) while every op processes 32 cells.
+
+Cost per word: ~30 bitops for the counts + ~80 for the mux tree ≈ 3.5 ops
+per cell, vs ~12 int32 ops per cell for the uint8 path — plus 8x less HBM
+traffic.  Parity with ops/ca.py is bit-exact (tests/test_bitpack.py).
+
+Layout: bit j of word [..., k] is the cell in column 32k + j.  The
+horizontal torus neighbours come from cross-word carries with a circular
+roll over the word axis; the vertical torus from a roll over rows.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+WORD = 32
+
+
+def pack_grid(grid: jax.Array) -> jax.Array:
+    """uint8/bool [..., H, W] -> uint32 [..., H, W//32] (W % 32 == 0)."""
+    *lead, h, w = grid.shape
+    assert w % WORD == 0, f"width {w} not a multiple of {WORD}"
+    bits = grid.astype(jnp.uint32).reshape(*lead, h, w // WORD, WORD)
+    weights = (jnp.uint32(1) << jnp.arange(WORD, dtype=jnp.uint32))
+    return jnp.sum(bits * weights, axis=-1, dtype=jnp.uint32)
+
+
+def unpack_grid(packed: jax.Array, width: int) -> jax.Array:
+    """uint32 [..., H, W//32] -> uint8 [..., H, W]."""
+    shifts = jnp.arange(WORD, dtype=jnp.uint32)
+    bits = (packed[..., None] >> shifts) & jnp.uint32(1)
+    *lead, h, words, _ = bits.shape
+    return bits.reshape(*lead, h, words * WORD).astype(jnp.uint8)[..., :width]
+
+
+def _csa(a, b, c):
+    """Carry-save adder: three weight-k bit-planes -> (sum@k, carry@2k)."""
+    ab = a ^ b
+    return ab ^ c, (a & b) | (ab & c)
+
+
+def _neighbor_bitplanes(g: jax.Array):
+    """Bit-sliced Moore-neighbour count of a packed grid [..., H, W/32].
+
+    Returns (n0, n1, n2, n3): bit-planes of the 0-8 count.
+    """
+    # horizontal neighbours with cross-word carries (torus over words)
+    left = (g << 1) | (jnp.roll(g, 1, axis=-1) >> 31)
+    right = (g >> 1) | (jnp.roll(g, -1, axis=-1) << 31)
+    a = left ^ right   # horizontal pair: weight-1 plane
+    b = left & right   # horizontal pair: weight-2 plane
+
+    up = partial(jnp.roll, shift=1, axis=-2)
+    down = partial(jnp.roll, shift=-1, axis=-2)
+
+    a_t, b_t, m_t = up(a), up(b), up(g)
+    a_b, b_b, m_b = down(a), down(b), down(g)
+    # N = (a_t + 2 b_t + m_t) + (a + 2 b) + (a_b + 2 b_b + m_b)
+
+    s1, c1 = _csa(a_t, a, a_b)      # weight-1 triples
+    s2, c2 = _csa(m_t, m_b, s1)     # + the two vertical cells
+    n0 = s2
+
+    s3, c3 = _csa(b_t, b, b_b)      # weight-2 triples
+    s4, c4 = _csa(s3, c1, c2)
+    n1 = s4
+
+    n2 = c3 ^ c4
+    n3 = c3 & c4
+    return n0, n1, n2, n3
+
+
+def _broadcast_rule_bit(rule_bits: jax.Array, k: int, like: jax.Array) -> jax.Array:
+    """All-ones word where bit k of the rule mask is set, else zero."""
+    bit = (rule_bits.astype(jnp.uint32) >> k) & jnp.uint32(1)
+    return jnp.broadcast_to(jnp.uint32(0) - bit, like.shape)
+
+
+def bit_ca_step(packed: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """One generation on a packed grid; rules are data (traced rule_bits).
+
+    The rule decision selects bit (count + 9*alive) of the 18-bit mask via a
+    binary mux tree on the count bit-planes and the alive plane.
+    """
+    g = packed.astype(jnp.uint32)
+    n0, n1, n2, n3 = _neighbor_bitplanes(g)
+
+    def select(planes, sel):
+        """Mux pairs of bit-sliced leaves by one selector plane."""
+        out = []
+        for i in range(0, len(planes) - 1, 2):
+            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
+        if len(planes) % 2:
+            out.append(planes[-1] & ~sel)  # odd tail: only reachable sel=0
+        return out
+
+    # leaves[v] = rule bit for count v (9 each for dead/alive branch)
+    dead = [_broadcast_rule_bit(rule_bits, v, g) for v in range(9)]
+    alive = [_broadcast_rule_bit(rule_bits, 9 + v, g) for v in range(9)]
+
+    def fold(leaves):
+        planes = select(leaves, n0)   # 9 -> 5
+        planes = select(planes, n1)   # 5 -> 3
+        planes = select(planes, n2)   # 3 -> 2
+        planes = select(planes, n3)   # 2 -> 1
+        return planes[0]
+
+    return (fold(dead) & ~g) | (fold(alive) & g)
+
+
+def bit_multi_step(packed: jax.Array, rule_bits: jax.Array, num_steps: int) -> jax.Array:
+    def body(p, _):
+        return bit_ca_step(p, rule_bits), None
+
+    return jax.lax.scan(body, packed, length=num_steps)[0]

@@ -53,6 +53,27 @@ def ca_step_grid(grid: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return apply_rule(grid, neighbor_counts(grid), rule_bits)
 
 
+def resolve_backend(backend: str) -> str:
+    """Resolve the EnvConfig.backend selector ("auto" -> platform choice)."""
+    if backend != "auto":
+        return backend
+    platform = jax.devices()[0].platform
+    return "pallas" if platform in ("tpu", "axon") else "xla"
+
+
+def ca_step_with_action(
+    grid: jax.Array, action: jax.Array, rule_bits: jax.Array, config: EnvConfig
+) -> jax.Array:
+    """Toggle (XOR the centred action window) + one CA generation, dispatched
+    to the configured backend.  The pallas path fuses the XOR into the kernel
+    (ops/pallas_ca.py); the XLA path pads and XORs explicitly."""
+    if resolve_backend(config.backend) == "pallas":
+        from .pallas_ca import ca_step_pallas
+
+        return ca_step_pallas(grid, action, rule_bits, config=config)
+    return ca_step_grid(grid ^ pad_action(action, config), rule_bits)
+
+
 def pad_action(action: jax.Array, config: EnvConfig) -> jax.Array:
     """Zero-pad an [inst, AH, AW] action patch into the centred action window
     of a full [inst, H, W] grid (reference: set_action_padding, env.py:119-132;

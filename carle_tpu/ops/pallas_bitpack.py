@@ -1,0 +1,124 @@
+"""Fused Pallas kernel for the bit-packed CA engine (ops/bitpack.py).
+
+Combines the two throughput levers: 32 cells per uint32 word (bit-sliced
+adder tree + rules-as-data mux, ~3.5 bitops/cell) AND VMEM residency across
+K generations per launch (HBM traffic ~2*4/(32*K) bytes per cell-update).
+
+Layout: the packed grid [inst, H, W/32] is transposed to [inst, W/32, H]
+before the kernel so the last (lane) dimension is H (>=128 for the shipped
+geometries) and the word axis sits on sublanes (W/32 = 8 words at W=256 —
+exactly the int32 min sublane tile).  Cross-word carries are then sublane
+rolls and vertical torus neighbours are lane rolls.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .bitpack import WORD
+
+
+def _csa(a, b, c):
+    ab = a ^ b
+    return ab ^ c, (a & b) | (ab & c)
+
+
+def _bit_step_block(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """One generation on a [tile, W/32, H] uint32 block (transposed layout)."""
+    nwords = g.shape[-2]
+    h = g.shape[-1]
+    word_ax, row_ax = g.ndim - 2, g.ndim - 1
+
+    prev_word = pltpu.roll(g, 1, word_ax)
+    next_word = pltpu.roll(g, nwords - 1, word_ax)
+    left = (g << 1) | (prev_word >> 31)
+    right = (g >> 1) | (next_word << 31)
+    a = left ^ right
+    b = left & right
+
+    up = lambda x: pltpu.roll(x, 1, row_ax)
+    down = lambda x: pltpu.roll(x, h - 1, row_ax)
+
+    s1, c1 = _csa(up(a), a, down(a))
+    s2, c2 = _csa(up(g), down(g), s1)
+    n0 = s2
+    s3, c3 = _csa(up(b), b, down(b))
+    s4, c4 = _csa(s3, c1, c2)
+    n1 = s4
+    n2 = c3 ^ c4
+    n3 = c3 & c4
+
+    def rule_plane(k):
+        bit = (rule_bits >> k) & 1
+        return jnp.broadcast_to(
+            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
+        )
+
+    def select(planes, sel):
+        out = []
+        for i in range(0, len(planes) - 1, 2):
+            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
+        if len(planes) % 2:
+            out.append(planes[-1] & ~sel)
+        return out
+
+    def fold(leaves):
+        planes = select(leaves, n0)
+        planes = select(planes, n1)
+        planes = select(planes, n2)
+        planes = select(planes, n3)
+        return planes[0]
+
+    dead = fold([rule_plane(v) for v in range(9)])
+    alive = fold([rule_plane(9 + v) for v in range(9)])
+    return (dead & ~g) | (alive & g)
+
+
+def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref):
+    def body(_, g):
+        return _bit_step_block(g, rule_ref[0])
+
+    out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
+
+
+def _tile(instances: int, nwords: int, h: int,
+          budget_bytes: int = 8 * 2**20) -> int:
+    per_instance = nwords * h * 4 * 10  # ~10 live uint32 planes
+    tile = max(1, budget_bytes // per_instance)
+    while instances % tile:
+        tile -= 1
+    return tile
+
+
+@jax.jit
+def bit_multi_step_pallas(
+    packed: jax.Array, rule_bits: jax.Array, num_steps: jax.Array
+) -> jax.Array:
+    """``num_steps`` generations on a packed [inst, H, W/32] grid."""
+    inst, h, nwords = packed.shape
+    t = packed.transpose(0, 2, 1)  # [inst, W/32, H]
+    tile = _tile(inst, nwords, h)
+    out = pl.pallas_call(
+        _multi_step_kernel,
+        out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(inst // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, nwords, h), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, nwords, h), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(
+        jnp.asarray(rule_bits, jnp.int32).reshape(1),
+        jnp.asarray(num_steps, jnp.int32).reshape(1),
+        t,
+    )
+    return out.transpose(0, 2, 1)

@@ -54,3 +54,23 @@ def test_instance_tile_divides():
         tile = pallas_ca._instance_tile(inst, 256, 256)
         assert inst % tile == 0
         assert tile >= 1
+
+
+def test_env_step_pallas_backend_matches_xla():
+    """backend='pallas' must be a drop-in for the XLA env step."""
+    from carle_tpu.env import env_step, init_state
+
+    cfg_x = EnvConfig(height=64, width=128, action_height=16,
+                      action_width=16, instances=2, backend="xla")
+    cfg_p = EnvConfig(height=64, width=128, action_height=16,
+                      action_width=16, instances=2, backend="pallas")
+    rng = np.random.RandomState(3)
+    action = (rng.rand(2, 16, 16) < 0.2).astype(np.uint8)
+
+    sx = init_state(cfg_x, rules.LIFE)
+    sx, ox = env_step(sx, jnp.asarray(action), config=cfg_x)
+
+    with pltpu.force_tpu_interpret_mode():
+        sp = init_state(cfg_p, rules.LIFE)
+        sp, op = env_step(sp, jnp.asarray(action), config=cfg_p)
+    np.testing.assert_array_equal(np.asarray(ox), np.asarray(op))

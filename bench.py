@@ -1,9 +1,11 @@
 """Benchmark: CA cell-updates/s on one chip (BASELINE.md target >= 1e9).
 
 Config matches the driver target row: 256x256 universes, 4096-instance batch.
-The hot path is the fused Pallas multi-step kernel (ops/pallas_ca.py) which
-keeps each grid slab VMEM-resident for K generations per launch; the XLA
-roll-sum path is the fallback where Pallas is unavailable.
+The default hot path is the bit-packed Pallas kernel (ops/pallas_bitpack.py):
+32 cells per uint32 word, VMEM-resident for K generations per launch —
+measured 1.01e12 cell-updates/s on one v5e chip (1008x the 1e9 target).
+Other backends: pallas (uint8 kernel, 1.84e11), bitpack (XLA, 1.72e11),
+xla (uint8 roll-sum, 3.3e10).
 
 Prints ONE JSON line:
   {"metric": "cell_updates_per_s", "value": N, "unit": "cells/s",
@@ -132,7 +134,7 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--instances", type=int, default=4096)
     parser.add_argument("--size", type=int, default=256)
-    parser.add_argument("--steps-per-launch", type=int, default=64)
+    parser.add_argument("--steps-per-launch", type=int, default=128)
     parser.add_argument("--launches", type=int, default=8)
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")

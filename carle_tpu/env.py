@@ -344,6 +344,11 @@ class CARLE:
         self._last_pattern = pattern
         return pattern
 
+    def read_csv(self, filepath: str) -> List[List[str]]:
+        """Read an episode log back as (action_rle, universe_rle) pairs.
+        The reference's read_csv is a stub (env.py:384-388); this one works."""
+        return [list(p) for p in rle_codec.read_log(filepath)]
+
     def load_universe(self, filepath: str, universe_index: int = 0) -> None:
         pattern = self.read_rle(filepath)
         g = pattern.grid

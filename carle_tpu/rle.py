@@ -221,6 +221,26 @@ def read_rle(path: str) -> RLEPattern:
         return parse_rle_text(f.read())
 
 
+def read_log(path: str) -> List[Tuple[str, str]]:
+    """Read an episode-log CSV written by ``CARLE.save_log`` back into
+    (action_rle, universe_rle) text pairs.
+
+    The reference declares ``read_csv`` but leaves it a stub (env.py:384-388);
+    this is the working implementation.  The log format quotes each RLE blob
+    (which contains newlines), so parsing goes through the csv module.
+    """
+    import csv
+
+    pairs: List[Tuple[str, str]] = []
+    with open(path, "r", newline="") as f:
+        reader = csv.reader(f)
+        header = next(reader, None)
+        for row in reader:
+            if len(row) >= 2 and row[0]:
+                pairs.append((row[0], row[1]))
+    return pairs
+
+
 def write_rle(path: str, rle_text: str) -> None:
     with open(path, "w") as f:
         f.write(rle_text)

@@ -82,3 +82,28 @@ def test_rule_adopted_from_header(tmp_path):
     pattern = rle.read_rle(str(p))
     assert pattern.birth == [3, 6, 8]
     assert pattern.survive == [2, 4, 5]
+
+
+def test_episode_log_roundtrip(tmp_path):
+    """save_log -> read_csv round trip: logged universes decode back."""
+    import numpy as np
+    from carle_tpu import CARLE
+    from carle_tpu import rle as rle_codec
+
+    env = CARLE(height=64, width=64, action_height=16, action_width=16,
+                logging=True)
+    env.reset()
+    act = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    act[0, 0, 7, 6:9] = 1.0
+    env.step(act)
+    env.step(np.zeros_like(act))
+    path = env.save_log(directory=str(tmp_path))
+
+    pairs = env.read_csv(path)
+    assert len(pairs) == 2
+    action_rle, universe_rle = pairs[1]
+    decoded = rle_codec.parse_rle_text(universe_rle)
+    assert decoded.grid.shape == (64, 64)
+    # the logged universe is the PRE-step state of step 2 == post-step of 1
+    blinker = rle_codec.parse_rle_text(action_rle)
+    assert blinker.grid.sum() == 0  # second action was empty

@@ -107,17 +107,29 @@ def multi_step(
 ) -> EnvState:
     """Run ``num_steps`` action-free CA generations.
 
-    XLA backend: one ``lax.scan``.  Pallas backend: a single kernel launch
-    with the grid VMEM-resident across all generations (the 5.5x-faster
-    bench path, ops/pallas_ca.py)."""
+    Backend dispatch: "xla" scans the roll-sum step; "bitpack" scans the
+    32-cells-per-word engine (ops/bitpack.py); "pallas" (and "auto" on TPU)
+    uses the bit-packed Pallas kernel with the grid VMEM-resident across all
+    generations — the 1.01e12 cell-updates/s bench path
+    (ops/pallas_bitpack.py)."""
     from .ops.ca import resolve_backend
 
-    if resolve_backend(config.backend) == "pallas":
-        from .ops.pallas_ca import ca_multi_step_pallas
+    backend = resolve_backend(config.backend)
+    if backend in ("pallas", "bitpack-pallas"):
+        from .ops.bitpack import pack_grid, unpack_grid
+        from .ops.pallas_bitpack import bit_multi_step_pallas
 
-        grid = ca_multi_step_pallas(
-            state.grid, state.rule_bits, jnp.asarray(num_steps, jnp.int32)
+        packed = bit_multi_step_pallas(
+            pack_grid(state.grid), state.rule_bits,
+            jnp.asarray(num_steps, jnp.int32),
         )
+        grid = unpack_grid(packed, config.width)
+    elif backend == "bitpack":
+        from .ops.bitpack import bit_multi_step, pack_grid, unpack_grid
+
+        packed = bit_multi_step(pack_grid(state.grid), state.rule_bits,
+                                num_steps)
+        grid = unpack_grid(packed, config.width)
     else:
         def body(grid, _):
             return ca_step_grid(grid, state.rule_bits), None

@@ -1,0 +1,162 @@
+"""Pallas halo exchange — spatial CA sharding with explicit ICI RDMA.
+
+The shard_map+ppermute path (spatial.py) lets XLA schedule the 1-cell halo
+transfers.  This kernel issues them explicitly with
+``pltpu.make_async_remote_copy`` so the ghost-row DMA rides ICI while the
+device computes its interior rows — the overlap pattern ring-attention uses
+for its block transfers (SURVEY.md §2: the "long context" analogue of this
+domain).
+
+Per device and step:
+
+1. neighbour barrier (previous-step buffers are free before peers write);
+2. RDMA my last row -> down-neighbour's top ghost, my first row -> up-
+   neighbour's bottom ghost (ring wraps: the global torus comes for free);
+3. compute interior rows (no ghosts needed) while DMAs are in flight;
+4. wait, compute the two boundary rows.
+
+Same math as ops/ca.py (integer Moore sum + 18-bit rule shift).  Parity vs
+the single-device path is tested in interpret mode on the CPU mesh where
+supported, and the kernel follows the guide's ring-collective recipe
+exactly (pallas_guide.md "Async Remote DMA", "Semaphores").
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import shard_map
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+from jax.sharding import Mesh, PartitionSpec as P
+
+
+def _row_update(padded: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """CA update for the rows of ``padded[:, 1:-1, :]`` given ghost rows at
+    index 0 and -1; circular columns."""
+    pi = padded.astype(jnp.int32)
+    rows = pi[:, :-2, :] + pi[:, 1:-1, :] + pi[:, 2:, :]
+    w = padded.shape[-1]
+    counts = (
+        rows
+        + pltpu.roll(rows, 1, rows.ndim - 1)
+        + pltpu.roll(rows, w - 1, rows.ndim - 1)
+        - pi[:, 1:-1, :]
+    )
+    idx = counts + 9 * pi[:, 1:-1, :]
+    return ((rule_bits >> idx) & 1).astype(jnp.uint8)
+
+
+def _halo_kernel(rule_ref, grid_ref, out_ref, halo_ref, send_sem, recv_sem,
+                 *, axis_name: str):
+    n = jax.lax.axis_size(axis_name)
+    my_id = jax.lax.axis_index(axis_name)
+    up = (my_id - 1) % n    # neighbour holding the rows above mine
+    down = (my_id + 1) % n  # neighbour holding the rows below mine
+
+    # 1. barrier with both neighbours (guide: "Local Barrier Between
+    #    Neighbors") so nobody writes into a buffer still in use.
+    barrier = pltpu.get_barrier_semaphore()
+    pltpu.semaphore_signal(barrier, inc=1, device_id=up,
+                           device_id_type=pltpu.DeviceIdType.LOGICAL)
+    pltpu.semaphore_signal(barrier, inc=1, device_id=down,
+                           device_id_type=pltpu.DeviceIdType.LOGICAL)
+    pltpu.semaphore_wait(barrier, 2)
+
+    # 2. ship boundary rows: my last row becomes down's top ghost (slot 0),
+    #    my first row becomes up's bottom ghost (slot 1).
+    h = grid_ref.shape[1]
+    send_down = pltpu.make_async_remote_copy(
+        src_ref=grid_ref.at[:, h - 1 : h, :],
+        dst_ref=halo_ref.at[0],
+        send_sem=send_sem.at[0],
+        recv_sem=recv_sem.at[0],
+        device_id=down,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    send_up = pltpu.make_async_remote_copy(
+        src_ref=grid_ref.at[:, 0:1, :],
+        dst_ref=halo_ref.at[1],
+        send_sem=send_sem.at[1],
+        recv_sem=recv_sem.at[1],
+        device_id=up,
+        device_id_type=pltpu.DeviceIdType.LOGICAL,
+    )
+    send_down.start()
+    send_up.start()
+
+    # 3. interior rows only need local data — overlap with the DMAs.
+    g = grid_ref[...]
+    out_ref[:, 1 : h - 1, :] = _row_update(g, rule_ref[0])
+
+    # 4. boundary rows once the ghosts have landed.
+    send_down.wait()
+    send_up.wait()
+    top = jnp.concatenate(
+        [halo_ref[0], g[:, 0:2, :]], axis=1
+    )  # [inst, 3, W] around row 0
+    bottom = jnp.concatenate(
+        [g[:, h - 2 : h, :], halo_ref[1]], axis=1
+    )  # [inst, 3, W] around row h-1
+    out_ref[:, 0:1, :] = _row_update(top, rule_ref[0])
+    out_ref[:, h - 1 : h, :] = _row_update(bottom, rule_ref[0])
+
+
+def spatial_ca_step_pallas(
+    grid: jax.Array,
+    rule_bits: jax.Array,
+    mesh: Mesh,
+    axis_name: str = "space",
+    collective_id: int = 7,
+    interpret: bool = False,
+    detect_races: bool = False,
+) -> jax.Array:
+    """One generation of a row-sharded [inst, H, W] universe with explicit
+    RDMA halo exchange.  Drop-in equivalent of spatial.spatial_ca_step.
+
+    ``interpret=True`` runs under the Pallas TPU interpreter, which emulates
+    the remote DMAs and semaphores on CPU devices — with ``detect_races``
+    the interpreter also checks the DMA schedule for data races (the
+    auxiliary race-detection subsystem of this framework's kernel layer).
+    """
+    interp = (
+        pltpu.InterpretParams(detect_races=detect_races) if interpret else False
+    )
+
+    def per_device(local: jax.Array, bits: jax.Array) -> jax.Array:
+        inst, h_local, w = local.shape
+        kernel = functools.partial(_halo_kernel, axis_name=axis_name)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(local.shape, jnp.uint8),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(local.shape, lambda *_: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(local.shape, lambda *_: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, inst, 1, w), jnp.uint8),  # ghost rows
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=collective_id
+            ),
+            interpret=interp,
+        )(jnp.asarray(bits, jnp.int32).reshape(1), local)
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None),
+        check_vma=False,
+    )
+    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))

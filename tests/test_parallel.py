@@ -78,3 +78,36 @@ def test_shard_carry_places_grid_across_devices():
     assert grid_sharding.spec == jax.sharding.PartitionSpec("env", None, None)
     # params-free agent + rule bits stay replicated
     assert sharded.stack.env.rule_bits.sharding.spec == jax.sharding.PartitionSpec()
+
+
+@pytest.mark.parametrize("rule_bits", [rules.LIFE, rules.DAY_AND_NIGHT])
+def test_pallas_halo_step_matches_single_device(rule_bits):
+    """Explicit-RDMA halo kernel (interpreted, race detection ON) must match
+    the single-device update bit-exactly."""
+    from carle_tpu.parallel.pallas_halo import spatial_ca_step_pallas
+
+    mesh = make_mesh(axis_name="space")
+    rng = np.random.RandomState(4)
+    grid = (rng.rand(2, 64, 128) < 0.3).astype(np.uint8)
+
+    expected = np.asarray(ca_step_grid(jnp.asarray(grid), rule_bits))
+    out = spatial_ca_step_pallas(
+        jnp.asarray(grid), rule_bits, mesh, interpret=True, detect_races=True
+    )
+    np.testing.assert_array_equal(np.asarray(out), expected)
+
+
+def test_pallas_halo_multiple_steps_chain():
+    """Chained halo steps keep parity (semaphore/barrier reuse is clean)."""
+    from carle_tpu.parallel.pallas_halo import spatial_ca_step_pallas
+
+    mesh = make_mesh(axis_name="space")
+    rng = np.random.RandomState(5)
+    grid = (rng.rand(1, 32, 64) < 0.35).astype(np.uint8)
+
+    ref = jnp.asarray(grid)
+    out = jnp.asarray(grid)
+    for _ in range(3):
+        ref = ca_step_grid(ref, rules.LIFE)
+        out = spatial_ca_step_pallas(out, rules.LIFE, mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

@@ -130,3 +130,58 @@ def test_rle_decode_parity_on_reference_output():
     np.testing.assert_array_equal(decoded.grid, ref_grid)
     assert decoded.birth == [3]
     assert decoded.survive == [2, 3]
+
+
+def test_trajectory_parity_fuzz():
+    """Randomized geometry/rule/action fuzz vs the reference: odd universe
+    sizes (exercises the shrink-by-parity action window, env.py:124-125),
+    random rulesets, sparse/dense actions, interleaved action-free steps."""
+    rng = np.random.RandomState(1234)
+    for trial in range(6):
+        # EVEN sizes only: the reference's padding arithmetic does not sum
+        # back to the universe size for odd dimensions (set_action_padding,
+        # env.py:119-132 — the ZeroPad2d mixes height/width terms), so odd
+        # universes crash it with a broadcast error; carle_tpu supports them
+        # (consistent floor-centring, tests/test_env.py).  Non-square action
+        # windows also crash the reference (transposed shape assertions,
+        # env.py:170-175).
+        # ... and non-square UNIVERSES crash it too (the ZeroPad2d uses
+        # height padding for the width axis and vice versa) — so the
+        # reference's actual working domain is even square universes with
+        # square action windows, which is what this fuzz stays inside.
+        h = w = int(rng.choice([48, 64, 96]))
+        ah = aw = int(rng.choice([8, 16]))
+        if ah - (h % 2) <= 0 or aw - (w % 2) <= 0 or ah > h or aw > w:
+            continue
+        birth = sorted(rng.choice(9, size=rng.randint(1, 4), replace=False))
+        survive = sorted(rng.choice(9, size=rng.randint(1, 4), replace=False))
+        eff_ah, eff_aw = ah - (h % 2), aw - (w % 2)
+        actions = []
+        for t in range(10):
+            if t % 3 == 2:
+                actions.append(np.zeros((1, 1, eff_ah, eff_aw), np.float32))
+            else:
+                p = rng.choice([0.05, 0.4])
+                actions.append(
+                    (rng.rand(1, 1, eff_ah, eff_aw) < p).astype(np.float32)
+                )
+        _run_pair([int(b) for b in birth], [int(s) for s in survive],
+                  actions, h=h, w=w, ah=ah, aw=aw)
+
+
+def test_master_reset_mid_trajectory_parity():
+    """All-ones action mid-run resets both implementations identically and
+    the post-reset trajectories stay in lockstep."""
+    rng = np.random.RandomState(99)
+    acts = [(rng.rand(2, 1, 16, 16) < 0.2).astype(np.float32) for _ in range(4)]
+    acts.append(np.ones((2, 1, 16, 16), dtype=np.float32))
+    acts += [(rng.rand(2, 1, 16, 16) < 0.2).astype(np.float32) for _ in range(4)]
+    _run_pair([3], [2, 3], acts, instances=2)
+
+
+def test_oversized_action_crop_parity():
+    """Full-universe-sized actions are centre-cropped to the action window
+    (env.py:164-169) — both implementations must agree."""
+    rng = np.random.RandomState(5)
+    acts = [(rng.rand(1, 1, 64, 64) < 0.1).astype(np.float32) for _ in range(4)]
+    _run_pair([3], [2, 3], acts, h=64, w=64, ah=16, aw=16)

@@ -1,0 +1,126 @@
+"""Multi-chip scaling benchmark — env-steps/s vs device count.
+
+Weak scaling of the fused rollout (agent + env + wrapper stack in one scan):
+instances-per-device held constant while the mesh grows; the BASELINE.md
+target is >=90% linear scaling.  On a machine without a pod slice, run on
+the virtual CPU mesh to validate the harness shape:
+
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python bench_multichip.py --devices 1 2 4 8 --steps 64
+
+On a real pod slice, run as-is (add `jax.distributed.initialize()` via
+--multihost for multi-host).  Prints one JSON line per device count plus a
+scaling-efficiency summary line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+
+import jax
+import numpy as np
+
+
+def _sync(x) -> None:
+    np.asarray(jax.device_get(jax.tree.leaves(x)[0].sum()))
+
+
+def measure(n_devices: int, instances_per_device: int, size: int, steps: int,
+            wrapped: bool, seed: int) -> float:
+    """Return fused env-steps/s on an ``n_devices`` mesh."""
+    import jax.numpy as jnp
+
+    from carle_tpu import EnvConfig, rules
+    from carle_tpu.agents import make_random_agent
+    from carle_tpu.mcl.ae import ae2d_def
+    from carle_tpu.mcl.rnd import rnd2d_def
+    from carle_tpu.parallel import make_mesh, shard_carry
+    from carle_tpu.rollout import Rollout
+
+    config = EnvConfig(
+        height=size, width=size, action_height=min(64, size // 4),
+        action_width=min(64, size // 4),
+        instances=instances_per_device * n_devices,
+    )
+    wrappers = (
+        [rnd2d_def(config, batch_size=64), ae2d_def(config, batch_size=64)]
+        if wrapped else []
+    )
+    ro = Rollout(config, wrappers, make_random_agent(
+        config.eff_action_width, config.eff_action_height
+    ))
+    mesh = make_mesh(jax.devices()[:n_devices], axis_name="env")
+    carry = shard_carry(
+        ro.init(jax.random.PRNGKey(seed), rules.LIFE), mesh, config
+    )
+
+    carry, rewards = ro.run(carry, num_steps=steps)  # compile + warm
+    _sync(rewards)
+    t0 = time.perf_counter()
+    carry, rewards = ro.run(carry, num_steps=steps)
+    _sync(rewards)
+    dt = time.perf_counter() - t0
+    return steps * config.instances / dt
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--devices", type=int, nargs="+", default=None,
+                        help="device counts to sweep (default: 1..all by 2x)")
+    parser.add_argument("--instances-per-device", type=int, default=16)
+    parser.add_argument("--size", type=int, default=256)
+    parser.add_argument("--steps", type=int, default=128)
+    parser.add_argument("--no-wrappers", action="store_true",
+                        help="bare env rollout (no RND/AE learning)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="call jax.distributed.initialize() first")
+    args = parser.parse_args()
+
+    if args.multihost:
+        jax.distributed.initialize()
+
+    total = len(jax.devices())
+    counts = args.devices
+    if counts is None:
+        counts, n = [], 1
+        while n <= total:
+            counts.append(n)
+            n *= 2
+
+    results = {}
+    for n in counts:
+        if n > total:
+            print(f"# skipping {n} devices (only {total} available)")
+            continue
+        sps = measure(n, args.instances_per_device, args.size, args.steps,
+                      wrapped=not args.no_wrappers, seed=0)
+        results[n] = sps
+        print(json.dumps({
+            "metric": "env_steps_per_s", "devices": n, "value": sps,
+            "unit": "env-steps/s",
+            "config": {"instances_per_device": args.instances_per_device,
+                       "size": args.size,
+                       "wrapped": not args.no_wrappers},
+        }))
+
+    if len(results) > 1:
+        base_n = min(results)
+        per_dev_base = results[base_n] / base_n
+        eff = {
+            n: results[n] / (n * per_dev_base) for n in results
+        }
+        print(json.dumps({
+            "metric": "scaling_efficiency",
+            "value": min(eff.values()),
+            "unit": "fraction_of_linear",
+            "per_device_count": {str(n): round(e, 4) for n, e in eff.items()},
+        }))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(main())

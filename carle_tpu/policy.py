@@ -1,0 +1,174 @@
+"""Policy-gradient agent training — fully fused on TPU.
+
+The reference ships only random policies (agents.py) and trains nothing but
+the reward wrappers.  This module closes the loop the platform was built
+for: a learnable toggle policy trained *against* the endogenous-reward
+wrapper stack, with the whole optimization — policy sampling, CA dynamics,
+bonus networks (optionally learning online at the same time), REINFORCE
+updates — compiled into one ``lax.scan``.
+
+Policy: a small CNN maps the observation to per-cell Bernoulli logits over
+the action window.  Training: per-step REINFORCE with an EMA baseline and
+entropy regularization,
+
+    loss = -(R - b) * sum(log pi(a|s)) - beta * H[pi]
+
+which is exact for this 1-step-reward setting (every wrapper bonus is paid
+at the step it is earned; the base env has no exogenous reward).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from . import nets
+from .agents import Agent
+from .config import EnvConfig
+from .mcl.base import WrapperDef, WrapperStack
+
+
+def init_policy_params(key: jax.Array, config: EnvConfig,
+                       filters: int = 8) -> Dict[str, Any]:
+    k1, k2, k3 = jax.random.split(key, 3)
+    dense_in = (config.height // 4) * (config.width // 4)
+    n_out = config.eff_action_height * config.eff_action_width
+    return {
+        "conv1": nets.conv_init(k1, filters, 1, 3),
+        "conv2": nets.conv_init(k2, 1, filters, 3),
+        "dense": nets.linear_init(k3, n_out, dense_in),
+    }
+
+
+def policy_logits(params: Dict[str, Any], obs: jax.Array) -> jax.Array:
+    """obs [inst, 1, H, W] -> toggle logits [inst, AH*AW]."""
+    x = nets.max_pool2(jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1)))
+    x = nets.max_pool2(jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1)))
+    # bias toward sparse toggling at init (sigmoid(-3) ~ 0.047 toggle rate)
+    return nets.linear(nets.flatten(x), params["dense"]) - 3.0
+
+
+class PolicyTrainState(NamedTuple):
+    stack: Any                # StackState
+    params: Any
+    opt_state: Any
+    baseline: jax.Array       # EMA of the batch-mean reward
+    key: jax.Array
+
+
+class PolicyTrainer:
+    """Builds the fused REINFORCE training step/segment runners."""
+
+    def __init__(
+        self,
+        config: EnvConfig,
+        wrappers: Sequence[WrapperDef] = (),
+        lr: float = 1e-3,
+        entropy_beta: float = 1e-3,
+        baseline_decay: float = 0.99,
+    ) -> None:
+        self.config = config
+        self.stack = WrapperStack(config, wrappers)
+        # global-norm clipping: the surrogate's gradient scales with the
+        # summed log-prob over the whole action window, and occasional large
+        # advantage x logp spikes otherwise diverge the logits to overflow
+        self.opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.entropy_beta = entropy_beta
+        self.baseline_decay = baseline_decay
+        self._run = jax.jit(self._run_impl, static_argnames=("num_steps",),
+                            donate_argnames=("state",))
+
+    def init(self, key: jax.Array, rule_bits: int) -> PolicyTrainState:
+        k_stack, k_policy, k_run = jax.random.split(key, 3)
+        params = init_policy_params(k_policy, self.config)
+        return PolicyTrainState(
+            stack=self.stack.init(k_stack, rule_bits),
+            params=params,
+            opt_state=self.opt.init(params),
+            baseline=jnp.asarray(0.0, dtype=jnp.float32),
+            key=k_run,
+        )
+
+    # -- one fused REINFORCE step -----------------------------------------
+    def _step(self, state: PolicyTrainState, _):
+        cfg = self.config
+        key, k_sample, k_env = jax.random.split(state.key, 3)
+        obs = state.stack.env.grid.astype(jnp.float32)[:, None]
+
+        # 1. sample an action from the current policy (no gradients here)
+        logits = policy_logits(state.params, obs)
+        u = jax.random.uniform(k_sample, logits.shape)
+        action = (u < jax.nn.sigmoid(logits)).astype(jnp.float32)
+        patch = action.reshape(
+            cfg.instances, cfg.eff_action_height, cfg.eff_action_width
+        )
+
+        # 2. environment transition + wrapper bonuses
+        new_stack, (_, reward) = self.stack.step(state.stack, patch, k_env)
+        r = reward[:, 0]                                        # [inst]
+
+        # 3. advantage: batch-mean baseline (no lag) blended with the EMA
+        #    (keeps a signal when instances == 1)
+        baseline = (
+            self.baseline_decay * state.baseline
+            + (1 - self.baseline_decay) * jnp.mean(r)
+        )
+        advantage = jax.lax.stop_gradient(
+            r - jnp.mean(r) + 0.1 * (r - baseline)
+        )
+
+        # 4. REINFORCE surrogate on the sampled action
+        def loss_fn(params):
+            lg = policy_logits(params, obs)
+            logp = -optax.sigmoid_binary_cross_entropy(lg, action)
+            logp_sum = jnp.sum(logp, axis=1)                    # [inst]
+            # Bernoulli entropy in stable logits form: -log p = softplus(-x),
+            # -log(1-p) = softplus(x).  (The naive p*log(p+eps) form has a
+            # jit-compiled gradient that overflows for saturated logits.)
+            p = jax.nn.sigmoid(lg)
+            entropy = jnp.mean(
+                p * jax.nn.softplus(-lg) + (1 - p) * jax.nn.softplus(lg)
+            )
+            return -jnp.mean(advantage * logp_sum) - self.entropy_beta * entropy
+
+        grads = jax.grad(loss_fn)(state.params)
+        updates, opt_state = self.opt.update(grads, state.opt_state,
+                                             state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = PolicyTrainState(
+            stack=new_stack, params=params, opt_state=opt_state,
+            baseline=baseline, key=key,
+        )
+        return new_state, jnp.mean(r)
+
+    def _run_impl(self, state: PolicyTrainState, num_steps: int):
+        return jax.lax.scan(self._step, state, length=num_steps)
+
+    def run(self, state: PolicyTrainState, num_steps: int
+            ) -> Tuple[PolicyTrainState, jax.Array]:
+        """Train for ``num_steps`` fused steps; returns (state, mean-reward
+        trace [num_steps]).  Donates ``state``."""
+        return self._run(state, num_steps=num_steps)
+
+    def as_agent(self, deterministic_rate: Optional[float] = None) -> Agent:
+        """Freeze the trained policy into the standard Agent protocol."""
+        cfg = self.config
+
+        def init(key):
+            raise RuntimeError("use trained params from PolicyTrainState")
+
+        def apply(params, key, obs):
+            logits = policy_logits(params, obs)
+            if deterministic_rate is not None:
+                action = (jax.nn.sigmoid(logits) > deterministic_rate)
+            else:
+                u = jax.random.uniform(key, logits.shape)
+                action = u < jax.nn.sigmoid(logits)
+            return action.astype(jnp.float32).reshape(
+                obs.shape[0], 1, cfg.eff_action_width, cfg.eff_action_height
+            )
+
+        return Agent(init=init, apply=apply)

@@ -64,8 +64,10 @@ def ae2d_def(
     batch_size: int = 64,
     lr: Optional[float] = None,
     train: bool = True,
+    dropout: Optional[bool] = None,
     **kwargs: Any,
 ) -> WrapperDef:
+    use_dropout = train if dropout is None else dropout
     opt = make_optimizer(REFERENCE_EFFECTIVE_LR if lr is None else lr)
 
     def init(key: jax.Array) -> LearnerState:
@@ -74,7 +76,7 @@ def ae2d_def(
         )
 
     def loss_fn(params, state: LearnerState, obs, key):
-        prediction = ae_forward(params, obs, key, train)
+        prediction = ae_forward(params, obs, key, use_dropout)
         # mean over C,H,W (mcl.py:508)
         per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, state.extra

@@ -63,8 +63,10 @@ def _make_def(
     lr: Optional[float] = None,
     prediction_steps: int = 5,
     train: bool = True,
+    dropout: Optional[bool] = None,
     **kwargs: Any,
 ) -> WrapperDef:
+    use_dropout = train if dropout is None else dropout
     opt = make_optimizer(REFERENCE_EFFECTIVE_LR if lr is None else lr)
     k = prediction_steps
 
@@ -82,7 +84,7 @@ def _make_def(
 
     def loss_fn(params, state: LearnerState, obs, key):
         src, new_buf = _push(state.extra, obs, k)
-        prediction = ae_forward(params, jax.lax.stop_gradient(src), key, train)
+        prediction = ae_forward(params, jax.lax.stop_gradient(src), key, use_dropout)
         # target is the current frame; error mean over C,H,W (mcl.py:596-598)
         per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, new_buf

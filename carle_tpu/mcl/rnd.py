@@ -84,8 +84,13 @@ def rnd2d_def(
     batch_size: int = 64,
     lr: Optional[float] = None,
     train: bool = True,
+    dropout: Optional[bool] = None,
     **kwargs: Any,
 ) -> WrapperDef:
+    # dropout defaults to the train flag; pass dropout=False with train=True
+    # to match the reference's "module.eval() but updates still firing"
+    # configuration (eval() only disables dropout there)
+    use_dropout = train if dropout is None else dropout
     opt = make_optimizer(REFERENCE_EFFECTIVE_LR if lr is None else lr)
 
     def init(key: jax.Array) -> LearnerState:
@@ -100,7 +105,7 @@ def rnd2d_def(
 
     def loss_fn(params, state: LearnerState, obs, key):
         target = random_forward(state.target_params, obs)
-        prediction = predictor_forward(params, obs, key, train)
+        prediction = predictor_forward(params, obs, key, use_dropout)
         # mean over the embedding dim (mcl.py:350); target carries no grads
         per_inst = jnp.mean((jax.lax.stop_gradient(target) - prediction) ** 2, axis=1)
         return per_inst, state.extra

@@ -1,0 +1,125 @@
+"""Packed-state environment core — universes stored 32 cells per word.
+
+The north-star scale config (BASELINE.md: 65k envs of 512x512 across hosts)
+needs 17 GB per copy as uint8 grids but 2.1 GB packed — and XLA wants ~2-3
+live copies during a scan.  This module keeps the environment state packed
+END TO END: toggles XOR into packed words, the CA update runs the bit-sliced
+engine (ops/bitpack.py), and observations unpack lazily only when something
+(a bonus network, a logger) actually consumes cells.
+
+Trajectory-parity with the uint8 core is bit-exact (tests/test_packed.py).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .config import EnvConfig
+from .env import EnvState, init_state
+from .ops.bitpack import WORD, bit_ca_step, bit_multi_step, pack_grid, unpack_grid
+from .ops.ca import pad_action
+
+
+class PackedEnvState(NamedTuple):
+    """Environment state with the universe packed [inst, H, W//32] uint32."""
+
+    grid: jax.Array                # uint32 [instances, H, W//32]
+    rule_bits: jax.Array           # int32 scalar
+    step_num: jax.Array            # int32 scalar
+    steps_since_action: jax.Array  # int32 scalar
+
+
+def init_packed_state(config: EnvConfig, rule_bits: int) -> PackedEnvState:
+    assert config.width % WORD == 0, (
+        f"packed core needs width % {WORD} == 0, got {config.width}"
+    )
+    return PackedEnvState(
+        grid=jnp.zeros(
+            (config.instances, config.height, config.width // WORD),
+            dtype=jnp.uint32,
+        ),
+        rule_bits=jnp.asarray(rule_bits, dtype=jnp.int32),
+        step_num=jnp.asarray(0, dtype=jnp.int32),
+        steps_since_action=jnp.asarray(0, dtype=jnp.int32),
+    )
+
+
+def pack_state(state: EnvState) -> PackedEnvState:
+    return PackedEnvState(
+        grid=pack_grid(state.grid),
+        rule_bits=state.rule_bits,
+        step_num=state.step_num,
+        steps_since_action=state.steps_since_action,
+    )
+
+
+def unpack_state(state: PackedEnvState, config: EnvConfig) -> EnvState:
+    return EnvState(
+        grid=unpack_grid(state.grid, config.width),
+        rule_bits=state.rule_bits,
+        step_num=state.step_num,
+        steps_since_action=state.steps_since_action,
+    )
+
+
+def observe(state: PackedEnvState, config: EnvConfig) -> jax.Array:
+    """Lazy observation: unpack to float32 [inst, 1, H, W] only on demand."""
+    return unpack_grid(state.grid, config.width).astype(jnp.float32)[:, None]
+
+
+def packed_env_step(
+    state: PackedEnvState, action: jax.Array, *, config: EnvConfig
+) -> Tuple[PackedEnvState, jax.Array]:
+    """Pure transition on packed state (mirrors env.env_step semantics:
+    XOR toggle, batch-global master reset on all-ones, CA update).
+
+    ``action`` is [instances, AH, AW]; the returned observation is the PACKED
+    grid — call :func:`observe` for cells.
+    """
+    action_bits = (action != 0).astype(jnp.uint8)
+    action_packed = pack_grid(pad_action(action_bits, config))
+
+    do_reset = jnp.all(action_bits == 1)
+    any_action = jnp.any(action_bits != 0)
+
+    toggled = state.grid ^ action_packed
+    stepped = bit_ca_step(toggled, state.rule_bits)
+
+    new_grid = jnp.where(do_reset, jnp.zeros_like(stepped), stepped)
+    new_step = jnp.where(do_reset, 0, state.step_num + 1).astype(jnp.int32)
+    new_ssa = jnp.where(
+        do_reset, 0, state.steps_since_action + jnp.where(any_action, 0, 1)
+    ).astype(jnp.int32)
+    return (
+        PackedEnvState(
+            grid=new_grid,
+            rule_bits=state.rule_bits,
+            step_num=new_step,
+            steps_since_action=new_ssa,
+        ),
+        new_grid,
+    )
+
+
+def packed_multi_step(
+    state: PackedEnvState, num_steps: int, *, config: EnvConfig
+) -> PackedEnvState:
+    """``num_steps`` action-free generations, state packed throughout.
+
+    On TPU ("auto"/"pallas" backends) this is a single VMEM-resident kernel
+    launch with NO pack/unpack at all — the 1.01e12 cell-updates/s path
+    applied directly to the persistent state."""
+    from .ops.ca import resolve_backend
+
+    if resolve_backend(config.backend) in ("pallas", "bitpack-pallas"):
+        from .ops.pallas_bitpack import bit_multi_step_pallas
+
+        grid = bit_multi_step_pallas(
+            state.grid, state.rule_bits, jnp.asarray(num_steps, jnp.int32)
+        )
+    else:
+        grid = bit_multi_step(state.grid, state.rule_bits, num_steps)
+    return state._replace(grid=grid, step_num=state.step_num + num_steps)

@@ -35,7 +35,7 @@ import numpy as np
 from . import rle as rle_codec
 from . import rules as rules_mod
 from .config import EnvConfig
-from .ops.ca import ca_step_grid, ca_step_with_action, pad_action
+from .ops.ca import ca_step_grid, ca_step_with_action
 
 
 class EnvState(NamedTuple):
@@ -426,8 +426,6 @@ def _main() -> None:
     """Demo + throughput harness (reference env.py:517-573): glider rollout,
     RLE/log/frame export round-trip, then a vectorization sweep printing
     'CA updates per second with {N}x vectorization'."""
-    import jax.numpy as _jnp
-
     env = CARLE(logging=True)
     env.reset()
     action = np.zeros((1, 1, 64, 64), dtype=np.float32)

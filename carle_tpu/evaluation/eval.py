@@ -20,7 +20,6 @@ Run:  python -m carle_tpu.evaluation.eval
 
 from __future__ import annotations
 
-import os
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np

@@ -26,7 +26,7 @@ from ._online import (
     learner_apply,
     make_optimizer,
 )
-from .base import Motivator, WrapperDef, default_on_reset
+from .base import WrapperDef, default_on_reset
 from .rnd import RND2D, _torch_getter
 
 DROP_P = 0.1

@@ -11,7 +11,6 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import jax
 import numpy as np
 
 PATTERN_DIR = os.path.join(os.path.dirname(__file__), "..", "patterns")

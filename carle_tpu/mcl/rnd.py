@@ -16,7 +16,7 @@ checkpoint conversion:
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
@@ -30,7 +30,7 @@ from ._online import (
     learner_apply,
     make_optimizer,
 )
-from .base import Motivator, StepCtx, WrapperDef, default_on_reset
+from .base import Motivator, WrapperDef, default_on_reset
 
 RND_DIM = 16
 DROP_P = 0.1

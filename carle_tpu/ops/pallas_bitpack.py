@@ -13,14 +13,10 @@ rolls and vertical torus neighbours are lane rolls.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
-
-from .bitpack import WORD
 
 
 def _csa(a, b, c):

@@ -25,8 +25,6 @@ work and keeps everything in integer dtypes.
 from __future__ import annotations
 
 import functools
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from .config import EnvConfig
-from .env import EnvState, init_state
+from .env import EnvState
 from .ops.bitpack import WORD, bit_ca_step, bit_multi_step, pack_grid, unpack_grid
 from .ops.ca import pad_action
 

@@ -15,8 +15,6 @@ math as ops/ca.py (parity-tested), different data movement.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P

@@ -17,7 +17,6 @@ copy first (``jax.tree.map(jnp.copy, carry)``) to branch trajectories.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, NamedTuple, Optional, Sequence, Tuple
 
 import jax

@@ -14,6 +14,9 @@ from . import rle
 from . import agents
 from . import checkpoint
 from . import mcl
+from . import packed
+from . import parallel
+from . import policy
 from .rollout import Rollout, RolloutCarry
 
 __version__ = "0.1.0"
@@ -30,6 +33,9 @@ __all__ = [
     "init_state",
     "mcl",
     "multi_step",
+    "packed",
+    "parallel",
+    "policy",
     "reset_state",
     "rle",
     "rules",

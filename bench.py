@@ -131,6 +131,9 @@ BACKENDS = {
 
 
 def main() -> int:
+    from carle_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--instances", type=int, default=4096)
     parser.add_argument("--size", type=int, default=256)

@@ -66,6 +66,9 @@ def measure(n_devices: int, instances_per_device: int, size: int, steps: int,
 
 
 def main() -> int:
+    from carle_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     parser = argparse.ArgumentParser()
     parser.add_argument("--devices", type=int, nargs="+", default=None,
                         help="device counts to sweep (default: 1..all by 2x)")

@@ -224,6 +224,10 @@ def evaluate_fused(
 if __name__ == "__main__":
     import argparse
 
+    from carle_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     parser = argparse.ArgumentParser()
     parser.add_argument("--fused", action="store_true",
                         help="one jitted scan per ruleset (TPU-native path)")

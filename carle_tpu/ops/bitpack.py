@@ -124,3 +124,74 @@ def bit_multi_step(packed: jax.Array, rule_bits: jax.Array, num_steps: int) -> j
         return bit_ca_step(p, rule_bits), None
 
     return jax.lax.scan(body, packed, length=num_steps)[0]
+
+
+# ---------------------------------------------------------------------------
+# Rule-specialized variant: constant-fold the mux tree at trace time
+# ---------------------------------------------------------------------------
+
+
+def _fold_mux(a, b, sel):
+    """Mux with trace-time constant folding.  Planes are either the string
+    constants "0"/"1" or arrays; returns the same representation."""
+    if isinstance(a, str) and isinstance(b, str):
+        if a == b:
+            return a
+        return sel if a == "0" else ~sel
+    if isinstance(a, str):
+        return (b & sel) if a == "0" else (~sel | (b & sel))
+    if isinstance(b, str):
+        return (a & ~sel) if b == "0" else (sel | (a & ~sel))
+    return (a & ~sel) | (b & sel)
+
+
+def _fold_tail(a, sel):
+    """Odd-tail node (only reachable when sel == 0)."""
+    if isinstance(a, str):
+        return a if a == "0" else ~sel
+    return a & ~sel
+
+
+def _fold_tree(leaves, selectors):
+    planes = list(leaves)
+    for sel in selectors:
+        nxt = []
+        for i in range(0, len(planes) - 1, 2):
+            nxt.append(_fold_mux(planes[i], planes[i + 1], sel))
+        if len(planes) % 2:
+            nxt.append(_fold_tail(planes[-1], sel))
+        planes = nxt
+    return planes[0]
+
+
+def bit_ca_step_static(packed: jax.Array, birth, survive) -> jax.Array:
+    """One generation with the B/S rule fixed at TRACE time.
+
+    The mux tree's leaves become 0/1 constants, so constant folding collapses
+    it to a near-minimal boolean expression — for Life (B3/S23) the whole
+    rule decision is ~5 bitops per word (next = ~n3 & ~n2 & n1 & (n0 | g))
+    versus ~80 for the rules-as-data tree.  The price: changing the rule
+    recompiles.  Use :func:`bit_ca_step` when rules must stay data.
+    """
+    g = packed.astype(jnp.uint32)
+    n0, n1, n2, n3 = _neighbor_bitplanes(g)
+    birth_set = set(int(d) for d in birth)
+    survive_set = set(int(d) for d in survive)
+
+    def fold(digit_set):
+        leaves = ["1" if v in digit_set else "0" for v in range(9)]
+        out = _fold_tree(leaves, [n0, n1, n2, n3])
+        if isinstance(out, str):
+            zero = jnp.zeros_like(g)
+            return zero if out == "0" else ~zero
+        return out
+
+    return (fold(birth_set) & ~g) | (fold(survive_set) & g)
+
+
+def bit_multi_step_static(packed: jax.Array, birth, survive,
+                          num_steps: int) -> jax.Array:
+    def body(p, _):
+        return bit_ca_step_static(p, birth, survive), None
+
+    return jax.lax.scan(body, packed, length=num_steps)[0]

@@ -13,6 +13,8 @@ rolls and vertical torus neighbours are lane rolls.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -82,6 +84,54 @@ def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref):
     out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
 
 
+def _neighbor_planes_block(g: jax.Array):
+    """Bit-sliced Moore count planes on a transposed [tile, W/32, H] block."""
+    nwords = g.shape[-2]
+    h = g.shape[-1]
+    word_ax, row_ax = g.ndim - 2, g.ndim - 1
+
+    prev_word = pltpu.roll(g, 1, word_ax)
+    next_word = pltpu.roll(g, nwords - 1, word_ax)
+    left = (g << 1) | (prev_word >> 31)
+    right = (g >> 1) | (next_word << 31)
+    a = left ^ right
+    b = left & right
+
+    up = lambda x: pltpu.roll(x, 1, row_ax)
+    down = lambda x: pltpu.roll(x, h - 1, row_ax)
+
+    s1, c1 = _csa(up(a), a, down(a))
+    s2, c2 = _csa(up(g), down(g), s1)
+    s3, c3 = _csa(up(b), b, down(b))
+    s4, c4 = _csa(s3, c1, c2)
+    return s2, s4, c3 ^ c4, c3 & c4
+
+
+def _static_step_block(g: jax.Array, birth_set, survive_set) -> jax.Array:
+    """Rule baked at trace time — the mux tree constant-folds to a minimal
+    boolean expression (see ops/bitpack.py bit_ca_step_static)."""
+    from .bitpack import _fold_tree
+
+    n0, n1, n2, n3 = _neighbor_planes_block(g)
+
+    def fold(digit_set):
+        leaves = ["1" if v in digit_set else "0" for v in range(9)]
+        out = _fold_tree(leaves, [n0, n1, n2, n3])
+        if isinstance(out, str):
+            zero = jnp.zeros_like(g)
+            return zero if out == "0" else ~zero
+        return out
+
+    return (fold(birth_set) & ~g) | (fold(survive_set) & g)
+
+
+def _static_multi_step_kernel(steps_ref, grid_ref, out_ref, *, birth, survive):
+    def body(_, g):
+        return _static_step_block(g, birth, survive)
+
+    out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
+
+
 def _tile(instances: int, nwords: int, h: int,
           budget_bytes: int = 8 * 2**20) -> int:
     per_instance = nwords * h * 4 * 10  # ~10 live uint32 planes
@@ -117,4 +167,38 @@ def bit_multi_step_pallas(
         jnp.asarray(num_steps, jnp.int32).reshape(1),
         t,
     )
+    return out.transpose(0, 2, 1)
+
+
+@functools.partial(jax.jit, static_argnames=("birth", "survive"))
+def bit_multi_step_pallas_static(
+    packed: jax.Array, birth, survive, num_steps: jax.Array
+) -> jax.Array:
+    """``num_steps`` generations with the rule baked into the kernel.
+
+    ~3x fewer bitops per word than the rules-as-data kernel for sparse
+    rulesets like Life; recompiles when (birth, survive) change — use for
+    long fixed-rule runs and benchmarks."""
+    inst, h, nwords = packed.shape
+    t = packed.transpose(0, 2, 1)
+    tile = _tile(inst, nwords, h)
+    kernel = functools.partial(
+        _static_multi_step_kernel,
+        birth=frozenset(birth),
+        survive=frozenset(survive),
+    )
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(inst // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, nwords, h), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, nwords, h), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(jnp.asarray(num_steps, jnp.int32).reshape(1), t)
     return out.transpose(0, 2, 1)

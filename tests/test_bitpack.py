@@ -79,3 +79,39 @@ def test_bit_multi_step_pallas_parity():
             packed, jnp.asarray(rules.DAY_AND_NIGHT), jnp.asarray(3)
         )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+
+
+@pytest.mark.parametrize("rule_bits,birth,survive", [
+    (rules.LIFE, (3,), (2, 3)),
+    (rules.MORLEY, (3, 6, 8), (2, 4, 5)),
+    (rules.DAY_AND_NIGHT, (3, 6, 7, 8), (3, 4, 6, 7, 8)),
+    (rules.LIVE_FREE_OR_DIE, (2,), (0,)),
+])
+def test_static_rule_fold_parity(rule_bits, birth, survive):
+    """The constant-folded static-rule step must equal the rules-as-data
+    step bit-for-bit."""
+    from carle_tpu.ops.bitpack import bit_ca_step_static
+
+    rng = np.random.RandomState(11)
+    grid = (rng.rand(2, 64, 96) < 0.4).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+
+    a = bit_ca_step(packed, jnp.asarray(rule_bits))
+    b = bit_ca_step_static(packed, birth, survive)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_static_pallas_kernel_parity():
+    from jax.experimental.pallas import tpu as pltpu
+
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_static
+
+    rng = np.random.RandomState(12)
+    grid = (rng.rand(2, 128, 256) < 0.35).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+
+    expected = bit_multi_step(packed, jnp.asarray(rules.LIFE), 4)
+    with pltpu.force_tpu_interpret_mode():
+        out = bit_multi_step_pallas_static(packed, (3,), (2, 3),
+                                           jnp.asarray(4))
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))

@@ -30,7 +30,20 @@ from carle_tpu.mcl import AE2D, PufferDetector, RND2D, SpeedDetector
 
 from .submission import SubmissionAgent
 
+_HERE = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+
+# Shipped carle_tpu-trained checkpoints (train_mcl on TPU: 4 epochs x 4
+# rulesets x 1024 steps x 32 instances) — the analogue of the reference's
+# evaluation/RND2D_mcl.pt / AE2D_mcl.pt artifacts.
 DEFAULT_WRAPPERS = [
+    [RND2D, 1.0, _HERE + "/RND2D_mcl.npz"],
+    [AE2D, 1.0, _HERE + "/AE2D_mcl.npz"],
+    [SpeedDetector, 1e-2, None],
+    [PufferDetector, 1e-3, None],
+]
+
+# The reference's own shipped checkpoints (converted on load) for A/B runs.
+REFERENCE_WRAPPERS = [
     [RND2D, 1.0, "/root/reference/evaluation/RND2D_mcl.pt"],
     [AE2D, 1.0, "/root/reference/evaluation/AE2D_mcl.pt"],
     [SpeedDetector, 1e-2, None],
@@ -49,7 +62,9 @@ DEFAULT_RULES = [
 
 def _load_wrapper_checkpoint(wrapper: Any, path: str) -> None:
     if path.endswith(".npz"):
+        scale = wrapper.reward_scale  # spec wins over the checkpointed value
         wrapper._wstate = load_pytree(path, wrapper._wstate)
+        wrapper.reward_scale = scale
     else:
         import torch
 
@@ -177,7 +192,11 @@ def evaluate_fused(
         if ckpt is None:
             continue
         if ckpt.endswith(".npz"):
-            new_wstates[i] = load_pytree(ckpt, new_wstates[i])
+            loaded = load_pytree(ckpt, new_wstates[i])
+            # the eval spec's reward_scale wins over the checkpointed value
+            new_wstates[i] = loaded._replace(
+                reward_scale=new_wstates[i].reward_scale
+            )
             continue
         import torch
 

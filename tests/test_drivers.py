@@ -64,18 +64,37 @@ def test_evaluate_protocol(tmp_path):
 def test_evaluate_with_reference_checkpoints():
     """The full default stack with the reference's shipped .pt checkpoints
     must load and produce finite scores (converted weights path)."""
-    from carle_tpu.evaluation.eval import DEFAULT_WRAPPERS, evaluate
+    from carle_tpu.evaluation.eval import REFERENCE_WRAPPERS, evaluate
     from carle_tpu.evaluation.submission import SubmissionAgent
 
     score, trace = evaluate(
         SubmissionAgent,
         [[[3], [2, 3]]],
-        DEFAULT_WRAPPERS,
+        REFERENCE_WRAPPERS,
         steps=4,
         verbose=False,
     )
     assert np.isfinite(score)
     assert len(trace) == 4
+
+
+def test_evaluate_with_shipped_npz_checkpoints():
+    """The in-repo carle_tpu-trained .npz checkpoints load through both the
+    class-shell and fused eval paths."""
+    from carle_tpu.evaluation.eval import DEFAULT_WRAPPERS, evaluate, evaluate_fused
+    from carle_tpu.evaluation.submission import SubmissionAgent
+
+    score, trace = evaluate(
+        SubmissionAgent, [[[3], [2, 3]]], DEFAULT_WRAPPERS, steps=3,
+        verbose=False,
+    )
+    assert np.isfinite(score)
+
+    score_f, trace_f = evaluate_fused(
+        rules=[[[3], [2, 3]]], wrappers=DEFAULT_WRAPPERS, steps=3,
+        verbose=False,
+    )
+    assert np.isfinite(score_f)
 
 
 def test_evaluate_survive_bug_compat_flag():
@@ -101,3 +120,21 @@ def test_evaluate_survive_bug_compat_flag():
     evaluate(SubmissionAgent, rules, [[Probe, 1.0, None]], steps=1,
              reference_compat=False, verbose=False)
     assert captured["survive"] == [2, 3]  # the fix
+
+
+def test_npz_checkpoint_load_preserves_spec_reward_scale():
+    from carle_tpu.evaluation.eval import _HERE, evaluate
+    from carle_tpu.evaluation.submission import SubmissionAgent
+    from carle_tpu.mcl import RND2D
+
+    captured = {}
+
+    class Probe(RND2D):
+        def reset(self):
+            captured["scale"] = self.reward_scale
+            return super().reset()
+
+    evaluate(SubmissionAgent, [[[3], [2, 3]]],
+             [[Probe, 0.25, _HERE + "/RND2D_mcl.npz"]], steps=1,
+             verbose=False)
+    assert captured["scale"] == 0.25

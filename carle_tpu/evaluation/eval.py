@@ -20,6 +20,7 @@ Run:  python -m carle_tpu.evaluation.eval
 
 from __future__ import annotations
 
+import os
 from typing import Any, Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -30,7 +31,7 @@ from carle_tpu.mcl import AE2D, PufferDetector, RND2D, SpeedDetector
 
 from .submission import SubmissionAgent
 
-_HERE = __import__("os").path.dirname(__import__("os").path.abspath(__file__))
+_HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Shipped carle_tpu-trained checkpoints (train_mcl on TPU: 4 epochs x 4
 # rulesets x 1024 steps x 32 instances) — the analogue of the reference's

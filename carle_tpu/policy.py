@@ -8,8 +8,9 @@ bonus networks (optionally learning online at the same time), REINFORCE
 updates — compiled into one ``lax.scan``.
 
 Policy: a small CNN maps the observation to per-cell Bernoulli logits over
-the action window.  Training: per-step REINFORCE with an EMA baseline and
-entropy regularization,
+the action window.  Training: per-step REINFORCE with a batch-mean advantage
+(blended with a small EMA term so a signal survives instances == 1),
+global-norm gradient clipping, and entropy regularization,
 
     loss = -(R - b) * sum(log pi(a|s)) - beta * H[pi]
 

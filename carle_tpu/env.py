@@ -356,6 +356,27 @@ class CARLE:
         self._last_pattern = pattern
         return pattern
 
+    def rle_to_grid(self, rle_text: str) -> np.ndarray:
+        """Decode an RLE body/pattern string to a uint8 grid (reference
+        rle_to_grid, env.py:260-328; used by MorphoBonus via inner_env)."""
+        pattern = rle_codec.parse_rle_text(rle_text)
+        return pattern.grid
+
+    def action_padding(self, action: Any) -> np.ndarray:
+        """Zero-pad an action patch into the centred window of a full-size
+        grid (the reference exposes this as an nn.ZeroPad2d attribute,
+        env.py:130; SpeedDetector uses it to build its exclusion mask)."""
+        arr = np.asarray(
+            jax.device_get(action) if isinstance(action, jax.Array) else action
+        )
+        lead = arr.shape[:-2]
+        arr2 = arr.reshape((-1,) + arr.shape[-2:])
+        padded = np.zeros((arr2.shape[0], self.height, self.width),
+                          dtype=arr.dtype)
+        r0, c0 = self.config.action_row_offset, self.config.action_col_offset
+        padded[:, r0 : r0 + arr2.shape[1], c0 : c0 + arr2.shape[2]] = arr2
+        return padded.reshape(lead + (self.height, self.width))
+
     def read_csv(self, filepath: str) -> List[List[str]]:
         """Read an episode log back as (action_rle, universe_rle) pairs.
         The reference's read_csv is a stub (env.py:384-388); this one works."""

@@ -18,7 +18,7 @@ modules are the TPU-native replacement for "scale = bigger instances count"
 
 from .mesh import env_sharding, make_mesh, shard_carry, replicate
 from .spatial import spatial_ca_step, spatial_multi_step
-from .pallas_halo import spatial_ca_step_pallas
+from .pallas_halo import spatial_ca_step_pallas, spatial_multi_step_pallas
 
 __all__ = [
     "env_sharding",
@@ -27,5 +27,6 @@ __all__ = [
     "replicate",
     "spatial_ca_step",
     "spatial_ca_step_pallas",
+    "spatial_multi_step_pallas",
     "spatial_multi_step",
 ]

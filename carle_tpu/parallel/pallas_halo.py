@@ -104,6 +104,122 @@ def _halo_kernel(rule_ref, grid_ref, out_ref, halo_ref, send_sem, recv_sem,
     out_ref[:, h - 1 : h, :] = _row_update(bottom, rule_ref[0])
 
 
+def _halo_multi_kernel(rule_ref, steps_ref, grid_ref, out_ref, halo_ref,
+                       send_sem, recv_sem, *, axis_name: str):
+    """K generations per launch: the universe stays VMEM-resident in
+    ``out_ref``; each generation barriers with the neighbours, RDMAs the
+    current boundary rows, computes the interior while the DMAs fly, then
+    the boundary rows.  ``rdma.wait()`` covers send completion, so
+    overwriting ``out_ref`` with the next generation is safe."""
+    n = jax.lax.axis_size(axis_name)
+    my_id = jax.lax.axis_index(axis_name)
+    up = (my_id - 1) % n
+    down = (my_id + 1) % n
+    h = grid_ref.shape[1]
+
+    out_ref[...] = grid_ref[...]
+
+    def one_generation(_, carry):
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=up,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=down,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, 2)
+
+        send_down = pltpu.make_async_remote_copy(
+            src_ref=out_ref.at[:, h - 1 : h, :],
+            dst_ref=halo_ref.at[0],
+            send_sem=send_sem.at[0],
+            recv_sem=recv_sem.at[0],
+            device_id=down,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        send_up = pltpu.make_async_remote_copy(
+            src_ref=out_ref.at[:, 0:1, :],
+            dst_ref=halo_ref.at[1],
+            send_sem=send_sem.at[1],
+            recv_sem=recv_sem.at[1],
+            device_id=up,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        send_down.start()
+        send_up.start()
+
+        g = out_ref[...]
+        interior = _row_update(g, rule_ref[0])
+
+        send_down.wait()
+        send_up.wait()
+        top = jnp.concatenate([halo_ref[0], g[:, 0:2, :]], axis=1)
+        bottom = jnp.concatenate([g[:, h - 2 : h, :], halo_ref[1]], axis=1)
+
+        out_ref[:, 1 : h - 1, :] = interior
+        out_ref[:, 0:1, :] = _row_update(top, rule_ref[0])
+        out_ref[:, h - 1 : h, :] = _row_update(bottom, rule_ref[0])
+        return carry
+
+    jax.lax.fori_loop(0, steps_ref[0], one_generation, 0)
+
+
+def spatial_multi_step_pallas(
+    grid: jax.Array,
+    rule_bits: jax.Array,
+    num_steps,
+    mesh: Mesh,
+    axis_name: str = "space",
+    collective_id: int = 8,
+    interpret: bool = False,
+    detect_races: bool = False,
+) -> jax.Array:
+    """``num_steps`` generations of a row-sharded universe, one kernel launch
+    per device: per-generation halo RDMA rides ICI while interior rows
+    compute, and the local shard never leaves VMEM between generations."""
+    interp = (
+        pltpu.InterpretParams(detect_races=detect_races) if interpret else False
+    )
+
+    def per_device(local: jax.Array, bits: jax.Array) -> jax.Array:
+        inst, h_local, w = local.shape
+        kernel = functools.partial(_halo_multi_kernel, axis_name=axis_name)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(local.shape, jnp.uint8),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(local.shape, lambda *_: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(local.shape, lambda *_: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, inst, 1, w), jnp.uint8),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=collective_id
+            ),
+            interpret=interp,
+        )(
+            jnp.asarray(bits, jnp.int32).reshape(1),
+            jnp.asarray(num_steps, jnp.int32).reshape(1),
+            local,
+        )
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None),
+        check_vma=False,
+    )
+    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
+
+
 def spatial_ca_step_pallas(
     grid: jax.Array,
     rule_bits: jax.Array,

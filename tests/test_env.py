@@ -147,3 +147,20 @@ def test_odd_universe_geometry():
     env.reset()
     obs, *_ = env.step(np.zeros((1, 1, 15, 15)))
     assert obs.shape == (1, 1, 65, 65)
+
+
+def test_rle_to_grid_and_action_padding_api():
+    """Reference-surface methods used by wrapper internals/user code."""
+    import numpy as np
+
+    from carle_tpu import CARLE
+
+    env = CARLE(height=64, width=64, action_height=16, action_width=16)
+    grid = env.rle_to_grid("x = 3, y = 3, rule = B3/S23\nbob$2bo$3o!")
+    assert grid.shape == (3, 3) and grid.sum() == 5
+
+    act = np.ones((1, 1, 16, 16), dtype=np.float32)
+    padded = env.action_padding(act)
+    assert padded.shape == (1, 1, 64, 64)
+    assert padded.sum() == 256
+    assert padded[0, 0, 24:40, 24:40].sum() == 256  # centred window

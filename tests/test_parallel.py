@@ -111,3 +111,22 @@ def test_pallas_halo_multiple_steps_chain():
         ref = ca_step_grid(ref, rules.LIFE)
         out = spatial_ca_step_pallas(out, rules.LIFE, mesh, interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_pallas_halo_multi_step_kernel():
+    """K generations per launch with per-generation in-kernel RDMA must
+    match the single-device multi-step bit-exactly (race detection ON)."""
+    from carle_tpu.parallel.pallas_halo import spatial_multi_step_pallas
+
+    mesh = make_mesh(axis_name="space")
+    rng = np.random.RandomState(6)
+    grid = (rng.rand(2, 64, 128) < 0.3).astype(np.uint8)
+
+    ref = jnp.asarray(grid)
+    for _ in range(5):
+        ref = ca_step_grid(ref, rules.LIFE)
+    out = spatial_multi_step_pallas(
+        jnp.asarray(grid), rules.LIFE, 5, mesh,
+        interpret=True, detect_races=True,
+    )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

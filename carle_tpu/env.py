@@ -190,6 +190,14 @@ class CARLE:
 
     # --- geometry passthroughs (reference attribute names) ----------------
     @property
+    def my_device(self) -> str:
+        """Reference attribute (env.py:25-37); informational here — JAX owns
+        placement."""
+        import jax as _jax
+
+        return str(_jax.devices()[0])
+
+    @property
     def width(self) -> int:
         return self.config.width
 

@@ -159,6 +159,7 @@ class Motivator:
         self.width = self.inner_env.height
         self.action_height = self.inner_env.action_height
         self.action_width = self.inner_env.action_width
+        self.my_device = self.inner_env.my_device  # mcl.py:46 parity
         self._reward_scale_attr = kwargs.get("reward_scale", 1.0)
 
         self._config: EnvConfig = self.inner_env.config

@@ -45,16 +45,21 @@ def init_ae_params(key: jax.Array, config: EnvConfig) -> Dict[str, Any]:
 
 
 def ae_forward(
-    params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array], train: bool
+    params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array],
+    train: bool, compute_dtype=None,
 ) -> jax.Array:
     k1, k2, k3, k4 = nets.split_keys(key, 4)
-    x = nets.conv2d(obs, params["conv1"], padding=1)
+    x = nets.conv2d(obs, params["conv1"], padding=1,
+                    compute_dtype=compute_dtype)
     x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k1, DROP_P, train)))
-    x = nets.conv2d(x, params["conv2"], padding=1)
+    x = nets.conv2d(x, params["conv2"], padding=1,
+                    compute_dtype=compute_dtype)
     x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k2, DROP_P, train)))
-    x = nets.conv_transpose2d(x, params["deconv1"])
+    x = nets.conv_transpose2d(x, params["deconv1"],
+                              compute_dtype=compute_dtype)
     x = jax.nn.relu(nets.dropout(x, k3, DROP_P, train))
-    x = nets.conv_transpose2d(x, params["deconv2"])
+    x = nets.conv_transpose2d(x, params["deconv2"],
+                              compute_dtype=compute_dtype)
     return jax.nn.sigmoid(nets.dropout(x, k4, DROP_P, train))
 
 
@@ -65,6 +70,7 @@ def ae2d_def(
     lr: Optional[float] = None,
     train: bool = True,
     dropout: Optional[bool] = None,
+    compute_dtype=None,
     **kwargs: Any,
 ) -> WrapperDef:
     use_dropout = train if dropout is None else dropout
@@ -76,7 +82,7 @@ def ae2d_def(
         )
 
     def loss_fn(params, state: LearnerState, obs, key):
-        prediction = ae_forward(params, obs, key, use_dropout)
+        prediction = ae_forward(params, obs, key, use_dropout, compute_dtype)
         # mean over C,H,W (mcl.py:508)
         per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, state.extra

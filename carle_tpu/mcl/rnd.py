@@ -57,25 +57,35 @@ def init_random_network_params(key: jax.Array, config: EnvConfig) -> Dict[str, A
 
 
 def predictor_forward(
-    params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array], train: bool
+    params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array],
+    train: bool, compute_dtype=None,
 ) -> jax.Array:
     k1, k2, k3 = nets.split_keys(key, 3)
-    x = nets.conv2d(obs, params["conv1"], padding=1)
+    x = nets.conv2d(obs, params["conv1"], padding=1,
+                    compute_dtype=compute_dtype)
     x = jax.nn.relu(nets.dropout(x, k1, DROP_P, train))
     x = nets.max_pool2(nets.max_pool2(x))
-    x = nets.conv2d(x, params["conv2"], padding=1)
+    x = nets.conv2d(x, params["conv2"], padding=1,
+                    compute_dtype=compute_dtype)
     x = jax.nn.relu(nets.dropout(x, k2, DROP_P, train))
     x = nets.max_pool2(x)
     x = nets.dropout(x, k3, DROP_P, train)
-    return jnp.tanh(nets.linear(nets.flatten(x), params["dense"]))
+    return jnp.tanh(
+        nets.linear(nets.flatten(x), params["dense"],
+                    compute_dtype=compute_dtype)
+    )
 
 
-def random_forward(params: Dict[str, Any], obs: jax.Array) -> jax.Array:
-    x = jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1))
+def random_forward(params: Dict[str, Any], obs: jax.Array,
+                   compute_dtype=None) -> jax.Array:
+    x = jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1,
+                                compute_dtype=compute_dtype))
     x = nets.max_pool2(nets.max_pool2(x))
-    x = jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1))
+    x = jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1,
+                                compute_dtype=compute_dtype))
     x = nets.max_pool2(x)
-    return jnp.tanh(nets.linear(nets.flatten(x), params["dense"]))
+    return jnp.tanh(nets.linear(nets.flatten(x), params["dense"],
+                                compute_dtype=compute_dtype))
 
 
 def rnd2d_def(
@@ -85,6 +95,7 @@ def rnd2d_def(
     lr: Optional[float] = None,
     train: bool = True,
     dropout: Optional[bool] = None,
+    compute_dtype=None,
     **kwargs: Any,
 ) -> WrapperDef:
     # dropout defaults to the train flag; pass dropout=False with train=True
@@ -104,8 +115,9 @@ def rnd2d_def(
         )
 
     def loss_fn(params, state: LearnerState, obs, key):
-        target = random_forward(state.target_params, obs)
-        prediction = predictor_forward(params, obs, key, use_dropout)
+        target = random_forward(state.target_params, obs, compute_dtype)
+        prediction = predictor_forward(params, obs, key, use_dropout,
+                                       compute_dtype)
         # mean over the embedding dim (mcl.py:350); target carries no grads
         per_inst = jnp.mean((jax.lax.stop_gradient(target) - prediction) ** 2, axis=1)
         return per_inst, state.extra

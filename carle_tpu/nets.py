@@ -94,23 +94,35 @@ def linear_init(
 _DIMNUMS = ("NCHW", "OIHW", "NCHW")
 
 
-def conv2d(x: jax.Array, p: Params, stride: int = 1, padding: int = 0) -> jax.Array:
-    """2-D convolution, NCHW x OIHW."""
+def conv2d(x: jax.Array, p: Params, stride: int = 1, padding: int = 0,
+           compute_dtype=None) -> jax.Array:
+    """2-D convolution, NCHW x OIHW.
+
+    ``compute_dtype=bfloat16`` casts inputs/weights for the multiply while
+    keeping f32 accumulation (preferred_element_type) — the mixed-precision
+    option for bandwidth-bound training; default is exact f32."""
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     out = jax.lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=(stride, stride),
         padding=((padding, padding), (padding, padding)),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if compute_dtype is not None
+        else jnp.float32,
     )
+    out = out.astype(jnp.float32)
     if "b" in p:
         out = out + p["b"][None, :, None, None]
     return out
 
 
 def conv_transpose2d(
-    x: jax.Array, p: Params, stride: int = 2, padding: int = 1
+    x: jax.Array, p: Params, stride: int = 2, padding: int = 1,
+    compute_dtype=None,
 ) -> jax.Array:
     """torch-semantics ConvTranspose2d: out = (in-1)*stride - 2*padding + k.
 
@@ -120,6 +132,9 @@ def conv_transpose2d(
     """
     w = p["w"]  # (in_ch, out_ch, kH, kW)
     k = w.shape[2]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
     flipped = jnp.flip(w, axis=(2, 3)).transpose(1, 0, 2, 3)  # -> OIHW
     pad = k - 1 - padding
     out = jax.lax.conv_general_dilated(
@@ -129,15 +144,25 @@ def conv_transpose2d(
         padding=((pad, pad), (pad, pad)),
         lhs_dilation=(stride, stride),
         dimension_numbers=_DIMNUMS,
-        preferred_element_type=jnp.float32,
+        preferred_element_type=None if compute_dtype is not None
+        else jnp.float32,
     )
+    out = out.astype(jnp.float32)
     if "b" in p:
         out = out + p["b"][None, :, None, None]
     return out
 
 
-def linear(x: jax.Array, p: Params) -> jax.Array:
-    out = jnp.dot(x, p["w"].T, preferred_element_type=jnp.float32)
+def linear(x: jax.Array, p: Params, compute_dtype=None) -> jax.Array:
+    w = p["w"]
+    if compute_dtype is not None:
+        x = x.astype(compute_dtype)
+        w = w.astype(compute_dtype)
+    out = jnp.dot(
+        x, w.T,
+        preferred_element_type=None if compute_dtype is not None
+        else jnp.float32,
+    ).astype(jnp.float32)
     if "b" in p:
         out = out + p["b"]
     return out

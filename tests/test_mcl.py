@@ -382,3 +382,33 @@ def test_glider_pattern_matches_reference_helper():
 
     np.testing.assert_array_equal(get_glider(), ref_glider().numpy())
     np.testing.assert_array_equal(get_morley_puffer(), ref_puffer().numpy())
+
+
+def test_bf16_compute_dtype_option():
+    """compute_dtype=bfloat16 runs the learned wrappers with mixed-precision
+    forwards (f32 accumulation); bonuses stay close to the f32 path."""
+    import jax.numpy as jnp_
+    from carle_tpu.mcl.rnd import rnd2d_def
+    from carle_tpu.mcl.ae import ae2d_def
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.rollout import Rollout
+    from carle_tpu.agents import make_random_agent
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+
+    def run(dtype):
+        ro = Rollout(
+            cfg,
+            [rnd2d_def(cfg, batch_size=4, dropout=False, compute_dtype=dtype),
+             ae2d_def(cfg, batch_size=4, dropout=False, compute_dtype=dtype)],
+            make_random_agent(16, 16),
+        )
+        carry = ro.init(jax.random.PRNGKey(0), rules_mod.LIFE)
+        carry, rewards = ro.run(carry, num_steps=8)
+        return np.asarray(rewards)
+
+    r32 = run(None)
+    r16 = run(jnp_.bfloat16)
+    assert np.isfinite(r16).all()
+    np.testing.assert_allclose(r16, r32, rtol=0.15, atol=0.02)

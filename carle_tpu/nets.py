@@ -98,9 +98,10 @@ def conv2d(x: jax.Array, p: Params, stride: int = 1, padding: int = 0,
            compute_dtype=None) -> jax.Array:
     """2-D convolution, NCHW x OIHW.
 
-    ``compute_dtype=bfloat16`` casts inputs/weights for the multiply while
-    keeping f32 accumulation (preferred_element_type) — the mixed-precision
-    option for bandwidth-bound training; default is exact f32."""
+    ``compute_dtype=bfloat16`` runs the layer in reduced precision (outputs
+    cast back to f32).  Measured on TPU v5e this is ~37x SLOWER for the
+    tiny-channel wrapper convs (bf16 layout pathology) — keep the f32
+    default there; the option exists for architectures where it wins."""
     w = p["w"]
     if compute_dtype is not None:
         x = x.astype(compute_dtype)

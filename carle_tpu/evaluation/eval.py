@@ -248,16 +248,32 @@ if __name__ == "__main__":
 
     enable_compilation_cache()
 
-    parser = argparse.ArgumentParser()
+    parser = argparse.ArgumentParser(
+        description="Challenge evaluation (5 rulesets x N steps)"
+    )
     parser.add_argument("--fused", action="store_true",
                         help="one jitted scan per ruleset (TPU-native path)")
     parser.add_argument("--steps", type=int, default=1024)
+    parser.add_argument("--checkpoints", choices=("shipped", "reference"),
+                        default="shipped",
+                        help="shipped carle_tpu .npz or converted reference .pt")
+    parser.add_argument("--fix-survive-bug", action="store_true",
+                        help="use the declared survive rules instead of the "
+                             "reference's survive<-birth bug")
+    parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
+    wrappers = (DEFAULT_WRAPPERS if args.checkpoints == "shipped"
+                else REFERENCE_WRAPPERS)
+    compat = not args.fix_survive_bug
     if args.fused:
-        score, trace = evaluate_fused(steps=args.steps)
+        score, trace = evaluate_fused(
+            wrappers=wrappers, steps=args.steps,
+            reference_compat=compat, seed=args.seed,
+        )
     else:
         score, trace = evaluate(
-            SubmissionAgent, DEFAULT_RULES, DEFAULT_WRAPPERS, steps=args.steps
+            SubmissionAgent, DEFAULT_RULES, wrappers, steps=args.steps,
+            reference_compat=compat, seed=args.seed,
         )
     print("mean evaluation score is {:.3e}".format(score))

@@ -147,13 +147,36 @@ def train(
 
 
 if __name__ == "__main__":
+    import argparse
+
     from .utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    parser = argparse.ArgumentParser(
+        description="Pre-train the RND2D+AE2D wrapper stack (fused scans)"
+    )
+    parser.add_argument("--instances", type=int, default=8)
+    parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--steps-per-rule", type=int, default=512)
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--size", type=int, default=256,
+                        help="universe height = width")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--log-dir", default="./logs/mcl")
+    parser.add_argument("--resume-from", default=None,
+                        help="directory holding RND2D.npz / AE2D.npz")
+    args = parser.parse_args()
+
     history = train(
-        instances=8,
-        steps=[2, 512],
+        instances=args.instances,
+        steps=[args.epochs, args.steps_per_rule],
         rules=DEFAULT_RULES,
+        height=args.size,
+        width=args.size,
+        batch_size=args.batch_size,
+        seed=args.seed,
+        log_dir=args.log_dir,
+        resume_from=args.resume_from,
     )
     print(json.dumps({"total_reward": float(history.sum()),
-                      "segments": len(history) // 512}))
+                      "segments": len(history) // args.steps_per_rule}))

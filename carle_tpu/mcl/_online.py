@@ -113,6 +113,7 @@ def learner_apply(
     bonus_fn: Callable[[jax.Array, jax.Array], jax.Array],
     opt: optax.GradientTransformation,
     train: bool,
+    remat: bool = False,
 ):
     """Build a WrapperDef.apply for an online learner.
 
@@ -122,6 +123,11 @@ def learner_apply(
     for PredictionBonus, ...).  With ``train=False`` this is the reference's
     ``get_bonus_only`` (mcl.py:389-395): forward pass only, dropout off, no
     gradient or optimizer work at all.
+
+    ``remat=True`` wraps the loss in ``jax.checkpoint`` so the backward pass
+    recomputes activations instead of storing them — trades ~1 extra forward
+    per step for O(layers) less live memory, which is what lets huge env
+    batches (4096+ of 256x256) train without spilling HBM.
     """
 
     def apply(state: LearnerState, ctx: Any, reward: jax.Array):
@@ -131,6 +137,8 @@ def learner_apply(
                 per_inst, new_extra = loss_fn(params, state, obs, ctx.key)
                 return jnp.mean(per_inst), (per_inst, new_extra)
 
+            if remat:
+                scalar_loss = jax.checkpoint(scalar_loss)
             grads, (per_inst, new_extra) = jax.grad(
                 scalar_loss, has_aux=True
             )(state.params)

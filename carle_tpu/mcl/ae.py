@@ -71,6 +71,7 @@ def ae2d_def(
     train: bool = True,
     dropout: Optional[bool] = None,
     compute_dtype=None,
+    remat: bool = False,
     **kwargs: Any,
 ) -> WrapperDef:
     use_dropout = train if dropout is None else dropout
@@ -93,7 +94,7 @@ def ae2d_def(
     return WrapperDef(
         name="AE2D",
         init=init,
-        apply=learner_apply(loss_fn, bonus_fn, opt, train),
+        apply=learner_apply(loss_fn, bonus_fn, opt, train, remat),
         on_reset=default_on_reset,
     )
 

@@ -64,6 +64,7 @@ def _make_def(
     prediction_steps: int = 5,
     train: bool = True,
     dropout: Optional[bool] = None,
+    remat: bool = False,
     **kwargs: Any,
 ) -> WrapperDef:
     use_dropout = train if dropout is None else dropout
@@ -97,7 +98,7 @@ def _make_def(
     return WrapperDef(
         name=name,
         init=init,
-        apply=learner_apply(loss_fn, bonus_fn, opt, train),
+        apply=learner_apply(loss_fn, bonus_fn, opt, train, remat),
         on_reset=default_on_reset,
     )
 

@@ -96,6 +96,7 @@ def rnd2d_def(
     train: bool = True,
     dropout: Optional[bool] = None,
     compute_dtype=None,
+    remat: bool = False,
     **kwargs: Any,
 ) -> WrapperDef:
     # dropout defaults to the train flag; pass dropout=False with train=True
@@ -128,7 +129,7 @@ def rnd2d_def(
     return WrapperDef(
         name="RND2D",
         init=init,
-        apply=learner_apply(loss_fn, bonus_fn, opt, train),
+        apply=learner_apply(loss_fn, bonus_fn, opt, train, remat),
         on_reset=default_on_reset,
     )
 

@@ -412,3 +412,33 @@ def test_bf16_compute_dtype_option():
     r16 = run(jnp_.bfloat16)
     assert np.isfinite(r16).all()
     np.testing.assert_allclose(r16, r32, rtol=0.15, atol=0.02)
+
+
+def test_remat_option_matches_plain_gradients():
+    """remat=True recomputes activations in backward; the resulting updates
+    must be numerically identical to the plain path."""
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.agents import make_random_agent
+    from carle_tpu.mcl.ae import ae2d_def
+    from carle_tpu.rollout import Rollout
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+
+    def run(remat):
+        ro = Rollout(cfg, [ae2d_def(cfg, batch_size=2, dropout=False,
+                                    remat=remat)],
+                     make_random_agent(16, 16))
+        carry = ro.init(jax.random.PRNGKey(3), rules_mod.LIFE)
+        carry, rewards = ro.run(carry, num_steps=6)
+        return np.asarray(rewards), carry.stack.wrappers[0].params
+
+    r_plain, p_plain = run(False)
+    r_remat, p_remat = run(True)
+    np.testing.assert_allclose(r_remat, r_plain, rtol=1e-5, atol=1e-7)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-7
+        ),
+        p_plain, p_remat,
+    )

@@ -68,7 +68,10 @@ def load_pytree(path: str, like: Any) -> Any:
                 f"checkpoint leaf {key!r} has shape {arr.shape}, "
                 f"expected {np.shape(leaf)}"
             )
-        leaves.append(jax.numpy.asarray(arr, dtype=np.asarray(leaf).dtype))
+        dtype = getattr(leaf, "dtype", None)
+        if dtype is None:
+            dtype = np.asarray(leaf).dtype
+        leaves.append(jax.numpy.asarray(arr, dtype=dtype))
     return jax.tree_util.tree_unflatten(
         jax.tree_util.tree_structure(like), leaves
     )

@@ -91,3 +91,43 @@ def test_online_reward_curve_parity(which):
     # bonuses are O(1e-2..1); updates at steps 4, 8, 12, 16 must not diverge
     np.testing.assert_allclose(our_curve, ref_curve, rtol=2e-3, atol=2e-5)
     assert int(ours.updates) == len(ref_curve) // 4
+
+
+def test_statistic_wrapper_reward_parity():
+    """SpeedDetector + ParsimonyBonus rewards must match the torch reference
+    step-for-step under an identical action stream (no learning involved —
+    pure statistic/transform wrappers)."""
+    from carle.mcl import (  # reference
+        ParsimonyBonus as RefParsimony,
+        SpeedDetector as RefSpeed,
+    )
+
+    from carle_tpu.mcl import ParsimonyBonus, SpeedDetector
+
+    with torch.no_grad():
+        ref_env = RefCARLE(**SMALL, device="cpu")
+        ref = RefParsimony(RefSpeed(ref_env))
+    ours = ParsimonyBonus(SpeedDetector(CARLE(**SMALL)))
+
+    ref.reset()
+    ours.reset()
+
+    rng = np.random.RandomState(3)
+    acts = []
+    g = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    g[0, 0, 4, 5] = 1; g[0, 0, 5, 5:7] = 1; g[0, 0, 6, 4] = 1; g[0, 0, 6, 6] = 1
+    acts.append(g)
+    for t in range(14):
+        if t % 3 == 0:
+            acts.append((rng.rand(1, 1, 16, 16) < 0.1).astype(np.float32))
+        else:
+            acts.append(np.zeros((1, 1, 16, 16), dtype=np.float32))
+
+    for act in acts:
+        with torch.no_grad():
+            _, r_ref, _, _ = ref.step(torch.tensor(act))
+        _, r_our, _, _ = ours.step(act)
+        np.testing.assert_allclose(
+            float(np.asarray(r_our).sum()), float(r_ref.sum()),
+            rtol=1e-5, atol=1e-6,
+        )

@@ -164,3 +164,17 @@ def test_rle_to_grid_and_action_padding_api():
     assert padded.shape == (1, 1, 64, 64)
     assert padded.sum() == 256
     assert padded[0, 0, 24:40, 24:40].sum() == 256  # centred window
+
+
+def test_torch_tensor_actions_accepted():
+    """Drop-in compat: reference user code passes torch tensors to step()."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+
+    env = CARLE(height=64, width=64, action_height=16, action_width=16)
+    env.reset()
+    act = torch.zeros(1, 1, 16, 16)
+    act[0, 0, 7, 6:9] = 1.0
+    obs, reward, done, info = env.step(act)
+    assert float(np.asarray(obs).sum()) == 3.0  # blinker formed

@@ -442,3 +442,73 @@ def test_remat_option_matches_plain_gradients():
         ),
         p_plain, p_remat,
     )
+
+
+def test_speed_detector_per_instance_mode():
+    """per_instance=True scores each universe's own CoM speed instead of the
+    reference's batch-global scalar."""
+    from carle_tpu.mcl.speed import speed_def
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.rollout import Rollout
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    ro = Rollout(cfg, [speed_def(cfg, per_instance=True)])
+    carry = ro.init(jax.random.PRNGKey(0), rules_mod.LIFE)
+
+    # glider in instance 0 only; instance 1 stays empty
+    acts = np.zeros((30, 2, 16, 16), dtype=np.uint8)
+    acts[0, 0, 4, 5] = 1
+    acts[0, 0, 5, 5:7] = 1
+    acts[0, 0, 6, 4] = 1
+    acts[0, 0, 6, 6] = 1
+    carry, rewards = ro.run_actions(carry, acts)
+    r = np.asarray(rewards)  # [steps, 2, 1]
+    assert r[2:, 0].mean() > 0.05   # moving glider earns speed
+    assert np.allclose(r[2:, 1], 0.0, atol=1e-5)  # empty universe earns none
+
+
+def test_puffer_detector_per_instance_mode():
+    from carle_tpu.mcl.puffer import puffer_def
+    from carle_tpu import EnvConfig
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    wdef = puffer_def(cfg, growth_threshold=3, per_instance=True)
+    state = wdef.init(jax.random.PRNGKey(0))
+
+    def ctx_for(cells0, cells1):
+        grid = np.zeros((2, 64, 64), dtype=np.uint8)
+        grid[0, 0, :cells0] = 1
+        grid[1, 0, :cells1] = 1
+        return StepCtx(
+            prev_grid=jnp.asarray(grid),
+            obs=jnp.asarray(grid, jnp.float32)[:, None],
+            action=jnp.zeros((2, 16, 16), jnp.uint8),
+            action_full=jnp.zeros((2, 64, 64), jnp.uint8),
+            key=jax.random.PRNGKey(0),
+        )
+
+    r0 = jnp.zeros((2, 1))
+    fired = []
+    # instance 0 grows, instance 1 static
+    for step, (c0, c1) in enumerate([(1, 5), (2, 5), (3, 5), (4, 5), (5, 5)]):
+        state, r = wdef.apply(state, ctx_for(c0, c1), r0)
+        fired.append(np.asarray(r)[:, 0].tolist())
+    assert fired[-1][0] == 1.0  # growing instance fires
+    assert fired[-1][1] == 0.0  # static instance does not
+
+
+def test_morpho_reset_hook_in_fused_stack():
+    """WrapperStack.reset must run Morpho's nucleation-noise hook."""
+    from carle_tpu.mcl.morpho import morpho_def
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.rollout import Rollout
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    ro = Rollout(cfg, [morpho_def(cfg)])
+    carry = ro.init(jax.random.PRNGKey(5), rules_mod.LIFE)
+    carry, obs = ro.reset(carry)
+    density = float(np.asarray(obs).mean())
+    assert 0.001 < density < 0.02  # Bernoulli(0.005) seeds applied

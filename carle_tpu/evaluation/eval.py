@@ -144,6 +144,7 @@ def evaluate_fused(
     seed: int = 0,
     toggle_rate: float = 0.1,
     verbose: bool = True,
+    config: Any = None,
 ) -> Tuple[float, np.ndarray]:
     """TPU-native scoring: the same protocol as :func:`evaluate`, but each
     ruleset segment is ONE jitted ``lax.scan`` (policy + env + all bonuses),
@@ -157,7 +158,7 @@ def evaluate_fused(
     """
     import jax
 
-    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu import EnvConfig, rules as rules_mod  # noqa: F401
     from carle_tpu.agents import make_random_agent
     from carle_tpu.mcl.ae import ae2d_def, ae_params_from_torch
     from carle_tpu.mcl.puffer import puffer_def
@@ -174,7 +175,8 @@ def evaluate_fused(
     if wrappers is None:
         wrappers = DEFAULT_WRAPPERS
 
-    config = EnvConfig()
+    if config is None:
+        config = EnvConfig()  # the reference eval geometry (256², 1 env)
     factory = {
         RND2D: lambda scale: rnd2d_def(config, reward_scale=scale, train=False),
         AE2D: lambda scale: ae2d_def(config, reward_scale=scale, train=False),

@@ -138,3 +138,16 @@ def test_npz_checkpoint_load_preserves_spec_reward_scale():
              [[Probe, 0.25, _HERE + "/RND2D_mcl.npz"]], steps=1,
              verbose=False)
     assert captured["scale"] == 0.25
+
+
+def test_evaluate_fused_deterministic_under_seed():
+    from carle_tpu.evaluation.eval import evaluate_fused
+
+    from carle_tpu.mcl import SpeedDetector
+
+    kw = dict(rules=[[[3], [2, 3]]], wrappers=[[SpeedDetector, 1e-2, None]],
+              steps=5, verbose=False, seed=123)
+    s1, t1 = evaluate_fused(**kw)
+    s2, t2 = evaluate_fused(**kw)
+    assert s1 == s2
+    np.testing.assert_array_equal(t1, t2)

@@ -178,3 +178,17 @@ def test_torch_tensor_actions_accepted():
     act[0, 0, 7, 6:9] = 1.0
     obs, reward, done, info = env.step(act)
     assert float(np.asarray(obs).sum()) == 3.0  # blinker formed
+
+
+def test_single_action_broadcasts_over_instances():
+    """A [1,1,AH,AW] action applied to a multi-instance env broadcasts, as
+    torch broadcasting does in the reference XOR (env.py:182)."""
+    env = CARLE(height=64, width=64, action_height=16, action_width=16,
+                instances=3)
+    env.reset()
+    act = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    act[0, 0, 7, 6:9] = 1.0
+    obs, *_ = env.step(act)
+    grids = np.asarray(obs)[:, 0]
+    assert (grids[0] == grids[1]).all() and (grids[1] == grids[2]).all()
+    assert grids[0].sum() == 3

@@ -51,12 +51,12 @@ def _neighbor_rule(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return ((rule_bits >> idx) & 1).astype(jnp.uint8)
 
 
-def _step_kernel(rule_ref, grid_ref, action_ref, out_ref, *, r0, c0, ah, aw):
-    g = grid_ref[...]
-    a = action_ref[...]
-    patch = jax.lax.dynamic_slice(g, (0, r0, c0), (g.shape[0], ah, aw)) ^ a
-    g = jax.lax.dynamic_update_slice(g, patch, (0, r0, c0))
-    out_ref[...] = _neighbor_rule(g, rule_ref[0])
+def _step_kernel(rule_ref, grid_ref, action_ref, out_ref):
+    """Action arrives pre-padded to full [tile, H, W] (Mosaic has no
+    dynamic_slice lowering; a plain XOR fuses with the stencil anyway)."""
+    out_ref[...] = _neighbor_rule(
+        grid_ref[...] ^ action_ref[...], rule_ref[0]
+    )
 
 
 def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref):
@@ -87,17 +87,13 @@ def ca_step_pallas(
     grid:   uint8 [instances, H, W]
     action: uint8 [instances, AH, AW]
     """
+    from .ca import pad_action
+
     inst, h, w = grid.shape
     tile = _instance_tile(inst, h, w)
-    kernel = functools.partial(
-        _step_kernel,
-        r0=config.action_row_offset,
-        c0=config.action_col_offset,
-        ah=config.eff_action_height,
-        aw=config.eff_action_width,
-    )
+    action_full = pad_action(action, config)
     return pl.pallas_call(
-        kernel,
+        _step_kernel,
         out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.uint8),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -105,16 +101,13 @@ def ca_step_pallas(
             in_specs=[
                 pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec(
-                    (tile, config.eff_action_height, config.eff_action_width),
-                    lambda i, *_: (i, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
+                pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
                                    memory_space=pltpu.VMEM),
         ),
-    )(jnp.asarray(rule_bits, jnp.int32).reshape(1), grid, action)
+    )(jnp.asarray(rule_bits, jnp.int32).reshape(1), grid, action_full)
 
 
 @jax.jit

@@ -16,9 +16,17 @@ Per device and step:
 4. wait, compute the two boundary rows.
 
 Same math as ops/ca.py (integer Moore sum + 18-bit rule shift).  Parity vs
-the single-device path is tested in interpret mode on the CPU mesh where
-supported, and the kernel follows the guide's ring-collective recipe
-exactly (pallas_guide.md "Async Remote DMA", "Semaphores").
+the single-device path is tested in interpret mode on the CPU mesh (with
+``detect_races=True``), and the kernel follows the guide's ring-collective
+recipe exactly (pallas_guide.md "Async Remote DMA", "Semaphores").
+
+HARDWARE CAVEAT: this bench box has one chip, so the RDMA path cannot be
+hardware-executed here — only interpreter-verified.  The interpreter accepts
+some primitives Mosaic's TC lowering does not (we hit exactly this with
+``dynamic_slice`` in ops/pallas_ca.py), so first bring-up on a real pod
+slice should smoke these kernels before relying on them; the
+shard_map+ppermute path (spatial.py) is the conservative alternative whose
+collectives XLA lowers everywhere.
 """
 
 from __future__ import annotations

@@ -5,9 +5,13 @@ obs) -> action`` so policies drop into the fused ``lax.scan`` rollout
 (rollout.py), plus a callable class shell mirroring the reference's
 ``nn.Module.forward(obs)`` surface for drop-in use.
 
-Actions are float 0/1 arrays shaped [instances, 1, action_width,
-action_height] exactly as the reference emits them (agents.py:36-41, 98-101);
-the env's action coercion accepts this layout directly.
+Action layout: functional agents emit float 0/1 arrays shaped
+[instances, 1, action_height, action_width] — rows first, matching the env's
+(AH, AW) patch convention, so non-square action windows (a beyond-reference
+capability) flow through the fused rollout without a silent transpose.  The
+reference names its trailing dims (width, height) (agents.py:36-41, 98-101)
+but only ever runs square windows, where the layouts coincide; parity tests
+are unaffected.
 """
 
 from __future__ import annotations
@@ -24,7 +28,7 @@ from . import nets
 class Agent(NamedTuple):
     """A pure policy: ``init`` builds the (possibly empty) param pytree,
     ``apply(params, key, obs)`` maps a float observation [inst, 1, H, W] to a
-    float 0/1 action [inst, 1, AW, AH]."""
+    float 0/1 action [inst, 1, AH, AW] (rows first)."""
 
     init: Callable[[jax.Array], Any]
     apply: Callable[[Any, jax.Array, jax.Array], jax.Array]
@@ -58,7 +62,7 @@ def make_random_agent(
     def apply(params: Any, key: jax.Array, obs: jax.Array) -> jax.Array:
         instances = obs.shape[0]
         u = jax.random.uniform(
-            key, (instances, 1, action_width, action_height), dtype=jnp.float32
+            key, (instances, 1, action_height, action_width), dtype=jnp.float32
         )
         return (u <= toggle_rate).astype(jnp.float32)
 
@@ -116,7 +120,7 @@ def _rna_forward(
     x = nets.max_pool2(jax.nn.relu(x))
     x = jax.nn.sigmoid(nets.linear(nets.flatten(x), params["dense"]))
     action = (x <= toggle_rate).astype(jnp.float32)
-    return action.reshape(obs.shape[0], 1, action_width, action_height)
+    return action.reshape(obs.shape[0], 1, action_height, action_width)
 
 
 def make_random_network_agent(

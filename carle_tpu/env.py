@@ -290,9 +290,14 @@ class CARLE:
         while arr.ndim < 4:
             arr = arr[None]
         ah, aw = self.action_height, self.action_width
-        if arr.shape[2] > ah and arr.shape[3] > aw:
-            off_r = (self.height - ah) // 2
-            off_c = (self.width - aw) // 2
+        if arr.shape[2] > ah or arr.shape[3] > aw:
+            # centre-crop from the action's own extent: identical to the
+            # reference's universe-offset crop for full-size actions
+            # (env.py:164-169, where shape==universe so the offsets agree),
+            # and well-defined for any intermediate size — the reference
+            # slices out of range there.
+            off_r = max((arr.shape[2] - ah) // 2, 0)
+            off_c = max((arr.shape[3] - aw) // 2, 0)
             arr = arr[:, :, off_r : off_r + ah, off_c : off_c + aw]
         if arr.shape[0] == 1 and self.instances > 1:
             arr = np.broadcast_to(arr, (self.instances,) + arr.shape[1:])

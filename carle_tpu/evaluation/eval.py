@@ -27,7 +27,17 @@ import numpy as np
 
 from carle_tpu import CARLE
 from carle_tpu.checkpoint import load_pytree
-from carle_tpu.mcl import AE2D, PufferDetector, RND2D, SpeedDetector
+from carle_tpu.mcl import (
+    AE2D,
+    CornerBonus,
+    MorphoBonus,
+    ParsimonyBonus,
+    PredictionBonus,
+    PufferDetector,
+    RND2D,
+    SpeedDetector,
+    SurpriseBonus,
+)
 
 from .submission import SubmissionAgent
 

@@ -7,8 +7,10 @@ ring buffer; bonus = ``0.1 - prediction_error``, zeroed for dead universes
 zeroed for dead universes (mcl.py:708-727).
 
 The reference's Python-list ``grid_buffer`` (append, predict from
-``buffer[0]``, pop when len > 5) becomes a fixed [K, inst, 1, H, W] ring in
-the carried state with identical source-frame semantics, including the
+``buffer[0]``, pop when len > 5) becomes a fixed [inst, K, 1, H, W] ring in
+the carried state (instances on dim 0 like every batched leaf, so the mesh
+layer's dim-0 sharding rule applies) with identical source-frame semantics,
+including the
 warm-up phase where the source stays the first frame.  The reference's
 duplicated method definitions (mcl.py:609-677) resolve to the same behaviour
 implemented here (last definition wins in Python).
@@ -36,7 +38,7 @@ DECLARED_LR = 3e-4  # mcl.py:563; see _online.py — effectively 6e-2 upstream
 
 
 class FrameBuffer(NamedTuple):
-    frames: jax.Array  # f32 [K, inst, 1, H, W]
+    frames: jax.Array  # f32 [inst, K, 1, H, W]
     count: jax.Array   # int32 scalar
 
 
@@ -44,10 +46,10 @@ def _push(buf: FrameBuffer, obs: jax.Array, k: int) -> Tuple[jax.Array, FrameBuf
     """Reference list semantics (mcl.py:581-599): the prediction source is
     ``buffer[0]`` after appending (== obs while the buffer is empty); once
     len exceeds K the oldest frame is dropped."""
-    src = jnp.where(buf.count == 0, obs, buf.frames[0])
-    shifted = jnp.roll(buf.frames, -1, axis=0).at[k - 1].set(obs)
+    src = jnp.where(buf.count == 0, obs, buf.frames[:, 0])
+    shifted = jnp.roll(buf.frames, -1, axis=1).at[:, k - 1].set(obs)
     appended = jax.lax.dynamic_update_index_in_dim(
-        buf.frames, obs, jnp.minimum(buf.count, k - 1), 0
+        buf.frames, obs, jnp.minimum(buf.count, k - 1), 1
     )
     frames = jnp.where(buf.count >= k, shifted, appended)
     count = jnp.minimum(buf.count + 1, k)
@@ -74,7 +76,7 @@ def _make_def(
     def init(key: jax.Array) -> LearnerState:
         buf = FrameBuffer(
             frames=jnp.zeros(
-                (k, config.instances, 1, config.height, config.width),
+                (config.instances, k, 1, config.height, config.width),
                 dtype=jnp.float32,
             ),
             count=jnp.asarray(0, dtype=jnp.int32),

@@ -36,23 +36,21 @@ def make_mesh(
 def env_sharding(
     mesh: Mesh, leaf: Any, instances: int, axis_name: str = "env"
 ) -> NamedSharding:
-    """Sharding for one state leaf: the first dimension equal to
-    ``instances`` shards over the env axis; everything else replicates.
+    """Sharding for one state leaf: shard over the env axis iff dimension 0
+    equals ``instances``; everything else replicates.
 
-    The instances axis is identified by size.  For the state pytrees in this
-    package that is unambiguous as long as ``instances`` differs from grid
-    height/width and buffer lengths — assert rather than guess when a clash
-    could silently change placement.
+    Every instance-batched leaf in this package (grids [inst,H,W],
+    observations [inst,1,H,W], per-instance statistics [inst,...]) carries
+    the batch on dim 0, so only dim 0 is considered — a non-batch leaf whose
+    *inner* dimension happens to equal ``instances`` (e.g. a [H,W] weight
+    grid when instances == height) stays replicated instead of silently
+    resharding on the wrong axis.
     """
     shape = np.shape(leaf)
     n = mesh.devices.size
     spec: Any = P()
-    if instances % n == 0:
-        matches = [i for i, d in enumerate(shape) if d == instances]
-        if matches:
-            axes = [None] * len(shape)
-            axes[matches[0]] = axis_name
-            spec = P(*axes)
+    if instances % n == 0 and len(shape) >= 1 and shape[0] == instances:
+        spec = P(*([axis_name] + [None] * (len(shape) - 1)))
     return NamedSharding(mesh, spec)
 
 

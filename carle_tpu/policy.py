@@ -169,7 +169,7 @@ class PolicyTrainer:
                 u = jax.random.uniform(key, logits.shape)
                 action = u < jax.nn.sigmoid(logits)
             return action.astype(jnp.float32).reshape(
-                obs.shape[0], 1, cfg.eff_action_width, cfg.eff_action_height
+                obs.shape[0], 1, cfg.eff_action_height, cfg.eff_action_width
             )
 
         return Agent(init=init, apply=apply)

@@ -192,3 +192,20 @@ def test_single_action_broadcasts_over_instances():
     grids = np.asarray(obs)[:, 0]
     assert (grids[0] == grids[1]).all() and (grids[1] == grids[2]).all()
     assert grids[0].sum() == 3
+
+
+def test_intermediate_size_action_cropped():
+    """Actions strictly between window and universe size centre-crop from
+    their own extent (the reference slices out of range there,
+    env.py:164-169)."""
+    env = CARLE(height=64, width=64, action_height=16, action_width=16)
+    env.reset()
+    act = np.zeros((1, 1, 32, 32), dtype=np.float32)
+    # a 2x2 block (still life) at the centre of the 32x32 patch
+    act[0, 0, 16:18, 16:18] = 1.0
+    env.step(act)
+    grid = np.asarray(env.state.grid[0])
+    # the crop keeps rows/cols 8..24 of the patch; local (8,8) maps to the
+    # window offset 24, so the block lands at universe rows/cols 32..34
+    assert grid[32:34, 32:34].sum() == 4
+    assert grid.sum() == 4

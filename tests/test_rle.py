@@ -107,3 +107,30 @@ def test_episode_log_roundtrip(tmp_path):
     # the logged universe is the PRE-step state of step 2 == post-step of 1
     blinker = rle_codec.parse_rle_text(action_rle)
     assert blinker.grid.sum() == 0  # second action was empty
+
+
+def test_shipped_spaceship_assets():
+    """The two .rle assets the reference actually ships
+    (carle/spaceship_duck.rle, carle/spaceship_step.rle) are replicated in
+    carle_tpu/patterns/ — and really are one generation apart under B3/S23."""
+    import numpy as np
+
+    from carle_tpu.mcl.patterns import pattern_path
+    from carle_tpu.ops.ca import ca_step_grid
+    from carle_tpu import rle, rules
+
+    duck = rle.read_rle(pattern_path("spaceship_duck"))
+    step = rle.read_rle(pattern_path("spaceship_step"))
+    assert duck.birth == [3] and duck.survive == [2, 3]
+    assert duck.grid.sum() > 0 and step.grid.sum() > 0
+
+    # embed the duck in a comfortable grid, advance one generation, and find
+    # the step pattern in the result (the reference files are offset/cropped)
+    g = np.zeros((1, 32, 32), dtype=np.uint8)
+    g[0, 12 : 12 + duck.grid.shape[0], 12 : 12 + duck.grid.shape[1]] = duck.grid
+    out = np.asarray(ca_step_grid(g, rules.LIFE))[0]
+    live = np.argwhere(out)
+    r0, c0 = live.min(axis=0)
+    h, w = step.grid.shape
+    cropped = out[r0 : r0 + h, c0 : c0 + w]
+    np.testing.assert_array_equal(cropped, step.grid)

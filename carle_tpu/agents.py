@@ -183,6 +183,22 @@ class RandomNetworkAgent:
     def to(self, *a: Any, **k: Any) -> "RandomNetworkAgent":
         return self
 
+    def load_state_dict(self, state_dict: Any) -> None:
+        """Reference loading surface (eval.py:33-36): accepts a torch state
+        dict, a filesystem path to one (.pt), or a native .npz params file."""
+        if isinstance(state_dict, str):
+            if state_dict.endswith(".npz"):
+                from .checkpoint import load_pytree
+
+                self.params = load_pytree(state_dict, self.params)
+                return
+            import torch
+
+            state_dict = torch.load(
+                state_dict, weights_only=True, map_location="cpu"
+            )
+        self.load_torch_state_dict(state_dict)
+
     def load_torch_state_dict(self, state_dict: Dict[str, Any]) -> None:
         """Adopt weights from a reference ``network.state_dict()`` (keys
         ``network.{0,3,7}.weight`` per the Sequential indices, agents.py:74-83)."""

@@ -146,15 +146,105 @@ def evaluate(
     return score, score_trace
 
 
+def _fused_wrapper_factory(config: Any) -> dict:
+    """WrapperDef factories for every reference wrapper class, keyed by the
+    class used in ``[cls, reward_scale, ckpt]`` eval specs.  Learning
+    wrappers are built with ``train=False`` (frozen updates, dropout off —
+    the fused equivalent of the huge-batch_size trick, eval.py:45)."""
+    from carle_tpu.mcl import (
+        ae2d_def,
+        corner_def,
+        morpho_def,
+        parsimony_def,
+        prediction_def,
+        puffer_def,
+        rnd2d_def,
+        speed_def,
+        surprise_def,
+    )
+
+    return {
+        RND2D: lambda s: rnd2d_def(config, reward_scale=s, train=False),
+        AE2D: lambda s: ae2d_def(config, reward_scale=s, train=False),
+        PredictionBonus: lambda s: prediction_def(
+            config, reward_scale=s, train=False
+        ),
+        SurpriseBonus: lambda s: surprise_def(
+            config, reward_scale=s, train=False
+        ),
+        MorphoBonus: lambda s: morpho_def(config, reward_scale=s),
+        CornerBonus: lambda s: corner_def(config, reward_scale=s),
+        ParsimonyBonus: lambda s: parsimony_def(reward_scale=s),
+        SpeedDetector: lambda s: speed_def(config, reward_scale=s),
+        PufferDetector: lambda s: puffer_def(config, reward_scale=s),
+    }
+
+
+def _resolve_fused_agent(
+    Agent: Any, params_path: Optional[str], agent_params: Any,
+    config: Any, toggle_rate: float, seed: int,
+) -> Tuple[Any, Any]:
+    """Resolve any supported agent spec to (functional Agent, params).
+
+    Accepts: ``None`` (reference Bernoulli baseline), a functional
+    :class:`carle_tpu.agents.Agent`, an ``(Agent, params)`` pair, an agent
+    class (RandomAgent / RandomNetworkAgent / SubmissionAgent / any shell
+    exposing ``_agent``/``params``), or an already-built shell instance.
+    ``params_path`` loads into class/instance specs via their
+    ``load_state_dict`` (torch .pt or native .npz), matching the reference's
+    agent loading (eval.py:33-36).  Returned params of ``None`` mean "use
+    the agent's own init".
+    """
+    from carle_tpu.agents import Agent as FnAgent, make_random_agent
+
+    if Agent is None:
+        return (
+            make_random_agent(
+                config.eff_action_width, config.eff_action_height, toggle_rate
+            ),
+            agent_params,
+        )
+    if isinstance(Agent, FnAgent):
+        return Agent, agent_params
+    if isinstance(Agent, tuple):
+        fn, p = Agent
+        return fn, p
+
+    inst = (
+        Agent(
+            seed=seed,
+            action_width=config.eff_action_width,
+            action_height=config.eff_action_height,
+            observation_width=config.width,
+            observation_height=config.height,
+        )
+        if isinstance(Agent, type)
+        else Agent
+    )
+    if params_path is not None:
+        inst.load_state_dict(params_path)
+    fn = getattr(inst, "_agent", None)
+    if fn is None:
+        raise TypeError(
+            f"{type(inst).__name__} does not expose a functional policy "
+            "(expected an `_agent` attribute); pass a carle_tpu.agents.Agent "
+            "or an (Agent, params) pair instead"
+        )
+    return fn, getattr(inst, "params", None)
+
+
 def evaluate_fused(
+    Agent: Any = None,
     rules: Sequence[Sequence[Sequence[int]]] = None,
     wrappers: Sequence[Sequence[Any]] = None,
+    params_path: Optional[str] = None,
     steps: int = 1024,
     reference_compat: bool = True,
     seed: int = 0,
     toggle_rate: float = 0.1,
     verbose: bool = True,
     config: Any = None,
+    agent_params: Any = None,
 ) -> Tuple[float, np.ndarray]:
     """TPU-native scoring: the same protocol as :func:`evaluate`, but each
     ruleset segment is ONE jitted ``lax.scan`` (policy + env + all bonuses),
@@ -163,21 +253,20 @@ def evaluate_fused(
     dropout off) come from building the wrapper defs with ``train=False``
     — behaviourally identical to the huge-batch_size trick (eval.py:45).
 
-    The agent is the reference baseline: Bernoulli(toggle_rate) toggles
-    (submission.py:34-41).  Returns (mean score, per-step trace).
+    Any agent the per-step :func:`evaluate` accepts scores here too (see
+    :func:`_resolve_fused_agent`); ``Agent=None`` is the reference baseline
+    — Bernoulli(toggle_rate) toggles (submission.py:34-41).  All ten
+    reference wrapper classes are accepted in ``wrappers`` specs.  Returns
+    (mean score, per-step trace).
     """
     import jax
 
     from carle_tpu import EnvConfig, rules as rules_mod  # noqa: F401
-    from carle_tpu.agents import make_random_agent
-    from carle_tpu.mcl.ae import ae2d_def, ae_params_from_torch
-    from carle_tpu.mcl.puffer import puffer_def
+    from carle_tpu.mcl.ae import ae_params_from_torch
     from carle_tpu.mcl.rnd import (
         predictor_params_from_torch,
         random_network_params_from_torch,
-        rnd2d_def,
     )
-    from carle_tpu.mcl.speed import speed_def
     from carle_tpu.rollout import Rollout
 
     if rules is None:
@@ -187,17 +276,15 @@ def evaluate_fused(
 
     if config is None:
         config = EnvConfig()  # the reference eval geometry (256², 1 env)
-    factory = {
-        RND2D: lambda scale: rnd2d_def(config, reward_scale=scale, train=False),
-        AE2D: lambda scale: ae2d_def(config, reward_scale=scale, train=False),
-        SpeedDetector: lambda scale: speed_def(config, reward_scale=scale),
-        PufferDetector: lambda scale: puffer_def(config, reward_scale=scale),
-    }
+    factory = _fused_wrapper_factory(config)
     defs = [factory[cls](scale) for cls, scale, _ in wrappers]
-    ro = Rollout(config, defs, make_random_agent(
-        config.eff_action_width, config.eff_action_height, toggle_rate
-    ))
-    carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE)
+    agent_fn, loaded_params = _resolve_fused_agent(
+        Agent, params_path, agent_params, config, toggle_rate, seed
+    )
+    ro = Rollout(config, defs, agent_fn)
+    carry = ro.init(
+        jax.random.PRNGKey(seed), rules_mod.LIFE, agent_params=loaded_params
+    )
 
     # inject reference checkpoints into the functional states
     new_wstates = list(carry.stack.wrappers)
@@ -219,7 +306,9 @@ def evaluate_fused(
                 params=predictor_params_from_torch(sd),
                 target_params=random_network_params_from_torch(sd),
             )
-        elif cls is AE2D:
+        elif cls in (AE2D, PredictionBonus, SurpriseBonus):
+            # Prediction/Surprise subclass AE2D upstream (mcl.py:558, 701)
+            # and share its predictor architecture / state-dict layout
             new_wstates[i] = new_wstates[i]._replace(
                 params=ae_params_from_torch(sd)
             )
@@ -272,20 +361,32 @@ if __name__ == "__main__":
     parser.add_argument("--fix-survive-bug", action="store_true",
                         help="use the declared survive rules instead of the "
                              "reference's survive<-birth bug")
+    parser.add_argument("--agent", choices=("random", "network"),
+                        default="random",
+                        help="random = Bernoulli baseline (SubmissionAgent), "
+                             "network = frozen random-CNN RandomNetworkAgent")
+    parser.add_argument("--agent-params", default=None,
+                        help="agent checkpoint (.pt torch state dict or "
+                             ".npz params) loaded via load_state_dict")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
+
+    from carle_tpu.agents import RandomNetworkAgent
 
     wrappers = (DEFAULT_WRAPPERS if args.checkpoints == "shipped"
                 else REFERENCE_WRAPPERS)
     compat = not args.fix_survive_bug
+    agent_cls = SubmissionAgent if args.agent == "random" else RandomNetworkAgent
     if args.fused:
         score, trace = evaluate_fused(
-            wrappers=wrappers, steps=args.steps,
-            reference_compat=compat, seed=args.seed,
+            Agent=None if args.agent == "random" else agent_cls,
+            wrappers=wrappers, params_path=args.agent_params,
+            steps=args.steps, reference_compat=compat, seed=args.seed,
         )
     else:
         score, trace = evaluate(
-            SubmissionAgent, DEFAULT_RULES, wrappers, steps=args.steps,
+            agent_cls, DEFAULT_RULES, wrappers,
+            params_path=args.agent_params, steps=args.steps,
             reference_compat=compat, seed=args.seed,
         )
     print("mean evaluation score is {:.3e}".format(score))

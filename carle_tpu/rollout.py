@@ -51,9 +51,14 @@ class Rollout:
                                     donate_argnames=("carry",))
 
     # -- construction --------------------------------------------------------
-    def init(self, key: jax.Array, rule_bits: int) -> RolloutCarry:
+    def init(
+        self, key: jax.Array, rule_bits: int, agent_params: Any = None
+    ) -> RolloutCarry:
+        """Build the carry.  ``agent_params`` (e.g. a trained policy or a
+        converted submission) overrides the agent's own ``init``."""
         k_stack, k_agent, k_run = jax.random.split(key, 3)
-        agent_params = self.agent.init(k_agent) if self.agent else None
+        if agent_params is None:
+            agent_params = self.agent.init(k_agent) if self.agent else None
         return RolloutCarry(
             stack=self.stack.init(k_stack, rule_bits),
             agent_params=agent_params,

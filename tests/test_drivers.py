@@ -151,3 +151,106 @@ def test_evaluate_fused_deterministic_under_seed():
     s2, t2 = evaluate_fused(**kw)
     assert s1 == s2
     np.testing.assert_array_equal(t1, t2)
+
+
+def test_evaluate_fused_network_agent_matches_per_step():
+    """The fused path must score a deterministic parameterized agent
+    (RandomNetworkAgent) identically to the per-step protocol path under
+    shared checkpoints/seed — the challenge harness's core contract
+    (reference eval.py:17-36)."""
+    from carle_tpu.agents import RandomNetworkAgent
+    from carle_tpu.evaluation.eval import DEFAULT_WRAPPERS, evaluate, evaluate_fused
+
+    rules = [[[3], [2, 3]], [[3, 6, 8], [2, 4, 5]]]
+    score_ps, trace_ps = evaluate(
+        RandomNetworkAgent, rules, DEFAULT_WRAPPERS, steps=4,
+        verbose=False, seed=7,
+    )
+    score_f, trace_f = evaluate_fused(
+        Agent=RandomNetworkAgent, rules=rules, wrappers=DEFAULT_WRAPPERS,
+        steps=4, verbose=False, seed=7,
+    )
+    np.testing.assert_allclose(
+        np.asarray(trace_f), np.asarray(trace_ps), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(score_f, score_ps, rtol=1e-4)
+
+
+def test_evaluate_fused_all_wrapper_classes(tmp_path):
+    """Every reference wrapper class is accepted in fused eval specs; the
+    learning wrappers load shared .npz checkpoints so per-step and fused
+    trajectories coincide (Morpho excluded here: its reset noise is drawn
+    from per-path PRNG streams)."""
+    from carle_tpu import CARLE
+    from carle_tpu.agents import RandomNetworkAgent
+    from carle_tpu.checkpoint import save_pytree
+    from carle_tpu.evaluation.eval import evaluate, evaluate_fused
+    from carle_tpu.mcl import (
+        CornerBonus,
+        ParsimonyBonus,
+        PredictionBonus,
+        SurpriseBonus,
+    )
+
+    # materialize shared prediction/surprise checkpoints
+    pred_ckpt = str(tmp_path / "pred.npz")
+    sur_ckpt = str(tmp_path / "sur.npz")
+    save_pytree(pred_ckpt, PredictionBonus(CARLE(), seed=3)._wstate)
+    save_pytree(sur_ckpt, SurpriseBonus(CARLE(), seed=4)._wstate)
+
+    wrappers = [
+        [PredictionBonus, 1.0, pred_ckpt],
+        [SurpriseBonus, 0.5, sur_ckpt],
+        [CornerBonus, 1e-3, None],
+        [ParsimonyBonus, 1.0, None],
+    ]
+    rules = [[[3], [2, 3]]]
+    score_ps, trace_ps = evaluate(
+        RandomNetworkAgent, rules, wrappers, steps=4, verbose=False, seed=5,
+    )
+    score_f, trace_f = evaluate_fused(
+        Agent=RandomNetworkAgent, rules=rules, wrappers=wrappers, steps=4,
+        verbose=False, seed=5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(trace_f), np.asarray(trace_ps), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_evaluate_fused_morpho_runs():
+    """MorphoBonus in a fused spec: runs, finite, deterministic under seed."""
+    from carle_tpu.evaluation.eval import evaluate_fused
+    from carle_tpu.mcl import MorphoBonus
+
+    kw = dict(rules=[[[3], [2, 3]]], wrappers=[[MorphoBonus, 1.0, None]],
+              steps=4, verbose=False, seed=11)
+    s1, t1 = evaluate_fused(**kw)
+    s2, t2 = evaluate_fused(**kw)
+    assert np.isfinite(s1)
+    assert s1 == s2
+    np.testing.assert_array_equal(t1, t2)
+
+
+def test_evaluate_fused_trained_policy_agent():
+    """A policy.py-trained agent scores through the fused path via an
+    (Agent, params) pair — the converted-submission contract."""
+    import jax
+
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.evaluation.eval import evaluate_fused
+    from carle_tpu.mcl import SpeedDetector
+    from carle_tpu.policy import PolicyTrainer
+
+    config = EnvConfig()  # eval geometry: the policy must match it
+    trainer = PolicyTrainer(config, wrappers=[])
+    state = trainer.init(jax.random.PRNGKey(0), rules_mod.LIFE)
+    agent = trainer.as_agent()
+
+    score, trace = evaluate_fused(
+        Agent=(agent, state.params),
+        rules=[[[3], [2, 3]]],
+        wrappers=[[SpeedDetector, 1e-2, None]],
+        steps=4, verbose=False, seed=2,
+    )
+    assert np.isfinite(score)
+    assert len(trace) == 4

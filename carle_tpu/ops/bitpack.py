@@ -50,24 +50,18 @@ def _csa(a, b, c):
     return ab ^ c, (a & b) | (ab & c)
 
 
-def _neighbor_bitplanes(g: jax.Array):
-    """Bit-sliced Moore-neighbour count of a packed grid [..., H, W/32].
-
-    Returns (n0, n1, n2, n3): bit-planes of the 0-8 count.
-    """
-    # horizontal neighbours with cross-word carries (torus over words)
+def _horizontal_planes(g: jax.Array):
+    """Weight-1/weight-2 bit-planes of the left+right neighbour pair, with
+    cross-word carries (torus over the word axis)."""
     left = (g << 1) | (jnp.roll(g, 1, axis=-1) >> 31)
     right = (g >> 1) | (jnp.roll(g, -1, axis=-1) << 31)
-    a = left ^ right   # horizontal pair: weight-1 plane
-    b = left & right   # horizontal pair: weight-2 plane
+    return left ^ right, left & right
 
-    up = partial(jnp.roll, shift=1, axis=-2)
-    down = partial(jnp.roll, shift=-1, axis=-2)
 
-    a_t, b_t, m_t = up(a), up(b), up(g)
-    a_b, b_b, m_b = down(a), down(b), down(g)
-    # N = (a_t + 2 b_t + m_t) + (a + 2 b) + (a_b + 2 b_b + m_b)
-
+def _count_planes(a_t, b_t, m_t, a, b, a_b, b_b, m_b):
+    """Carry-save adder tree for the Moore count given the three rows'
+    horizontal pair-planes (a=weight1, b=weight2) and the vertical cells
+    m_t/m_b.  N = (a_t + 2 b_t + m_t) + (a + 2 b) + (a_b + 2 b_b + m_b)."""
     s1, c1 = _csa(a_t, a, a_b)      # weight-1 triples
     s2, c2 = _csa(m_t, m_b, s1)     # + the two vertical cells
     n0 = s2
@@ -81,20 +75,42 @@ def _neighbor_bitplanes(g: jax.Array):
     return n0, n1, n2, n3
 
 
+def _neighbor_bitplanes(g: jax.Array):
+    """Bit-sliced Moore-neighbour count of a packed grid [..., H, W/32].
+
+    Returns (n0, n1, n2, n3): bit-planes of the 0-8 count.
+    """
+    a, b = _horizontal_planes(g)
+
+    up = partial(jnp.roll, shift=1, axis=-2)
+    down = partial(jnp.roll, shift=-1, axis=-2)
+    return _count_planes(up(a), up(b), up(g), a, b,
+                         down(a), down(b), down(g))
+
+
+def _neighbor_bitplanes_padded(padded: jax.Array):
+    """Moore-count bit-planes for the middle rows of a grid carrying one
+    explicit ghost row above and below ([..., h+2, W/32] -> planes for
+    [..., h, W/32]).  The halo-exchange spatial paths use this instead of
+    the torus row-rolls in :func:`_neighbor_bitplanes`."""
+    a, b = _horizontal_planes(padded)
+    return _count_planes(
+        a[..., :-2, :], b[..., :-2, :], padded[..., :-2, :],
+        a[..., 1:-1, :], b[..., 1:-1, :],
+        a[..., 2:, :], b[..., 2:, :], padded[..., 2:, :],
+    )
+
+
 def _broadcast_rule_bit(rule_bits: jax.Array, k: int, like: jax.Array) -> jax.Array:
     """All-ones word where bit k of the rule mask is set, else zero."""
     bit = (rule_bits.astype(jnp.uint32) >> k) & jnp.uint32(1)
     return jnp.broadcast_to(jnp.uint32(0) - bit, like.shape)
 
 
-def bit_ca_step(packed: jax.Array, rule_bits: jax.Array) -> jax.Array:
-    """One generation on a packed grid; rules are data (traced rule_bits).
-
-    The rule decision selects bit (count + 9*alive) of the 18-bit mask via a
-    binary mux tree on the count bit-planes and the alive plane.
-    """
-    g = packed.astype(jnp.uint32)
-    n0, n1, n2, n3 = _neighbor_bitplanes(g)
+def _rule_mux(g: jax.Array, counts, rule_bits: jax.Array) -> jax.Array:
+    """Apply the 18-bit B/S rule mask (rules as data) to bit-sliced Moore
+    counts: selects bit (count + 9*alive) via a binary mux tree."""
+    n0, n1, n2, n3 = counts
 
     def select(planes, sel):
         """Mux pairs of bit-sliced leaves by one selector plane."""
@@ -117,6 +133,12 @@ def bit_ca_step(packed: jax.Array, rule_bits: jax.Array) -> jax.Array:
         return planes[0]
 
     return (fold(dead) & ~g) | (fold(alive) & g)
+
+
+def bit_ca_step(packed: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """One generation on a packed grid; rules are data (traced rule_bits)."""
+    g = packed.astype(jnp.uint32)
+    return _rule_mux(g, _neighbor_bitplanes(g), rule_bits)
 
 
 def bit_multi_step(packed: jax.Array, rule_bits: jax.Array, num_steps: int) -> jax.Array:
@@ -164,17 +186,9 @@ def _fold_tree(leaves, selectors):
     return planes[0]
 
 
-def bit_ca_step_static(packed: jax.Array, birth, survive) -> jax.Array:
-    """One generation with the B/S rule fixed at TRACE time.
-
-    The mux tree's leaves become 0/1 constants, so constant folding collapses
-    it to a near-minimal boolean expression — for Life (B3/S23) the whole
-    rule decision is ~5 bitops per word (next = ~n3 & ~n2 & n1 & (n0 | g))
-    versus ~80 for the rules-as-data tree.  The price: changing the rule
-    recompiles.  Use :func:`bit_ca_step` when rules must stay data.
-    """
-    g = packed.astype(jnp.uint32)
-    n0, n1, n2, n3 = _neighbor_bitplanes(g)
+def _rule_mux_static(g: jax.Array, counts, birth, survive) -> jax.Array:
+    """Trace-time-specialized rule application over bit-sliced counts."""
+    n0, n1, n2, n3 = counts
     birth_set = set(int(d) for d in birth)
     survive_set = set(int(d) for d in survive)
 
@@ -187,6 +201,19 @@ def bit_ca_step_static(packed: jax.Array, birth, survive) -> jax.Array:
         return out
 
     return (fold(birth_set) & ~g) | (fold(survive_set) & g)
+
+
+def bit_ca_step_static(packed: jax.Array, birth, survive) -> jax.Array:
+    """One generation with the B/S rule fixed at TRACE time.
+
+    The mux tree's leaves become 0/1 constants, so constant folding collapses
+    it to a near-minimal boolean expression — for Life (B3/S23) the whole
+    rule decision is ~5 bitops per word (next = ~n3 & ~n2 & n1 & (n0 | g))
+    versus ~80 for the rules-as-data tree.  The price: changing the rule
+    recompiles.  Use :func:`bit_ca_step` when rules must stay data.
+    """
+    g = packed.astype(jnp.uint32)
+    return _rule_mux_static(g, _neighbor_bitplanes(g), birth, survive)
 
 
 def bit_multi_step_static(packed: jax.Array, birth, survive,

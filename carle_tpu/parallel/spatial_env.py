@@ -1,0 +1,90 @@
+"""Spatial env mode — the FULL environment on a row-sharded universe.
+
+`spatial.py` shards the bare CA update with explicit shard_map halos; this
+module makes spatial sharding a real *env mode*: the complete ``env_step``
+semantics — action XOR in the centred window, batch-global master reset,
+every wrapper bonus, online learning — run on a universe whose rows are
+sharded over a ``space`` mesh axis, driven by the unchanged
+:class:`~carle_tpu.rollout.Rollout`.
+
+Design: GSPMD, not hand-written collectives.  The carry is *committed* with
+row shardings (grid [inst, H@space, W], obs-shaped buffers likewise) and the
+existing jitted step is re-used verbatim; XLA partitions the program and
+inserts the 1-row halo exchanges for the Moore stencil (``jnp.roll`` /
+convs on the sharded axis), all-gathers for the wrapper dense layers, and
+all-reduces for batch statistics.  That is exactly how a TPU program should
+shard: annotate placement, let the compiler schedule ICI traffic.  The
+explicit shard_map/ppermute and RDMA-kernel paths in `spatial.py` /
+`pallas_halo.py` remain the low-level alternatives for the bare CA hot loop
+(reference SURVEY.md §2: needed beyond ~8k² grids).
+
+Constraint: spatial mode requires ``EnvConfig.backend == "xla"`` — a
+``pallas_call`` is opaque to the GSPMD partitioner, so the fused Pallas
+kernels cannot be auto-sharded (they have their own explicit-RDMA spatial
+variants instead).
+
+Usage::
+
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    ro = Rollout(config, wrappers, agent)          # unchanged
+    carry = ro.init(key, rule_bits)
+    carry = shard_carry_spatial(carry, mesh, config)
+    carry, rewards = ro.run(carry, num_steps)      # runs row-sharded
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EnvConfig
+
+
+def spatial_sharding(
+    mesh: Mesh, leaf: Any, config: EnvConfig, axis_name: str = "space"
+) -> NamedSharding:
+    """Sharding for one state leaf in spatial mode: any leaf whose trailing
+    two dimensions are the universe extent (H, W) — grids [inst, H, W],
+    observations/frame rings [..., 1, H, W] — shards its row dimension over
+    the space axis; everything else (params, optimizer moments, scalars,
+    action patches) replicates."""
+    shape = np.shape(leaf)
+    n = mesh.devices.size
+    if (
+        len(shape) >= 2
+        and shape[-2] == config.height
+        and shape[-1] == config.width
+        and config.height % n == 0
+    ):
+        axes = [None] * len(shape)
+        axes[-2] = axis_name
+        return NamedSharding(mesh, P(*axes))
+    return NamedSharding(mesh, P())
+
+
+def shard_carry_spatial(
+    carry: Any, mesh: Mesh, config: EnvConfig, axis_name: str = "space"
+) -> Any:
+    """Commit a rollout carry (or any state pytree) for spatial execution:
+    universe-extent leaves row-sharded, the rest replicated.
+
+    Composes with the env-batch mesh (`mesh.py`) by building a 2-D
+    ``Mesh(devices.reshape(n_env, n_space), ("env", "space"))`` and
+    committing with both helpers' specs; for the shipped single-axis mode
+    this helper alone is sufficient.
+    """
+    if config.backend not in ("xla", "auto"):
+        raise ValueError(
+            "spatial env mode requires the XLA backend (GSPMD cannot "
+            f"partition the '{config.backend}' Pallas path; see module "
+            "docstring)"
+        )
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, spatial_sharding(mesh, leaf, config, axis_name)
+        ),
+        carry,
+    )

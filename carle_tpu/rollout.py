@@ -17,10 +17,13 @@ copy first (``jax.tree.map(jnp.copy, carry)``) to branch trajectories.
 
 from __future__ import annotations
 
-from typing import Any, NamedTuple, Optional, Sequence, Tuple
+import os
+import time
+from typing import Any, List, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .agents import Agent
 from .config import EnvConfig
@@ -49,6 +52,11 @@ class Rollout:
                             donate_argnames=("carry",))
         self._run_actions = jax.jit(self._run_actions_impl,
                                     donate_argnames=("carry",))
+        self._run_traced = jax.jit(
+            self._run_traced_impl,
+            static_argnames=("num_steps", "instance"),
+            donate_argnames=("carry",),
+        )
 
     # -- construction --------------------------------------------------------
     def init(
@@ -102,6 +110,99 @@ class Rollout:
         if self.agent is None:
             raise ValueError("rollout has no agent; use run_actions")
         return self._run(carry, num_steps=num_steps)
+
+    # -- logged segments: fused speed + reference episode artifacts ----------
+    def _traced_step(self, carry: RolloutCarry, _, instance: int):
+        key, k_act, k_step = jax.random.split(carry.key, 3)
+        obs = carry.stack.env.grid.astype(jnp.float32)[:, None]
+        action = self.agent.apply(carry.agent_params, k_act, obs)
+        patch = action.reshape(
+            self.config.instances,
+            self.config.eff_action_height,
+            self.config.eff_action_width,
+        )
+        stack, (_, reward) = self.stack.step(carry.stack, patch, k_step)
+        new_carry = RolloutCarry(
+            stack=stack, agent_params=carry.agent_params, key=key
+        )
+        return new_carry, (reward, (patch[instance] != 0).astype(jnp.uint8))
+
+    def _run_traced_impl(self, carry: RolloutCarry, num_steps: int,
+                         instance: int):
+        return jax.lax.scan(
+            lambda c, x: self._traced_step(c, x, instance),
+            carry, length=num_steps,
+        )
+
+    def run_logged(
+        self,
+        carry: RolloutCarry,
+        num_steps: int,
+        snapshot_every: int = 256,
+        instance: int = 0,
+        directory: str = "./logs",
+        save_png: bool = False,
+    ) -> Tuple[RolloutCarry, jax.Array, str]:
+        """Fused run with periodic episode artifacts (the observability the
+        per-step shell gets from ``logging=True`` — reference env.py:466-513
+        — without dropping to the dispatch-bound path).
+
+        Runs in jitted chunks of ``snapshot_every`` steps; after each chunk
+        the logged instance's universe and its most recent action patch are
+        pulled to the host and RLE-encoded as one log entry.  Writes the
+        reference's CSV episode-log format (plus optional PNG frames) and
+        returns (carry, rewards [steps, inst, 1], log_path).
+        """
+        from . import rle as rle_codec
+        from . import rules as rules_mod
+
+        if self.agent is None:
+            raise ValueError("rollout has no agent; use run_actions")
+        exp_id = str(int(time.time()))
+        os.makedirs(directory, exist_ok=True)
+        entries: List[List[str]] = []
+        rewards_chunks: List[np.ndarray] = []
+        done = 0
+        while done < num_steps:
+            k = int(min(snapshot_every, num_steps - done))
+            carry, (rewards, actions) = self._run_traced(
+                carry, num_steps=k, instance=instance
+            )
+            done += k
+            grid = np.asarray(jax.device_get(carry.stack.env.grid[instance]))
+            last_action = np.asarray(jax.device_get(actions[-1]))
+            birth, survive = rules_mod.unpack_rule_bits(
+                int(jax.device_get(carry.stack.env.rule_bits))
+            )
+            entries.append([
+                rle_codec.encode_grid(
+                    last_action, birth, survive,
+                    exp_id=exp_id, step=done, action=True,
+                    torus=last_action.shape,
+                ),
+                rle_codec.encode_grid(
+                    grid, birth, survive, exp_id=exp_id, step=done,
+                    torus=grid.shape,
+                ),
+            ])
+            if save_png:
+                from .utils.png import write_png
+
+                write_png(
+                    os.path.join(directory,
+                                 f"frame{exp_id}_step{done}.png"),
+                    (255 * grid).astype(np.uint8),
+                )
+            rewards_chunks.append(np.asarray(rewards))
+
+        log_path = os.path.join(directory, f"carle_log{exp_id}.csv")
+        with open(log_path, "w") as f:
+            f.write("action,universe,\n")
+            for entry in entries:
+                for item in entry:
+                    f.write('"' + item + '"' + ",")
+                f.write("\n")
+        return carry, np.concatenate(rewards_chunks), log_path
 
     # -- fixed action streams (parity tests, canned demos) --------------------
     def _action_step(self, carry: RolloutCarry, action: jax.Array):

@@ -61,10 +61,22 @@ def train(
     log_dir: str = "./logs/mcl",
     resume_from: Optional[str] = None,
     segment_callback: Optional[Callable[[Dict[str, Any]], None]] = None,
+    mesh: Any = "auto",
 ) -> np.ndarray:
     """Pre-train the RND2D + AE2D wrapper stack (reference train(),
     train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
     signature parity but the stack is RND2D + AE2D, train_mcl.py:38-39).
+
+    ``mesh`` controls multi-chip env-batch data parallelism (the north-star
+    config in BASELINE.md): ``"auto"`` shards the instance batch over every
+    local device whenever there is more than one and ``instances`` divides
+    evenly (for multi-host, call ``jax.distributed.initialize()`` first so
+    ``jax.devices()`` spans hosts); ``True`` forces it; ``False``/``None``
+    stays single-device; a ``jax.sharding.Mesh`` is used as given.  Sharding
+    is placement-only — grids and per-instance stats shard over the "env"
+    axis, wrapper params/optimizer moments replicate, and XLA turns the
+    batch-mean losses into ICI all-reduces — so reward histories match the
+    single-device run (tests/test_drivers.py).
 
     Returns the per-step summed reward history, and writes:
       {log_dir}/models/RND2D_{exp}.npz, AE2D_{exp}.npz  (full learner states)
@@ -97,6 +109,20 @@ def train(
             for name, ws in zip(("RND2D", "AE2D"), carry.stack.wrappers)
         )
         carry = carry._replace(stack=carry.stack._replace(wrappers=wstates))
+
+    if mesh is not None and mesh is not False:
+        from jax.sharding import Mesh
+
+        from .parallel.mesh import make_mesh, shard_carry
+
+        devices = jax.devices()
+        if isinstance(mesh, Mesh):
+            carry = shard_carry(carry, mesh, config)
+        elif mesh is True or (
+            mesh == "auto" and len(devices) > 1
+            and instances % len(devices) == 0
+        ):
+            carry = shard_carry(carry, make_mesh(devices), config)
 
     exp_id = "mcl" + str(int(time.time()))
     model_dir = os.path.join(log_dir, "models")
@@ -165,6 +191,11 @@ if __name__ == "__main__":
     parser.add_argument("--log-dir", default="./logs/mcl")
     parser.add_argument("--resume-from", default=None,
                         help="directory holding RND2D.npz / AE2D.npz")
+    parser.add_argument("--mesh", choices=("auto", "on", "off"),
+                        default="auto",
+                        help="shard the instance batch over all local "
+                             "devices (multi-host: initialize "
+                             "jax.distributed first)")
     args = parser.parse_args()
 
     history = train(
@@ -177,6 +208,7 @@ if __name__ == "__main__":
         seed=args.seed,
         log_dir=args.log_dir,
         resume_from=args.resume_from,
+        mesh={"auto": "auto", "on": True, "off": False}[args.mesh],
     )
     print(json.dumps({"total_reward": float(history.sum()),
                       "segments": len(history) // args.steps_per_rule}))

@@ -254,3 +254,14 @@ def test_evaluate_fused_trained_policy_agent():
     )
     assert np.isfinite(score)
     assert len(trace) == 4
+
+
+def test_train_mesh_matches_single_device(tmp_path):
+    """train(mesh=True) on the 8-device mesh must reproduce the
+    single-device reward history — env-batch sharding is placement-only
+    (VERDICT round-1 item 2; BASELINE.md north-star config)."""
+    kw = dict(instances=8, steps=[1, 6], rules=[[[3], [2, 3]]],
+              height=64, width=64, batch_size=2, seed=0)
+    h_single = train(log_dir=str(tmp_path / "single"), mesh=False, **kw)
+    h_mesh = train(log_dir=str(tmp_path / "mesh"), mesh=True, **kw)
+    np.testing.assert_allclose(h_mesh, h_single, rtol=1e-5, atol=1e-6)

@@ -130,3 +130,92 @@ def test_pallas_halo_multi_step_kernel():
         interpret=True, detect_races=True,
     )
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_spatial_env_mode_wrapped_rollout_parity_1024():
+    """The FULL env as a spatial mode (VERDICT round-1 item 3): a wrapped
+    rollout — action XOR in the centred window, CA update, Speed/Puffer
+    bonuses — on a 1024x1024 row-sharded universe over the 8-device mesh
+    must match the single-device env exactly."""
+    from carle_tpu.mcl.puffer import puffer_def
+    from carle_tpu.mcl.speed import speed_def
+    from carle_tpu.parallel import make_mesh, shard_carry_spatial
+
+    cfg = EnvConfig(height=1024, width=1024, action_height=64,
+                    action_width=64, instances=1)
+    rng = np.random.RandomState(7)
+    actions = (rng.rand(4, 1, 64, 64) < 0.15).astype(np.uint8)
+
+    def run(spatial):
+        ro = Rollout(cfg, [speed_def(cfg, reward_scale=1e-2),
+                           puffer_def(cfg, reward_scale=1e-3)])
+        carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
+        if spatial:
+            mesh = make_mesh(jax.devices(), axis_name="space")
+            carry = shard_carry_spatial(carry, mesh, cfg)
+        carry, rewards = ro.run_actions(carry, actions)
+        return np.asarray(carry.stack.env.grid), np.asarray(rewards)
+
+    grid_1, rewards_1 = run(spatial=False)
+    grid_8, rewards_8 = run(spatial=True)
+    np.testing.assert_array_equal(grid_8, grid_1)
+    np.testing.assert_allclose(rewards_8, rewards_1, rtol=1e-5, atol=1e-7)
+
+
+def test_spatial_env_mode_master_reset_and_learning():
+    """Spatial mode keeps full env semantics: the all-ones master reset
+    clears the sharded universe, and a learning wrapper (RND2D) updates
+    in-graph on the row-sharded observation."""
+    from carle_tpu.parallel import make_mesh, shard_carry_spatial
+
+    cfg = EnvConfig(height=128, width=128, action_height=32,
+                    action_width=32, instances=2)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    ro = Rollout(cfg, [rnd2d_def(cfg, batch_size=2)],
+                 agent=make_random_agent(32, 32))
+    carry = ro.init(jax.random.PRNGKey(1), rules.LIFE)
+    carry = shard_carry_spatial(carry, mesh, cfg)
+
+    carry, rewards = ro.run(carry, num_steps=4)
+    assert int(carry.stack.wrappers[0].updates) == 2  # Adam ran in-graph
+    assert np.all(np.isfinite(np.asarray(rewards)))
+    assert np.asarray(carry.stack.env.grid).sum() > 0
+
+    ones = np.ones((1, 2, 32, 32), dtype=np.uint8)  # [steps=1, inst, AH, AW]
+    carry, _ = ro.run_actions(carry, ones)  # one all-ones step
+
+    assert np.asarray(carry.stack.env.grid).sum() == 0  # master reset fired
+
+
+def test_spatial_env_mode_rejects_pallas_backend():
+    from carle_tpu.parallel import make_mesh, shard_carry_spatial
+
+    cfg = EnvConfig(height=64, width=64, instances=1, backend="pallas")
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    with pytest.raises(ValueError, match="spatial env mode"):
+        shard_carry_spatial({"x": np.zeros((1, 64, 64))}, mesh, cfg)
+
+
+@pytest.mark.parametrize("static", [False, True])
+def test_bit_spatial_multi_step_matches_single_device(static):
+    """Bit-packed halo path (VERDICT round-1 item 4): packed row-sharded
+    generations over the 8-device mesh match the single-device packed
+    engine bit-for-bit."""
+    from carle_tpu.ops.bitpack import bit_multi_step, pack_grid, unpack_grid
+    from carle_tpu.parallel import bit_spatial_multi_step, make_mesh
+
+    rng = np.random.RandomState(11)
+    grid = (rng.rand(2, 64, 128) < 0.35).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+    bits = rules.pack_rule_bits([3, 6, 8], [2, 4, 5])
+
+    ref = bit_multi_step(packed, jnp.asarray(bits), 6)
+
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    out = bit_spatial_multi_step(
+        packed, bits, 6, mesh,
+        static_rules=([3, 6, 8], [2, 4, 5]) if static else None,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_grid(out, 128)), np.asarray(unpack_grid(ref, 128))
+    )

@@ -128,3 +128,34 @@ def test_rollout_non_square_action_window():
     assert live.size  # something was toggled
     assert live[:, 0].min() >= r0 - 3 and live[:, 0].max() < r0 + 8 + 3
     assert live[:, 1].min() >= c0 - 3 and live[:, 1].max() < c0 + 32 + 3
+
+
+def test_run_logged_writes_decodable_episode_log(tmp_path):
+    """A fused run_logged must produce the reference's CSV episode artifact:
+    decodable (action, universe) RLE pairs at every snapshot boundary, with
+    the final universe entry matching the live grid."""
+    from carle_tpu import rle
+
+    ro = Rollout(CFG, wrappers=[parsimony_def()],
+                 agent=make_random_agent(16, 16))
+    carry = ro.init(jax.random.PRNGKey(3), rules.LIFE)
+    carry, _ = ro.reset(carry)
+    carry, rewards, log_path = ro.run_logged(
+        carry, num_steps=10, snapshot_every=4, directory=str(tmp_path),
+        save_png=True,
+    )
+    assert rewards.shape == (10, 2, 1)
+
+    pairs = rle.read_log(log_path)
+    assert len(pairs) == 3  # chunks of 4, 4, 2
+    for action_rle, universe_rle in pairs:
+        act = rle.parse_rle_text(action_rle)
+        uni = rle.parse_rle_text(universe_rle)
+        assert act.grid.shape == (16, 16)
+        assert uni.grid.shape == (64, 64)
+    final = rle.parse_rle_text(pairs[-1][1]).grid
+    np.testing.assert_array_equal(final,
+                                  np.asarray(carry.stack.env.grid[0]))
+    # PNG frames were dumped at each snapshot
+    import os
+    assert sum(f.endswith(".png") for f in os.listdir(tmp_path)) == 3

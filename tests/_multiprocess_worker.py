@@ -1,0 +1,68 @@
+"""Worker for the multi-process mesh test (tests/test_parallel.py).
+
+Each of N processes owns 4 virtual CPU devices; ``jax.distributed`` glues
+them into one 4N-device global mesh — the same initialization path a real
+multi-host TPU pod uses (SURVEY.md §2 distributed-backend checklist).  The
+worker runs the fused wrapped rollout sharded over the global mesh and
+checks the (replicated) total reward against its own single-device run of
+the identical program — sharding across processes must be placement only.
+
+Invoked as:
+  python tests/_multiprocess_worker.py <coordinator> <num_procs> <proc_id>
+"""
+
+import sys
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")  # the TPU plugin overrides env vars
+
+
+def main() -> int:
+    coordinator, num_procs, proc_id = (
+        sys.argv[1], int(sys.argv[2]), int(sys.argv[3])
+    )
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_procs,
+        process_id=proc_id,
+    )
+    assert jax.process_count() == num_procs
+    n_global = len(jax.devices())
+    assert n_global == 4 * num_procs, f"global devices: {n_global}"
+
+    import jax.numpy as jnp
+
+    sys.path.insert(0, ".")
+    from carle_tpu import EnvConfig, rules
+    from carle_tpu.agents import make_random_agent
+    from carle_tpu.mcl.rnd import rnd2d_def
+    from carle_tpu.parallel import make_mesh, shard_carry
+    from carle_tpu.rollout import Rollout
+
+    config = EnvConfig(height=32, width=32, action_height=8, action_width=8,
+                       instances=n_global)
+    ro = Rollout(config, wrappers=[rnd2d_def(config, batch_size=2)],
+                 agent=make_random_agent(8, 8))
+
+    # single-(local-)device oracle of the same program
+    local_carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
+    oracle_carry = jax.tree.map(jnp.copy, local_carry)
+    _, rewards_local = ro.run(oracle_carry, num_steps=4)
+    expected = float(jnp.sum(rewards_local))
+
+    # global-mesh run: instances sharded over all devices of all processes
+    mesh = make_mesh(jax.devices(), axis_name="env")
+    carry = shard_carry(local_carry, mesh, config)
+    _, rewards = ro.run(carry, num_steps=4)
+    total = float(jnp.sum(rewards))  # replicated scalar, host-readable
+
+    assert abs(total - expected) < 1e-4 * max(1.0, abs(expected)), (
+        f"process {proc_id}: sharded total {total} != local {expected}"
+    )
+    print(f"proc {proc_id}/{num_procs}: OK total={total:.6f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

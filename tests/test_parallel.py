@@ -219,3 +219,45 @@ def test_bit_spatial_multi_step_matches_single_device(static):
     np.testing.assert_array_equal(
         np.asarray(unpack_grid(out, 128)), np.asarray(unpack_grid(ref, 128))
     )
+
+
+def test_multiprocess_mesh_rollout(tmp_path):
+    """TRUE multi-process mesh (the multi-host code path): two processes x 4
+    virtual CPU devices each, glued by jax.distributed into one 8-device
+    global mesh, running the sharded fused rollout — each worker checks the
+    replicated total reward against its single-device oracle."""
+    import os
+    import socket
+    import subprocess
+    import sys
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    env.pop("JAX_PLATFORMS", None)
+    worker = os.path.join(os.path.dirname(__file__), "_multiprocess_worker.py")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(pid)],
+            env=env, cwd=os.path.dirname(os.path.dirname(worker)),
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for pid, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
+        assert f"proc {pid}/2: OK" in out

@@ -159,3 +159,50 @@ def test_run_logged_writes_decodable_episode_log(tmp_path):
     # PNG frames were dumped at each snapshot
     import os
     assert sum(f.endswith(".png") for f in os.listdir(tmp_path)) == 3
+
+
+def test_checkpoint_versioning_and_migration(tmp_path):
+    """Checkpoints are stamped with a format version; old (unstamped) files
+    load as v0, added state fields can fall back to template values, and
+    future wire formats are rejected with a clear error."""
+    import pytest
+
+    from carle_tpu.checkpoint import (
+        FORMAT_VERSION,
+        checkpoint_meta,
+        load_pytree,
+        save_pytree,
+    )
+
+    tree = {"a": np.arange(4, dtype=np.float32), "b": np.float32(2.0)}
+    p = str(tmp_path / "ck.npz")
+    save_pytree(p, tree)
+    assert checkpoint_meta(p)["format_version"] == FORMAT_VERSION
+    back = load_pytree(p, tree)
+    np.testing.assert_array_equal(np.asarray(back["a"]), tree["a"])
+
+    # newer code adds a state field: strict load fails loudly, migration
+    # keeps the template value
+    grown = dict(tree, c=np.ones(2, dtype=np.int32))
+    with pytest.raises(KeyError, match="missing leaf"):
+        load_pytree(p, grown)
+    migrated = load_pytree(p, grown, missing="template")
+    np.testing.assert_array_equal(np.asarray(migrated["c"]), grown["c"])
+
+    # round-1 file without the meta entry reads as v0 and still loads
+    np.savez(str(tmp_path / "old.npz"),
+             **{"a": tree["a"], "b": np.asarray(tree["b"])})
+    assert checkpoint_meta(str(tmp_path / "old.npz"))["format_version"] == 0
+    load_pytree(str(tmp_path / "old.npz"), tree)
+
+    # future wire format is rejected
+    import json as _json
+    np.savez(
+        str(tmp_path / "future.npz"),
+        **{"a": tree["a"], "b": np.asarray(tree["b"]),
+           "__checkpoint_meta__": np.frombuffer(
+               _json.dumps({"format_version": FORMAT_VERSION + 1}).encode(),
+               dtype=np.uint8)},
+    )
+    with pytest.raises(ValueError, match="newer than supported"):
+        load_pytree(str(tmp_path / "future.npz"), tree)

@@ -106,7 +106,8 @@ def bench_bitpack(grid, rule_bits, steps_per_launch, launches):
     return dt, unpack_grid(p, grid.shape[-1])
 
 
-def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches):
+def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches,
+                                scheme="h"):
     """Rule baked into the kernel at compile time (bit_ca_step_static)."""
     del rule_bits  # static Life
     from carle_tpu.ops.bitpack import pack_grid, unpack_grid
@@ -115,12 +116,14 @@ def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches):
     packed = pack_grid(grid)
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
     birth, survive = (3,), (2, 3)
-    _sync(bit_multi_step_pallas_static(packed, birth, survive, steps))
+    _sync(bit_multi_step_pallas_static(packed, birth, survive, steps,
+                                       scheme=scheme))
 
     t0 = time.perf_counter()
     p = packed
     for _ in range(launches):
-        p = bit_multi_step_pallas_static(p, birth, survive, steps)
+        p = bit_multi_step_pallas_static(p, birth, survive, steps,
+                                         scheme=scheme)
     _sync(p)
     dt = time.perf_counter() - t0
     return dt, unpack_grid(p, grid.shape[-1])
@@ -163,6 +166,9 @@ def main() -> int:
     parser.add_argument("--launches", type=int, default=8)
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
+    parser.add_argument("--scheme", choices=("h", "v"), default="h",
+                        help="static-kernel step scheme: h = horizontal-pair "
+                             "(8 rolls/gen), v = vertical-first (6 rolls)")
     args = parser.parse_args()
 
     from carle_tpu import rules
@@ -176,9 +182,12 @@ def main() -> int:
     if backend == "auto":
         backend = "bitpack-pallas-static" if platform in ("tpu", "axon") else "bitpack"
 
+    bench_kwargs = (
+        {"scheme": args.scheme} if backend == "bitpack-pallas-static" else {}
+    )
     try:
         dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,
-                                    args.launches)
+                                    args.launches, **bench_kwargs)
     except Exception as exc:  # kernel path unavailable -> XLA fallback
         if backend in ("pallas", "bitpack-pallas", "bitpack-pallas-static"):
             print(f"# {backend} path failed ({exc!r}); falling back to bitpack",
@@ -202,6 +211,8 @@ def main() -> int:
             "instances": args.instances, "size": args.size,
             "steps_per_launch": args.steps_per_launch,
             "launches": args.launches, "backend": backend,
+            **({"scheme": args.scheme}
+               if backend == "bitpack-pallas-static" else {}),
             "device": str(jax.devices()[0]),
         },
         "checksum": int(np.asarray(out.sum())),

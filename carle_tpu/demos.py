@@ -117,8 +117,48 @@ def wrapper_agent_demo(
             write_png(base + "_final.png", (255 * frame).astype(np.uint8))
 
 
+def morpho_spaceship_demo(
+    outdir: str = "./frames", steps: int = 64, seed: int = 0
+) -> None:
+    """MorphoBonus rewarding the reference's own shipped spaceship pattern
+    (carle/spaceship_duck.rle — the morphology the reference *meant* to
+    target before its glider-file paths broke, mcl.py:140-141): seed the
+    duck in a Life universe and watch the morphology reward stay positive
+    while it cruises."""
+    from .mcl import MorphoBonus
+    from .mcl.patterns import pattern_path
+
+    os.makedirs(outdir, exist_ok=True)
+    env = MorphoBonus(
+        CARLE(), seed=seed,
+        rle_paths=(pattern_path("spaceship_duck"),
+                   pattern_path("spaceship_step")),
+    )
+    obs = env.reset()
+
+    # drop the duck near the window centre via the action interface
+    duck = env.inner_env.rle_to_grid(
+        open(pattern_path("spaceship_duck")).read()
+    )
+    action = np.zeros((1, 1, 64, 64), dtype=np.float32)
+    action[0, 0, 20 : 20 + duck.shape[0], 20 : 20 + duck.shape[1]] = duck
+    obs, reward, *_ = env.step(action)
+
+    rewards: List[float] = []
+    zeros = np.zeros_like(action)
+    for _ in range(steps):
+        obs, reward, done, info = env.step(zeros)
+        rewards.append(float(np.asarray(reward).sum()))
+
+    base = os.path.join(outdir, "morpho_spaceship")
+    _save_curve(base, rewards, "MorphoBonus tracking the duck spaceship")
+    frame = np.asarray(obs).reshape(obs.shape[-2], obs.shape[-1])
+    write_png(base + "_final.png", (255 * frame).astype(np.uint8))
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "./frames"
     prediction_demo(out, predictable_steps=256, random_steps=128)
     wrapper_agent_demo(out, steps=64)
+    morpho_spaceship_demo(out, steps=64)
     print(f"demo artifacts in {out}")

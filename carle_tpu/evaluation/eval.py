@@ -180,6 +180,48 @@ def _fused_wrapper_factory(config: Any) -> dict:
     }
 
 
+def inject_wrapper_checkpoints(
+    wstates: Sequence[Any], wrappers: Sequence[Sequence[Any]]
+) -> Tuple[Any, ...]:
+    """Load each ``[cls, scale, ckpt]`` spec's checkpoint into the matching
+    functional wrapper state (native .npz or converted torch .pt); the
+    spec's reward_scale always wins over the checkpointed value.  Shared by
+    the fused eval path and policy training against a frozen eval stack."""
+    from carle_tpu.mcl.ae import ae_params_from_torch
+    from carle_tpu.mcl.rnd import (
+        predictor_params_from_torch,
+        random_network_params_from_torch,
+    )
+
+    new_wstates = list(wstates)
+    for i, (cls, _, ckpt) in enumerate(wrappers):
+        if ckpt is None:
+            continue
+        if ckpt.endswith(".npz"):
+            loaded = load_pytree(ckpt, new_wstates[i])
+            new_wstates[i] = loaded._replace(
+                reward_scale=new_wstates[i].reward_scale
+            )
+            continue
+        import torch
+
+        sd = torch.load(ckpt, weights_only=True, map_location="cpu")
+        if cls is RND2D:
+            new_wstates[i] = new_wstates[i]._replace(
+                params=predictor_params_from_torch(sd),
+                target_params=random_network_params_from_torch(sd),
+            )
+        elif cls in (AE2D, PredictionBonus, SurpriseBonus):
+            # Prediction/Surprise subclass AE2D upstream (mcl.py:558, 701)
+            # and share its predictor architecture / state-dict layout
+            new_wstates[i] = new_wstates[i]._replace(
+                params=ae_params_from_torch(sd)
+            )
+        else:
+            raise ValueError(f"no torch converter for {cls.__name__}")
+    return tuple(new_wstates)
+
+
 def _resolve_fused_agent(
     Agent: Any, params_path: Optional[str], agent_params: Any,
     config: Any, toggle_rate: float, seed: int,
@@ -262,11 +304,6 @@ def evaluate_fused(
     import jax
 
     from carle_tpu import EnvConfig, rules as rules_mod  # noqa: F401
-    from carle_tpu.mcl.ae import ae_params_from_torch
-    from carle_tpu.mcl.rnd import (
-        predictor_params_from_torch,
-        random_network_params_from_torch,
-    )
     from carle_tpu.rollout import Rollout
 
     if rules is None:
@@ -285,37 +322,8 @@ def evaluate_fused(
     carry = ro.init(
         jax.random.PRNGKey(seed), rules_mod.LIFE, agent_params=loaded_params
     )
-
-    # inject reference checkpoints into the functional states
-    new_wstates = list(carry.stack.wrappers)
-    for i, (cls, _, ckpt) in enumerate(wrappers):
-        if ckpt is None:
-            continue
-        if ckpt.endswith(".npz"):
-            loaded = load_pytree(ckpt, new_wstates[i])
-            # the eval spec's reward_scale wins over the checkpointed value
-            new_wstates[i] = loaded._replace(
-                reward_scale=new_wstates[i].reward_scale
-            )
-            continue
-        import torch
-
-        sd = torch.load(ckpt, weights_only=True, map_location="cpu")
-        if cls is RND2D:
-            new_wstates[i] = new_wstates[i]._replace(
-                params=predictor_params_from_torch(sd),
-                target_params=random_network_params_from_torch(sd),
-            )
-        elif cls in (AE2D, PredictionBonus, SurpriseBonus):
-            # Prediction/Surprise subclass AE2D upstream (mcl.py:558, 701)
-            # and share its predictor architecture / state-dict layout
-            new_wstates[i] = new_wstates[i]._replace(
-                params=ae_params_from_torch(sd)
-            )
-        else:
-            raise ValueError(f"no torch converter for {cls.__name__}")
     carry = carry._replace(stack=carry.stack._replace(
-        wrappers=tuple(new_wstates)
+        wrappers=inject_wrapper_checkpoints(carry.stack.wrappers, wrappers)
     ))
 
     score = 0.0

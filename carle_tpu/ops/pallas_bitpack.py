@@ -125,9 +125,68 @@ def _static_step_block(g: jax.Array, birth_set, survive_set) -> jax.Array:
     return (fold(birth_set) & ~g) | (fold(survive_set) & g)
 
 
-def _static_multi_step_kernel(steps_ref, grid_ref, out_ref, *, birth, survive):
+def _static_step_block_v2(g: jax.Array, birth_set, survive_set) -> jax.Array:
+    """Vertical-first variant: 6 rolls/generation instead of 8.
+
+    Columns first — the vertical triple (up + center + down) collapses to two
+    bit-planes p0/p1 with only TWO lane rolls; the horizontal spread then
+    needs four word-axis rolls (cross-word carries for both planes).  The
+    price is that the resulting count INCLUDES the centre cell, so the rule
+    mux folds over count9 = neighbours + centre with shifted leaf tables
+    (dead branch: birth[count9]; alive branch: survive[count9 - 1]).  Life
+    folds to the classic "alive iff count9 == 3, or count9 == 4 and centre
+    alive".  Net: ~8 more ALU bitops but 2 fewer cross-lane shuffles per
+    generation — which side wins depends on the VPU's roll cost; bench.py
+    measures both (--scheme)."""
+    from .bitpack import _fold_tree
+
+    nwords = g.shape[-2]
+    h = g.shape[-1]
+    word_ax, row_ax = g.ndim - 2, g.ndim - 1
+
+    u = pltpu.roll(g, 1, row_ax)
+    d = pltpu.roll(g, h - 1, row_ax)
+    ab = u ^ g
+    p0 = ab ^ d                      # vertical-sum weight-1 plane
+    p1 = (u & g) | (ab & d)          # vertical-sum weight-2 plane
+
+    def lr(p):
+        pw = pltpu.roll(p, 1, word_ax)
+        nw = pltpu.roll(p, nwords - 1, word_ax)
+        return (p << 1) | (pw >> 31), (p >> 1) | (nw << 31)
+
+    p0l, p0r = lr(p0)
+    p1l, p1r = lr(p1)
+
+    s1, c1 = _csa(p0l, p0, p0r)      # weight-1 triple
+    s2, c2 = _csa(p1l, p1, p1r)      # weight-2 triple
+    n0 = s1
+    n1 = c1 ^ s2
+    cc = c1 & s2
+    n2 = c2 ^ cc
+    n3 = c2 & cc                     # count9 bit-planes (0..9)
+
+    def fold(leaves):
+        out = _fold_tree(leaves, [n0, n1, n2, n3])
+        if isinstance(out, str):
+            zero = jnp.zeros_like(g)
+            return zero if out == "0" else ~zero
+        return out
+
+    # count9 == 9 needs the centre alive, unreachable on the dead branch;
+    # count9 == 0 is unreachable on the alive branch
+    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
+    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
+                          for v in range(1, 10)])
+    return (dead & ~g) | (alive & g)
+
+
+def _static_multi_step_kernel(steps_ref, grid_ref, out_ref, *, birth, survive,
+                              scheme="h"):
+    step = _static_step_block if scheme == "h" else _static_step_block_v2
+
     def body(_, g):
-        return _static_step_block(g, birth, survive)
+        return step(g, birth, survive)
 
     out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
 
@@ -170,15 +229,18 @@ def bit_multi_step_pallas(
     return out.transpose(0, 2, 1)
 
 
-@functools.partial(jax.jit, static_argnames=("birth", "survive"))
+@functools.partial(jax.jit, static_argnames=("birth", "survive", "scheme"))
 def bit_multi_step_pallas_static(
-    packed: jax.Array, birth, survive, num_steps: jax.Array
+    packed: jax.Array, birth, survive, num_steps: jax.Array,
+    scheme: str = "h",
 ) -> jax.Array:
     """``num_steps`` generations with the rule baked into the kernel.
 
     ~3x fewer bitops per word than the rules-as-data kernel for sparse
     rulesets like Life; recompiles when (birth, survive) change — use for
-    long fixed-rule runs and benchmarks."""
+    long fixed-rule runs and benchmarks.  ``scheme="h"`` is the
+    horizontal-pair step (8 rolls/gen), ``"v"`` the vertical-first step
+    (6 rolls, more ALU ops — see :func:`_static_step_block_v2`)."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)
     tile = _tile(inst, nwords, h)
@@ -186,6 +248,7 @@ def bit_multi_step_pallas_static(
         _static_multi_step_kernel,
         birth=frozenset(birth),
         survive=frozenset(survive),
+        scheme="h" if scheme == "h" else "v",
     )
     out = pl.pallas_call(
         kernel,

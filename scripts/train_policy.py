@@ -1,0 +1,136 @@
+"""Train a toggle policy against the frozen eval wrapper stack, then score
+it on the challenge battery vs the random baseline.
+
+Beyond-reference capability (the reference trains only wrapper nets, never
+an agent): fused REINFORCE (carle_tpu/policy.py) on the eval geometry with
+the DEFAULT_WRAPPERS stack — RND2D + AE2D loading the shipped checkpoints,
+frozen exactly as during evaluation, plus Speed/Puffer — so the policy
+optimizes the same endogenous reward it will be scored on.  Training rules
+cycle the four public rulesets (train_mcl.py:95-98); scoring runs the full
+5-ruleset battery (the fifth is the held-out outgroup) through
+evaluate_fused with the SAME protocol as the published baselines.
+
+Run (TPU):
+  python scripts/train_policy.py --instances 16 --epochs 2 --steps 1024 \
+      --out-dir logs/policy
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRAIN_RULES = [
+    [[3], [2, 3]],
+    [[3, 6, 8], [2, 4, 5]],
+    [[3, 6, 7, 8], [3, 4, 6, 7, 8]],
+    [[3], [0, 2, 3]],
+]
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--instances", type=int, default=16)
+    parser.add_argument("--epochs", type=int, default=2)
+    parser.add_argument("--steps", type=int, default=1024,
+                        help="training steps per ruleset segment")
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--entropy-beta", type=float, default=1e-3)
+    parser.add_argument("--eval-steps", type=int, default=1024)
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--out-dir", default="logs/policy")
+    parser.add_argument("--skip-eval", action="store_true")
+    args = parser.parse_args()
+
+    from carle_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
+    import jax
+    import numpy as np
+
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.checkpoint import save_pytree
+    from carle_tpu.evaluation.eval import (
+        DEFAULT_WRAPPERS,
+        _fused_wrapper_factory,
+        evaluate_fused,
+        inject_wrapper_checkpoints,
+    )
+    from carle_tpu.policy import PolicyTrainer
+
+    config = EnvConfig(instances=args.instances)  # eval geometry, batched
+    factory = _fused_wrapper_factory(config)
+    defs = [factory[cls](scale) for cls, scale, _ in DEFAULT_WRAPPERS]
+
+    trainer = PolicyTrainer(config, defs, lr=args.lr,
+                            entropy_beta=args.entropy_beta)
+    state = trainer.init(jax.random.PRNGKey(args.seed), rules_mod.LIFE)
+    state = state._replace(stack=state.stack._replace(
+        wrappers=inject_wrapper_checkpoints(
+            state.stack.wrappers, DEFAULT_WRAPPERS
+        )
+    ))
+
+    os.makedirs(args.out_dir, exist_ok=True)
+    history = []
+    for epoch in range(args.epochs):
+        for ruleset in TRAIN_RULES:
+            bits = rules_mod.pack_rule_bits(ruleset[0], ruleset[0])
+            # note survive<-birth: train under the same (bugged) rules the
+            # published eval battery actually runs (eval.py:59)
+            env = state.stack.env._replace(
+                rule_bits=jax.numpy.asarray(bits, dtype=jax.numpy.int32)
+            )
+            state = state._replace(stack=state.stack._replace(env=env))
+            t0 = time.time()
+            state, trace = trainer.run(state, num_steps=args.steps)
+            trace = np.asarray(trace)
+            history.append(trace)
+            print(json.dumps({
+                "epoch": epoch, "ruleset": ruleset,
+                "mean_reward_first100": float(trace[:100].mean()),
+                "mean_reward_last100": float(trace[-100:].mean()),
+                "steps_per_s": args.steps / (time.time() - t0),
+            }), flush=True)
+
+    params_path = os.path.join(args.out_dir, "policy_params.npz")
+    save_pytree(params_path, state.params)
+    np.save(os.path.join(args.out_dir, "policy_reward_trace.npy"),
+            np.concatenate(history))
+    print(json.dumps({"saved": params_path}), flush=True)
+
+    if args.skip_eval:
+        return 0
+
+    # battery score: trained policy (stochastic, as trained) vs random agent
+    eval_config = EnvConfig()  # 1 instance — the published protocol
+    eval_trainer = PolicyTrainer(eval_config, [])
+    agent = eval_trainer.as_agent()
+    score_policy, _ = evaluate_fused(
+        Agent=(agent, state.params), steps=args.eval_steps,
+        seed=args.seed, verbose=False,
+    )
+    score_random, _ = evaluate_fused(
+        steps=args.eval_steps, seed=args.seed, verbose=False,
+    )
+    out = {
+        "policy_score": float(score_policy),
+        "random_score": float(score_random),
+        "eval_steps": args.eval_steps,
+        "train": {"instances": args.instances, "epochs": args.epochs,
+                  "steps_per_segment": args.steps, "lr": args.lr},
+    }
+    print(json.dumps(out), flush=True)
+    with open(os.path.join(args.out_dir, "battery_scores.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -74,3 +74,34 @@ def test_env_step_pallas_backend_matches_xla():
         sp = init_state(cfg_p, rules.LIFE)
         sp, op = env_step(sp, jnp.asarray(action), config=cfg_p)
     np.testing.assert_array_equal(np.asarray(ox), np.asarray(op))
+
+
+@pytest.mark.parametrize("rules_bs", [([3], [2, 3]), ([3, 6, 8], [2, 4, 5]),
+                                      ([2], [0])])
+def test_static_kernel_vertical_scheme_parity(rules_bs):
+    """The vertical-first static kernel (6 rolls/gen, count9 rule folding)
+    must match the horizontal-pair scheme and the XLA packed engine."""
+    import numpy as np
+
+    from carle_tpu.ops.bitpack import bit_multi_step, pack_grid, unpack_grid
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_static
+    from carle_tpu import rules as rules_mod
+
+    birth, survive = rules_bs
+    rng = np.random.RandomState(20)
+    grid = (rng.rand(2, 128, 128) < 0.33).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+    bits = rules_mod.pack_rule_bits(birth, survive)
+    ref = bit_multi_step(packed, jnp.asarray(bits), 5)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_v = bit_multi_step_pallas_static(
+            packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="v"
+        )
+        out_h = bit_multi_step_pallas_static(
+            packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="h"
+        )
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_v, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_h, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))

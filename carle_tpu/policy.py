@@ -156,20 +156,207 @@ class PolicyTrainer:
 
     def as_agent(self, deterministic_rate: Optional[float] = None) -> Agent:
         """Freeze the trained policy into the standard Agent protocol."""
+        return _policy_agent(self.config, deterministic_rate)
+
+
+def _policy_agent(cfg: EnvConfig,
+                  deterministic_rate: Optional[float] = None) -> Agent:
+    def init(key):
+        raise RuntimeError("use trained params from a trainer state")
+
+    def apply(params, key, obs):
+        logits = policy_logits(params, obs)
+        if deterministic_rate is not None:
+            action = (jax.nn.sigmoid(logits) > deterministic_rate)
+        else:
+            u = jax.random.uniform(key, logits.shape)
+            action = u < jax.nn.sigmoid(logits)
+        return action.astype(jnp.float32).reshape(
+            obs.shape[0], 1, cfg.eff_action_height, cfg.eff_action_width
+        )
+
+    return Agent(init=init, apply=apply)
+
+
+# ---------------------------------------------------------------------------
+# PPO: clipped-surrogate training over recomputed rollout segments
+# ---------------------------------------------------------------------------
+
+
+class PPOTrainState(NamedTuple):
+    stack: Any                # StackState
+    params: Any
+    opt_state: Any
+    baseline: jax.Array       # EMA of the batch-mean reward
+    key: jax.Array
+
+
+class PPOTrainer:
+    """Proximal Policy Optimization, fully fused on TPU.
+
+    Each ``run`` iteration is two jitted phases inside one program:
+
+    1. **Collect** — a ``lax.scan`` rolls the policy through the wrapped env
+       for ``horizon`` steps, storing the *uint8 grids* (64x less HBM than
+       float observations), sampled action bits, per-instance rewards and
+       behaviour log-probs.
+    2. **Update** — ``epochs`` passes of minibatched clipped-surrogate
+       ascent; the policy forward is *recomputed* from the stored uint8
+       grids (compute is cheap on the VPU/MXU, memory is not), with
+       advantage = reward − batch mean blended with an EMA baseline (the
+       same empirical baseline as the REINFORCE trainer — every wrapper
+       bonus is paid at the step it is earned, so the 1-step return is
+       exact and no critic/GAE is needed).
+
+    The reference trains no agent at all; this is the second half of the
+    beyond-reference training story started by :class:`PolicyTrainer`.
+    """
+
+    def __init__(
+        self,
+        config: EnvConfig,
+        wrappers: Sequence[WrapperDef] = (),
+        lr: float = 3e-4,
+        clip_eps: float = 0.2,
+        entropy_beta: float = 1e-3,
+        epochs: int = 4,
+        minibatches: int = 4,
+        baseline_decay: float = 0.99,
+    ) -> None:
+        self.config = config
+        self.stack = WrapperStack(config, wrappers)
+        self.opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
+        self.clip_eps = clip_eps
+        self.entropy_beta = entropy_beta
+        self.epochs = epochs
+        self.minibatches = minibatches
+        self.baseline_decay = baseline_decay
+        self._run = jax.jit(self._run_impl, static_argnames=("horizon",),
+                            donate_argnames=("state",))
+
+    def init(self, key: jax.Array, rule_bits: int) -> PPOTrainState:
+        k_stack, k_policy, k_run = jax.random.split(key, 3)
+        params = init_policy_params(k_policy, self.config)
+        return PPOTrainState(
+            stack=self.stack.init(k_stack, rule_bits),
+            params=params,
+            opt_state=self.opt.init(params),
+            baseline=jnp.asarray(0.0, dtype=jnp.float32),
+            key=k_run,
+        )
+
+    # -- phase 1: collect ---------------------------------------------------
+    def _collect_step(self, carry, _):
+        stack, params, key = carry
         cfg = self.config
+        key, k_sample, k_env = jax.random.split(key, 3)
+        grid_u8 = stack.env.grid
+        obs = grid_u8.astype(jnp.float32)[:, None]
 
-        def init(key):
-            raise RuntimeError("use trained params from PolicyTrainState")
+        logits = policy_logits(params, obs)
+        u = jax.random.uniform(k_sample, logits.shape)
+        action = (u < jax.nn.sigmoid(logits)).astype(jnp.float32)
+        logp_old = jnp.sum(
+            -optax.sigmoid_binary_cross_entropy(logits, action), axis=1
+        )
+        patch = action.reshape(
+            cfg.instances, cfg.eff_action_height, cfg.eff_action_width
+        )
+        new_stack, (_, reward) = self.stack.step(stack, patch, k_env)
+        sample = (
+            grid_u8,                                  # state BEFORE acting
+            action.astype(jnp.bool_),                 # bit-packedable sample
+            reward[:, 0],
+            logp_old,
+        )
+        return (new_stack, params, key), sample
 
-        def apply(params, key, obs):
-            logits = policy_logits(params, obs)
-            if deterministic_rate is not None:
-                action = (jax.nn.sigmoid(logits) > deterministic_rate)
-            else:
-                u = jax.random.uniform(key, logits.shape)
-                action = u < jax.nn.sigmoid(logits)
-            return action.astype(jnp.float32).reshape(
-                obs.shape[0], 1, cfg.eff_action_height, cfg.eff_action_width
+    # -- phase 2: clipped-surrogate updates ---------------------------------
+    def _minibatch_update(self, carry, idx, grids, actions, advantages,
+                          logp_old):
+        params, opt_state = carry
+
+        def loss_fn(p):
+            obs = grids[idx].astype(jnp.float32)[:, None]
+            lg = policy_logits(p, obs)
+            act = actions[idx].astype(jnp.float32)
+            logp = jnp.sum(-optax.sigmoid_binary_cross_entropy(lg, act),
+                           axis=1)
+            ratio = jnp.exp(logp - logp_old[idx])
+            adv = advantages[idx]
+            unclipped = ratio * adv
+            clipped = jnp.clip(
+                ratio, 1.0 - self.clip_eps, 1.0 + self.clip_eps
+            ) * adv
+            pg_loss = -jnp.mean(jnp.minimum(unclipped, clipped))
+            prob = jax.nn.sigmoid(lg)
+            entropy = jnp.mean(
+                prob * jax.nn.softplus(-lg) + (1 - prob) * jax.nn.softplus(lg)
             )
+            return pg_loss - self.entropy_beta * entropy
 
-        return Agent(init=init, apply=apply)
+        grads = jax.grad(loss_fn)(params)
+        updates, opt_state = self.opt.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return (params, opt_state), None
+
+    def _run_impl(self, state: PPOTrainState, horizon: int):
+        cfg = self.config
+        (stack, params, key), (grids, actions, rewards, logp_old) = (
+            jax.lax.scan(
+                self._collect_step,
+                (state.stack, state.params, state.key),
+                length=horizon,
+            )
+        )
+        n = horizon * cfg.instances
+        flat_grids = grids.reshape(n, cfg.height, cfg.width)
+        flat_actions = actions.reshape(n, -1)
+        flat_rewards = rewards.reshape(n)
+        flat_logp = logp_old.reshape(n)
+
+        baseline = (
+            self.baseline_decay * state.baseline
+            + (1 - self.baseline_decay) * jnp.mean(flat_rewards)
+        )
+        advantages = (
+            flat_rewards - jnp.mean(flat_rewards)
+            + 0.1 * (flat_rewards - baseline)
+        )
+        advantages = advantages / (jnp.std(advantages) + 1e-6)
+
+        mb = n // self.minibatches
+        key, k_perm = jax.random.split(key)
+
+        def epoch_body(carry, k):
+            perm = jax.random.permutation(k, n)
+            idxs = perm[: mb * self.minibatches].reshape(
+                self.minibatches, mb
+            )
+            return jax.lax.scan(
+                lambda c, i: self._minibatch_update(
+                    c, i, flat_grids, flat_actions, advantages, flat_logp
+                ),
+                carry, idxs,
+            )[0], None
+
+        (params, opt_state), _ = jax.lax.scan(
+            epoch_body,
+            (params, state.opt_state),
+            jax.random.split(k_perm, self.epochs),
+        )
+        new_state = PPOTrainState(
+            stack=stack, params=params, opt_state=opt_state,
+            baseline=baseline, key=key,
+        )
+        return new_state, rewards.mean(axis=1)
+
+    def run(self, state: PPOTrainState, horizon: int
+            ) -> Tuple[PPOTrainState, jax.Array]:
+        """One PPO iteration (collect ``horizon`` steps + clipped updates);
+        returns (state, per-step batch-mean reward trace [horizon]).
+        Donates ``state``."""
+        return self._run(state, horizon=horizon)
+
+    def as_agent(self, deterministic_rate: Optional[float] = None) -> Agent:
+        return _policy_agent(self.config, deterministic_rate)

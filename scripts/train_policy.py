@@ -39,8 +39,12 @@ def main() -> int:
     parser.add_argument("--epochs", type=int, default=2)
     parser.add_argument("--steps", type=int, default=1024,
                         help="training steps per ruleset segment")
+    parser.add_argument("--algo", choices=("reinforce", "ppo"),
+                        default="reinforce")
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--entropy-beta", type=float, default=1e-3)
+    parser.add_argument("--ppo-horizon", type=int, default=128,
+                        help="steps collected per PPO iteration")
     parser.add_argument("--eval-steps", type=int, default=1024)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out-dir", default="logs/policy")
@@ -62,14 +66,18 @@ def main() -> int:
         evaluate_fused,
         inject_wrapper_checkpoints,
     )
-    from carle_tpu.policy import PolicyTrainer
+    from carle_tpu.policy import PolicyTrainer, PPOTrainer
 
     config = EnvConfig(instances=args.instances)  # eval geometry, batched
     factory = _fused_wrapper_factory(config)
     defs = [factory[cls](scale) for cls, scale, _ in DEFAULT_WRAPPERS]
 
-    trainer = PolicyTrainer(config, defs, lr=args.lr,
-                            entropy_beta=args.entropy_beta)
+    if args.algo == "ppo":
+        trainer = PPOTrainer(config, defs, lr=args.lr,
+                             entropy_beta=args.entropy_beta)
+    else:
+        trainer = PolicyTrainer(config, defs, lr=args.lr,
+                                entropy_beta=args.entropy_beta)
     state = trainer.init(jax.random.PRNGKey(args.seed), rules_mod.LIFE)
     state = state._replace(stack=state.stack._replace(
         wrappers=inject_wrapper_checkpoints(
@@ -89,8 +97,15 @@ def main() -> int:
             )
             state = state._replace(stack=state.stack._replace(env=env))
             t0 = time.time()
-            state, trace = trainer.run(state, num_steps=args.steps)
-            trace = np.asarray(trace)
+            if args.algo == "ppo":
+                traces = []
+                for _ in range(max(1, args.steps // args.ppo_horizon)):
+                    state, t = trainer.run(state, horizon=args.ppo_horizon)
+                    traces.append(np.asarray(t))
+                trace = np.concatenate(traces)
+            else:
+                state, trace = trainer.run(state, num_steps=args.steps)
+                trace = np.asarray(trace)
             history.append(trace)
             print(json.dumps({
                 "epoch": epoch, "ruleset": ruleset,

@@ -74,3 +74,43 @@ def test_policy_trains_against_wrapper_stack():
     state, trace = trainer.run(state, num_steps=32)
     assert np.isfinite(np.asarray(trace)).all()
     assert int(state.stack.wrappers[0].updates) == 4  # RND learned too
+
+
+def test_ppo_trainer_runs_and_learns_shapes():
+    """PPO iteration: collect + clipped updates compile into one program,
+    params actually move, and the reward trace is finite."""
+    from carle_tpu.policy import PPOTrainer
+
+    cfg = EnvConfig(height=32, width=32, action_height=8, action_width=8,
+                    instances=4)
+    trainer = PPOTrainer(cfg, wrappers=[_toggle_reward_def(1.0)], epochs=2,
+                         minibatches=2)
+    state = trainer.init(jax.random.PRNGKey(0), rules.LIFE)
+    p0 = jax.tree.map(jnp.copy, state.params)
+
+    state, trace = trainer.run(state, horizon=8)
+    assert trace.shape == (8,)
+    assert bool(jnp.all(jnp.isfinite(trace)))
+    moved = jax.tree.map(
+        lambda a, b: float(jnp.abs(a - b).max()), p0, state.params
+    )
+    assert max(jax.tree.leaves(moved)) > 0.0
+
+
+def test_ppo_learns_to_toggle_more():
+    """Learning signal: with reward = +mean(action), clipped-surrogate PPO
+    must push the toggle rate well above the ~5% init, like the REINFORCE
+    trainer above but via recompute-based minibatch updates."""
+    from carle_tpu.policy import PPOTrainer
+
+    trainer = PPOTrainer(CFG, wrappers=[_toggle_reward_def(1.0)], lr=0.02,
+                         epochs=4, minibatches=2, entropy_beta=0.01)
+    state = trainer.init(jax.random.PRNGKey(1), rules.LIFE)
+
+    state, first = trainer.run(state, horizon=32)
+    for _ in range(9):
+        state, last = trainer.run(state, horizon=32)
+    assert float(last.mean()) > float(first.mean()) + 0.1, (
+        float(first.mean()), float(last.mean()),
+    )
+    assert float(last.mean()) > 0.2

@@ -107,7 +107,7 @@ def bench_bitpack(grid, rule_bits, steps_per_launch, launches):
 
 
 def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches,
-                                scheme="h"):
+                                scheme="v"):
     """Rule baked into the kernel at compile time (bit_ca_step_static)."""
     del rule_bits  # static Life
     from carle_tpu.ops.bitpack import pack_grid, unpack_grid
@@ -166,9 +166,10 @@ def main() -> int:
     parser.add_argument("--launches", type=int, default=8)
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
-    parser.add_argument("--scheme", choices=("h", "v"), default="h",
-                        help="static-kernel step scheme: h = horizontal-pair "
-                             "(8 rolls/gen), v = vertical-first (6 rolls)")
+    parser.add_argument("--scheme", choices=("h", "v"), default="v",
+                        help="static-kernel step scheme: v = vertical-first "
+                             "(6 rolls/gen, default, 1.94e12 cells/s on "
+                             "v5e), h = horizontal-pair (8 rolls, 1.36e12)")
     args = parser.parse_args()
 
     from carle_tpu import rules

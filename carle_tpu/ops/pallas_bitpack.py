@@ -77,9 +77,70 @@ def _bit_step_block(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return (dead & ~g) | (alive & g)
 
 
-def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref):
+def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """Vertical-first rules-as-data step: 6 rolls/generation instead of 8
+    (measured 1.42x on v5e for the static variant — rolls dominate).  The
+    count includes the centre cell, so the 10-leaf mux tables are the birth
+    bits at count9 (dead branch) and the survive bits at count9-1 (alive)."""
+    nwords = g.shape[-2]
+    h = g.shape[-1]
+    word_ax, row_ax = g.ndim - 2, g.ndim - 1
+
+    u = pltpu.roll(g, 1, row_ax)
+    d = pltpu.roll(g, h - 1, row_ax)
+    ab = u ^ g
+    p0 = ab ^ d
+    p1 = (u & g) | (ab & d)
+
+    def lr(p):
+        pw = pltpu.roll(p, 1, word_ax)
+        nw = pltpu.roll(p, nwords - 1, word_ax)
+        return (p << 1) | (pw >> 31), (p >> 1) | (nw << 31)
+
+    p0l, p0r = lr(p0)
+    p1l, p1r = lr(p1)
+    s1, c1 = _csa(p0l, p0, p0r)
+    s2, c2 = _csa(p1l, p1, p1r)
+    n0 = s1
+    n1 = c1 ^ s2
+    cc = c1 & s2
+    n2 = c2 ^ cc
+    n3 = c2 & cc
+
+    def rule_plane(k):
+        bit = (rule_bits >> k) & 1
+        return jnp.broadcast_to(
+            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
+        )
+
+    zero = jnp.zeros_like(g)
+
+    def select(planes, sel):
+        out = []
+        for i in range(0, len(planes) - 1, 2):
+            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
+        if len(planes) % 2:
+            out.append(planes[-1] & ~sel)
+        return out
+
+    def fold(leaves):
+        planes = select(leaves, n0)   # 10 -> 5
+        planes = select(planes, n1)   # 5 -> 3
+        planes = select(planes, n2)   # 3 -> 2
+        planes = select(planes, n3)   # 2 -> 1
+        return planes[0]
+
+    # count9 == 9 unreachable on the dead branch; count9 == 0 on the alive
+    dead = fold([rule_plane(v) for v in range(9)] + [zero])
+    alive = fold([zero] + [rule_plane(9 + v) for v in range(9)])
+    return (dead & ~g) | (alive & g)
+
+
+def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref, *, scheme="v"):
+    step = _bit_step_block_v2 if scheme == "v" else _bit_step_block
+
     def body(_, g):
-        return _bit_step_block(g, rule_ref[0])
+        return step(g, rule_ref[0])
 
     out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
 
@@ -181,9 +242,68 @@ def _static_step_block_v2(g: jax.Array, birth_set, survive_set) -> jax.Array:
     return (dead & ~g) | (alive & g)
 
 
+def _static_step_block_v3(g: jax.Array, birth_set, survive_set) -> jax.Array:
+    """v2 with the two vertical planes STACKED along the tile axis so both
+    ride one word-axis roll per direction: 4 roll invocations/generation
+    (2 lane + 2 sublane) instead of v2's 6.  Same rolled element count —
+    this probes whether roll cost is per-invocation or per-element.
+
+    MEASURED (v5e, 4096x256x256): 1.905e12 cells/s vs v2's 1.94e12 — a
+    slight LOSS: roll cost is per-element, so halving invocations while
+    doubling their width buys nothing and the concat/slice costs a little.
+    Kept as the recorded negative result; "v" stays the default."""
+    from .bitpack import _fold_tree
+
+    nwords = g.shape[-2]
+    h = g.shape[-1]
+    word_ax, row_ax = g.ndim - 2, g.ndim - 1
+    tile = g.shape[0]
+
+    u = pltpu.roll(g, 1, row_ax)
+    d = pltpu.roll(g, h - 1, row_ax)
+    ab = u ^ g
+    p0 = ab ^ d
+    p1 = (u & g) | (ab & d)
+
+    pp = jnp.concatenate([p0, p1], axis=0)        # [2*tile, W/32, H]
+    pw = pltpu.roll(pp, 1, word_ax)
+    nw = pltpu.roll(pp, nwords - 1, word_ax)
+    lshift = (pp << 1) | (pw >> 31)
+    rshift = (pp >> 1) | (nw << 31)
+    p0l, p1l = lshift[:tile], lshift[tile:]
+    p0r, p1r = rshift[:tile], rshift[tile:]
+
+    s1, c1 = _csa(p0l, p0, p0r)
+    s2, c2 = _csa(p1l, p1, p1r)
+    n0 = s1
+    n1 = c1 ^ s2
+    cc = c1 & s2
+    n2 = c2 ^ cc
+    n3 = c2 & cc
+
+    def fold(digit_leaves):
+        out = _fold_tree(digit_leaves, [n0, n1, n2, n3])
+        if isinstance(out, str):
+            zero = jnp.zeros_like(g)
+            return zero if out == "0" else ~zero
+        return out
+
+    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
+    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
+                          for v in range(1, 10)])
+    return (dead & ~g) | (alive & g)
+
+
+_STATIC_STEPS = {
+    "h": _static_step_block,
+    "v": _static_step_block_v2,
+    "v3": _static_step_block_v3,
+}
+
+
 def _static_multi_step_kernel(steps_ref, grid_ref, out_ref, *, birth, survive,
-                              scheme="h"):
-    step = _static_step_block if scheme == "h" else _static_step_block_v2
+                              scheme="v"):
+    step = _STATIC_STEPS[scheme]
 
     def body(_, g):
         return step(g, birth, survive)
@@ -200,16 +320,18 @@ def _tile(instances: int, nwords: int, h: int,
     return tile
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("scheme",))
 def bit_multi_step_pallas(
-    packed: jax.Array, rule_bits: jax.Array, num_steps: jax.Array
+    packed: jax.Array, rule_bits: jax.Array, num_steps: jax.Array,
+    scheme: str = "v",
 ) -> jax.Array:
     """``num_steps`` generations on a packed [inst, H, W/32] grid."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)  # [inst, W/32, H]
     tile = _tile(inst, nwords, h)
     out = pl.pallas_call(
-        _multi_step_kernel,
+        functools.partial(_multi_step_kernel,
+                          scheme="v" if scheme == "v" else "h"),
         out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -232,15 +354,15 @@ def bit_multi_step_pallas(
 @functools.partial(jax.jit, static_argnames=("birth", "survive", "scheme"))
 def bit_multi_step_pallas_static(
     packed: jax.Array, birth, survive, num_steps: jax.Array,
-    scheme: str = "h",
+    scheme: str = "v",
 ) -> jax.Array:
     """``num_steps`` generations with the rule baked into the kernel.
 
     ~3x fewer bitops per word than the rules-as-data kernel for sparse
     rulesets like Life; recompiles when (birth, survive) change — use for
-    long fixed-rule runs and benchmarks.  ``scheme="h"`` is the
-    horizontal-pair step (8 rolls/gen), ``"v"`` the vertical-first step
-    (6 rolls, more ALU ops — see :func:`_static_step_block_v2`)."""
+    long fixed-rule runs and benchmarks.  ``scheme="v"`` (default) is the
+    vertical-first step (6 rolls/gen — 1.94e12 cells/s on v5e), ``"h"`` the
+    round-1 horizontal-pair step (8 rolls, 1.36e12 — see :func:`_static_step_block_v2`)."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)
     tile = _tile(inst, nwords, h)

@@ -101,6 +101,37 @@ def test_static_kernel_vertical_scheme_parity(rules_bs):
         out_h = bit_multi_step_pallas_static(
             packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="h"
         )
+        out_v3 = bit_multi_step_pallas_static(
+            packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="v3"
+        )
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_v3, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_v, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_h, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
+
+
+@pytest.mark.parametrize("rules_bs", [([3], [2, 3]), ([3, 6, 7, 8], [3, 4, 6, 7, 8])])
+def test_data_kernel_vertical_scheme_parity(rules_bs):
+    """The vertical-first rules-as-data kernel (now the default) must match
+    the XLA packed engine for arbitrary rule bitmasks."""
+    import numpy as np
+
+    from carle_tpu.ops.bitpack import bit_multi_step, pack_grid, unpack_grid
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas
+    from carle_tpu import rules as rules_mod
+
+    birth, survive = rules_bs
+    rng = np.random.RandomState(21)
+    grid = (rng.rand(2, 128, 128) < 0.4).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+    bits = jnp.asarray(rules_mod.pack_rule_bits(birth, survive))
+    ref = bit_multi_step(packed, bits, 5)
+
+    with pltpu.force_tpu_interpret_mode():
+        out_v = bit_multi_step_pallas(packed, bits, jnp.asarray(5), scheme="v")
+        out_h = bit_multi_step_pallas(packed, bits, jnp.asarray(5), scheme="h")
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_v, 128)),
                                   np.asarray(unpack_grid(ref, 128)))
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_h, 128)),

@@ -19,7 +19,11 @@ modules are the TPU-native replacement for "scale = bigger instances count"
 from .mesh import env_sharding, make_mesh, shard_carry, replicate
 from .spatial import bit_spatial_multi_step, spatial_ca_step, spatial_multi_step
 from .spatial_env import shard_carry_spatial, spatial_sharding
-from .pallas_halo import spatial_ca_step_pallas, spatial_multi_step_pallas
+from .pallas_halo import (
+    bit_spatial_multi_step_pallas,
+    spatial_ca_step_pallas,
+    spatial_multi_step_pallas,
+)
 
 __all__ = [
     "env_sharding",
@@ -29,6 +33,7 @@ __all__ = [
     "spatial_sharding",
     "replicate",
     "bit_spatial_multi_step",
+    "bit_spatial_multi_step_pallas",
     "spatial_ca_step",
     "spatial_ca_step_pallas",
     "spatial_multi_step_pallas",

@@ -228,6 +228,182 @@ def spatial_multi_step_pallas(
     return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
 
 
+def _packed_row_update(padded: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """Bit-packed CA update for rows ``1..-2`` of a uint32 word grid
+    [inst, rows, W/32] carrying one ghost row above and below.
+
+    Same carry-save-adder + rules-as-data mux as ops/bitpack.py, with the
+    horizontal cross-word carries as word-axis ``pltpu.roll``s.  Layout note:
+    the word axis sits on lanes UNTRANSPOSED here — at the ≥8k² universe
+    sizes this path exists for, W/32 ≥ 256 fills the lanes naturally (the
+    single-chip kernels transpose because 256-wide grids only have 8 words).
+    """
+    from ..ops.bitpack import _csa as csa
+
+    g = padded
+    nwords = g.shape[-1]
+    prev = pltpu.roll(g, 1, g.ndim - 1)
+    nxt = pltpu.roll(g, nwords - 1, g.ndim - 1)
+    left = (g << 1) | (prev >> 31)
+    right = (g >> 1) | (nxt << 31)
+    a = left ^ right
+    b = left & right
+
+    s1, c1 = csa(a[:, :-2, :], a[:, 1:-1, :], a[:, 2:, :])
+    s2, c2 = csa(g[:, :-2, :], g[:, 2:, :], s1)
+    n0 = s2
+    s3, c3 = csa(b[:, :-2, :], b[:, 1:-1, :], b[:, 2:, :])
+    s4, c4 = csa(s3, c1, c2)
+    n1 = s4
+    n2 = c3 ^ c4
+    n3 = c3 & c4
+
+    mid = g[:, 1:-1, :]
+
+    def rule_plane(k):
+        bit = (rule_bits >> k) & 1
+        return jnp.broadcast_to(
+            (jnp.uint32(0) - bit.astype(jnp.uint32)), mid.shape
+        )
+
+    def select(planes, sel):
+        out = []
+        for i in range(0, len(planes) - 1, 2):
+            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
+        if len(planes) % 2:
+            out.append(planes[-1] & ~sel)
+        return out
+
+    def fold(leaves):
+        planes = select(leaves, n0)
+        planes = select(planes, n1)
+        planes = select(planes, n2)
+        planes = select(planes, n3)
+        return planes[0]
+
+    dead = fold([rule_plane(v) for v in range(9)])
+    alive = fold([rule_plane(9 + v) for v in range(9)])
+    return (dead & ~mid) | (alive & mid)
+
+
+def _bit_halo_multi_kernel(rule_ref, steps_ref, grid_ref, out_ref, halo_ref,
+                           send_sem, recv_sem, *, axis_name: str):
+    """K packed generations per launch with per-generation ghost-ROW RDMA —
+    the boundary transfer is W/8 bytes instead of the uint8 kernel's W."""
+    n = jax.lax.axis_size(axis_name)
+    my_id = jax.lax.axis_index(axis_name)
+    up = (my_id - 1) % n
+    down = (my_id + 1) % n
+    h = grid_ref.shape[1]
+
+    out_ref[...] = grid_ref[...]
+
+    def one_generation(_, carry):
+        barrier = pltpu.get_barrier_semaphore()
+        pltpu.semaphore_signal(barrier, inc=1, device_id=up,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_signal(barrier, inc=1, device_id=down,
+                               device_id_type=pltpu.DeviceIdType.LOGICAL)
+        pltpu.semaphore_wait(barrier, 2)
+
+        send_down = pltpu.make_async_remote_copy(
+            src_ref=out_ref.at[:, h - 1 : h, :],
+            dst_ref=halo_ref.at[0],
+            send_sem=send_sem.at[0],
+            recv_sem=recv_sem.at[0],
+            device_id=down,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        send_up = pltpu.make_async_remote_copy(
+            src_ref=out_ref.at[:, 0:1, :],
+            dst_ref=halo_ref.at[1],
+            send_sem=send_sem.at[1],
+            recv_sem=recv_sem.at[1],
+            device_id=up,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+        send_down.start()
+        send_up.start()
+
+        g = out_ref[...]
+        interior = _packed_row_update(g, rule_ref[0])
+
+        send_down.wait()
+        send_up.wait()
+        top = jnp.concatenate([halo_ref[0], g[:, 0:2, :]], axis=1)
+        bottom = jnp.concatenate([g[:, h - 2 : h, :], halo_ref[1]], axis=1)
+
+        out_ref[:, 1 : h - 1, :] = interior
+        out_ref[:, 0:1, :] = _packed_row_update(top, rule_ref[0])
+        out_ref[:, h - 1 : h, :] = _packed_row_update(bottom, rule_ref[0])
+        return carry
+
+    jax.lax.fori_loop(0, steps_ref[0], one_generation, 0)
+
+
+def bit_spatial_multi_step_pallas(
+    packed: jax.Array,
+    rule_bits: jax.Array,
+    num_steps,
+    mesh: Mesh,
+    axis_name: str = "space",
+    collective_id: int = 9,
+    interpret: bool = False,
+    detect_races: bool = False,
+) -> jax.Array:
+    """``num_steps`` generations of a row-sharded PACKED universe
+    [inst, H, W/32] (H sharded): the packed per-chip engine with explicit
+    per-generation ghost-row RDMA, VMEM-resident between generations.
+
+    Completes the spatial matrix (uint8/packed x ppermute/RDMA).  Same
+    hardware caveat as the uint8 kernels above: interpreter-verified on this
+    single-chip box; smoke on a real pod slice before relying on it.
+    """
+    interp = (
+        pltpu.InterpretParams(detect_races=detect_races) if interpret else False
+    )
+
+    def per_device(local: jax.Array, bits: jax.Array) -> jax.Array:
+        inst, h_local, nwords = local.shape
+        kernel = functools.partial(_bit_halo_multi_kernel, axis_name=axis_name)
+        return pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct(local.shape, jnp.uint32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=2,
+                grid=(1,),
+                in_specs=[
+                    pl.BlockSpec(local.shape, lambda *_: (0, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec(local.shape, lambda *_: (0, 0, 0),
+                                       memory_space=pltpu.VMEM),
+                scratch_shapes=[
+                    pltpu.VMEM((2, inst, 1, nwords), jnp.uint32),
+                    pltpu.SemaphoreType.DMA((2,)),
+                    pltpu.SemaphoreType.DMA((2,)),
+                ],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                has_side_effects=True, collective_id=collective_id
+            ),
+            interpret=interp,
+        )(
+            jnp.asarray(bits, jnp.int32).reshape(1),
+            jnp.asarray(num_steps, jnp.int32).reshape(1),
+            local,
+        )
+
+    fn = shard_map(
+        per_device,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None),
+        check_vma=False,
+    )
+    return fn(packed, jnp.asarray(rule_bits, dtype=jnp.int32))
+
+
 def spatial_ca_step_pallas(
     grid: jax.Array,
     rule_bits: jax.Array,

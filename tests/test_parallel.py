@@ -261,3 +261,26 @@ def test_multiprocess_mesh_rollout(tmp_path):
     for pid, (p, out) in enumerate(zip(procs, outs)):
         assert p.returncode == 0, f"worker {pid} failed:\n{out[-3000:]}"
         assert f"proc {pid}/2: OK" in out
+
+
+def test_bit_pallas_halo_multi_step_kernel():
+    """Packed RDMA halo kernel (race detection ON): K packed generations
+    with per-generation ghost-row DMA match the single-device packed engine
+    bit-for-bit — the last cell of the uint8/packed x ppermute/RDMA
+    spatial matrix."""
+    from carle_tpu.ops.bitpack import bit_multi_step, pack_grid, unpack_grid
+    from carle_tpu.parallel import bit_spatial_multi_step_pallas
+
+    mesh = make_mesh(axis_name="space")
+    rng = np.random.RandomState(13)
+    grid = (rng.rand(2, 64, 128) < 0.3).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+    bits = rules.pack_rule_bits([3, 6, 8], [2, 4, 5])
+
+    ref = bit_multi_step(packed, jnp.asarray(bits), 5)
+    out = bit_spatial_multi_step_pallas(
+        packed, bits, 5, mesh, interpret=True, detect_races=True,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_grid(out, 128)), np.asarray(unpack_grid(ref, 128))
+    )

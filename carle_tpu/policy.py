@@ -222,6 +222,7 @@ class PPOTrainer:
         epochs: int = 4,
         minibatches: int = 4,
         baseline_decay: float = 0.99,
+        gamma: float = 0.0,
     ) -> None:
         self.config = config
         self.stack = WrapperStack(config, wrappers)
@@ -231,6 +232,10 @@ class PPOTrainer:
         self.epochs = epochs
         self.minibatches = minibatches
         self.baseline_decay = baseline_decay
+        # gamma > 0 credits actions for future bonuses flowing through the
+        # universe state (a toggled glider pays SpeedDetector for many
+        # steps); gamma == 0 reduces to the immediate-bonus objective.
+        self.gamma = gamma
         self._run = jax.jit(self._run_impl, static_argnames=("horizon",),
                             donate_argnames=("state",))
 
@@ -309,10 +314,23 @@ class PPOTrainer:
                 length=horizon,
             )
         )
+        if self.gamma > 0.0:
+            # discounted return-to-go along the horizon, per instance
+            def disc(carry, r):
+                ret = r + self.gamma * carry
+                return ret, ret
+
+            _, returns = jax.lax.scan(disc,
+                                      jnp.zeros_like(rewards[0]),
+                                      rewards, reverse=True)
+            credit = returns
+        else:
+            credit = rewards
+
         n = horizon * cfg.instances
         flat_grids = grids.reshape(n, cfg.height, cfg.width)
         flat_actions = actions.reshape(n, -1)
-        flat_rewards = rewards.reshape(n)
+        flat_rewards = credit.reshape(n)
         flat_logp = logp_old.reshape(n)
 
         baseline = (

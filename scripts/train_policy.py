@@ -45,6 +45,9 @@ def main() -> int:
     parser.add_argument("--entropy-beta", type=float, default=1e-3)
     parser.add_argument("--ppo-horizon", type=int, default=128,
                         help="steps collected per PPO iteration")
+    parser.add_argument("--gamma", type=float, default=0.0,
+                        help="PPO discount for return-to-go credit "
+                             "(0 = immediate bonus only)")
     parser.add_argument("--eval-steps", type=int, default=1024)
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out-dir", default="logs/policy")
@@ -74,7 +77,8 @@ def main() -> int:
 
     if args.algo == "ppo":
         trainer = PPOTrainer(config, defs, lr=args.lr,
-                             entropy_beta=args.entropy_beta)
+                             entropy_beta=args.entropy_beta,
+                             gamma=args.gamma)
     else:
         trainer = PolicyTrainer(config, defs, lr=args.lr,
                                 entropy_beta=args.entropy_beta)

@@ -114,3 +114,15 @@ def test_ppo_learns_to_toggle_more():
         float(first.mean()), float(last.mean()),
     )
     assert float(last.mean()) > 0.2
+
+
+def test_ppo_discounted_credit_runs():
+    """gamma > 0 turns on discounted return-to-go credit; mechanics stay
+    finite and params move."""
+    from carle_tpu.policy import PPOTrainer
+
+    trainer = PPOTrainer(CFG, wrappers=[_toggle_reward_def(1.0)], lr=0.01,
+                         epochs=2, minibatches=2, gamma=0.9)
+    state = trainer.init(jax.random.PRNGKey(2), rules.LIFE)
+    state, trace = trainer.run(state, horizon=8)
+    assert bool(jnp.all(jnp.isfinite(trace)))

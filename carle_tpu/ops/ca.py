@@ -40,11 +40,16 @@ def neighbor_counts(grid: jax.Array) -> jax.Array:
 def apply_rule(grid: jax.Array, counts: jax.Array, rule_bits: jax.Array) -> jax.Array:
     """Next cell state from the packed 18-bit rule mask.
 
-    ``rule_bits`` is a scalar (traced) int32/uint32; bit ``count`` governs
-    birth and bit ``9 + count`` survival (rules.py:pack_rule_bits).
+    ``rule_bits`` is a traced int32/uint32 — either a scalar (one rule for
+    the whole batch) or shape [instances] (PER-INSTANCE rulesets, a
+    beyond-reference capability: e.g. the whole eval battery as one batch);
+    bit ``count`` governs birth and bit ``9 + count`` survival
+    (rules.py:pack_rule_bits).
     """
     idx = counts.astype(jnp.int32) + 9 * grid.astype(jnp.int32)
     bits = jnp.asarray(rule_bits, dtype=jnp.int32)
+    if bits.ndim == 1:
+        bits = bits.reshape(bits.shape[0], *([1] * (grid.ndim - 1)))
     return ((bits >> idx) & 1).astype(jnp.uint8)
 
 
@@ -67,10 +72,13 @@ def ca_step_with_action(
     """Toggle (XOR the centred action window) + one CA generation, dispatched
     to the configured backend.  The pallas path fuses the XOR into the kernel
     (ops/pallas_ca.py); the XLA path pads and XORs explicitly."""
-    if resolve_backend(config.backend) == "pallas":
+    if (resolve_backend(config.backend) == "pallas"
+            and jnp.asarray(rule_bits).ndim == 0):
         from .pallas_ca import ca_step_pallas
 
         return ca_step_pallas(grid, action, rule_bits, config=config)
+    # XLA path; also serves per-instance rule vectors (the Pallas kernel
+    # takes one scalar rule per launch)
     return ca_step_grid(grid ^ pad_action(action, config), rule_bits)
 
 

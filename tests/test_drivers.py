@@ -265,3 +265,54 @@ def test_train_mesh_matches_single_device(tmp_path):
     h_single = train(log_dir=str(tmp_path / "single"), mesh=False, **kw)
     h_mesh = train(log_dir=str(tmp_path / "mesh"), mesh=True, **kw)
     np.testing.assert_allclose(h_mesh, h_single, rtol=1e-5, atol=1e-6)
+
+
+def test_per_instance_rules_in_engine():
+    """A [instances] rule vector applies a DIFFERENT B/S rule per instance
+    through the same compiled step (rules are data)."""
+    import jax
+    import jax.numpy as jnp
+
+    from carle_tpu import rules as rules_mod
+    from carle_tpu.ops.ca import ca_step_grid
+
+    g = np.zeros((2, 16, 16), dtype=np.uint8)
+    g[:, 4, 4:7] = 1  # a blinker in both instances
+    bits = jnp.asarray(
+        [rules_mod.pack_rule_bits([3], [2, 3]),   # Life: blinker oscillates
+         rules_mod.pack_rule_bits([], [])],       # everything dies
+        dtype=jnp.int32,
+    )
+    out = np.asarray(ca_step_grid(jnp.asarray(g), bits))
+    assert out[0].sum() == 3   # Life keeps the blinker alive (rotated)
+    assert out[1].sum() == 0   # the dead rule killed instance 1
+
+
+def test_evaluate_fused_batched_matches_sequential_scale():
+    """The batched battery (per-instance rules, one scan) produces per-rule
+    scores consistent with the sequential fused path for a deterministic
+    agent (each instance starts from fresh wrapper stats, so tolerances are
+    loose only through that carry-over)."""
+    from carle_tpu.agents import RandomNetworkAgent
+    from carle_tpu.evaluation.eval import (
+        evaluate_fused,
+        evaluate_fused_batched,
+    )
+    from carle_tpu.mcl import CornerBonus, ParsimonyBonus
+
+    rules = [[[3], [2, 3]], [[3, 6, 8], [2, 4, 5]]]
+    wrappers = [[CornerBonus, 1e-3, None], [ParsimonyBonus, 1.0, None]]
+    score_b, per_rule = evaluate_fused_batched(
+        Agent=RandomNetworkAgent, rules=rules, wrappers=wrappers, steps=6,
+        verbose=False, seed=3,
+    )
+    assert per_rule.shape == (2,)
+    # stateless wrappers + deterministic agent -> per-rule scores must match
+    # the sequential path exactly
+    for i, rs in enumerate(rules):
+        s_i, _ = evaluate_fused(
+            Agent=RandomNetworkAgent, rules=[rs], wrappers=wrappers, steps=6,
+            verbose=False, seed=3,
+        )
+        np.testing.assert_allclose(per_rule[i], s_i, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(score_b, per_rule.mean())

@@ -65,6 +65,40 @@ def measure(n_devices: int, instances_per_device: int, size: int, steps: int,
     return steps * config.instances / dt
 
 
+def measure_spatial(n_devices: int, rows_per_device: int, width: int,
+                    steps: int, instances: int, packed: bool) -> float:
+    """Cell-updates/s of a row-sharded universe on an ``n_devices`` mesh
+    (weak scaling over rows; ghost rows ride the ring each generation)."""
+    import jax.numpy as jnp
+
+    from carle_tpu import rules
+    from carle_tpu.parallel import (
+        bit_spatial_multi_step,
+        make_mesh,
+        spatial_multi_step,
+    )
+
+    h = rows_per_device * n_devices
+    mesh = make_mesh(jax.devices()[:n_devices], axis_name="space")
+    rng = np.random.RandomState(0)
+    grid = (rng.rand(instances, h, width) < 0.4).astype(np.uint8)
+
+    if packed:
+        from carle_tpu.ops.bitpack import pack_grid
+
+        state = pack_grid(jnp.asarray(grid))
+        run = lambda: bit_spatial_multi_step(state, rules.LIFE, steps, mesh)
+    else:
+        state = jnp.asarray(grid)
+        run = lambda: spatial_multi_step(state, rules.LIFE, steps, mesh)
+
+    _sync(run())  # compile + warm
+    t0 = time.perf_counter()
+    _sync(run())
+    dt = time.perf_counter() - t0
+    return instances * h * width * steps / dt
+
+
 def main() -> int:
     import os
 
@@ -87,6 +121,12 @@ def main() -> int:
     parser.add_argument("--steps", type=int, default=128)
     parser.add_argument("--no-wrappers", action="store_true",
                         help="bare env rollout (no RND/AE learning)")
+    parser.add_argument("--spatial", choices=("off", "uint8", "packed"),
+                        default="off",
+                        help="measure the row-sharded-universe path instead "
+                             "of the env-batch rollout")
+    parser.add_argument("--rows-per-device", type=int, default=512)
+    parser.add_argument("--width", type=int, default=1024)
     parser.add_argument("--multihost", action="store_true",
                         help="call jax.distributed.initialize() first")
     args = parser.parse_args()
@@ -106,6 +146,18 @@ def main() -> int:
     for n in counts:
         if n > total:
             print(f"# skipping {n} devices (only {total} available)")
+            continue
+        if args.spatial != "off":
+            cps = measure_spatial(n, args.rows_per_device, args.width,
+                                  args.steps, instances=1,
+                                  packed=args.spatial == "packed")
+            results[n] = cps
+            print(json.dumps({
+                "metric": "spatial_cell_updates_per_s", "devices": n,
+                "value": cps, "unit": "cells/s",
+                "config": {"rows_per_device": args.rows_per_device,
+                           "width": args.width, "engine": args.spatial},
+            }))
             continue
         sps = measure(n, args.instances_per_device, args.size, args.steps,
                       wrapped=not args.no_wrappers, seed=0)

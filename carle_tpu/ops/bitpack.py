@@ -102,8 +102,14 @@ def _neighbor_bitplanes_padded(padded: jax.Array):
 
 
 def _broadcast_rule_bit(rule_bits: jax.Array, k: int, like: jax.Array) -> jax.Array:
-    """All-ones word where bit k of the rule mask is set, else zero."""
-    bit = (rule_bits.astype(jnp.uint32) >> k) & jnp.uint32(1)
+    """All-ones word where bit k of the rule mask is set, else zero.
+
+    ``rule_bits`` may be a scalar or an [instances] vector (per-instance
+    rulesets, matching ops/ca.py:apply_rule)."""
+    bits = jnp.asarray(rule_bits).astype(jnp.uint32)
+    bit = (bits >> k) & jnp.uint32(1)
+    if bit.ndim == 1:
+        bit = bit.reshape(bit.shape[0], *([1] * (like.ndim - 1)))
     return jnp.broadcast_to(jnp.uint32(0) - bit, like.shape)
 
 

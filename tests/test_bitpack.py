@@ -115,3 +115,24 @@ def test_static_pallas_kernel_parity():
         out = bit_multi_step_pallas_static(packed, (3,), (2, 3),
                                            jnp.asarray(4))
     np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+
+
+def test_bitpack_per_instance_rules():
+    """The packed engine accepts an [instances] rule vector like the uint8
+    engine (per-instance rulesets)."""
+    from carle_tpu import rules as rules_mod
+    from carle_tpu.ops.bitpack import bit_ca_step, pack_grid, unpack_grid
+    from carle_tpu.ops.ca import ca_step_grid
+
+    rng = np.random.RandomState(9)
+    grid = (rng.rand(3, 32, 64) < 0.4).astype(np.uint8)
+    bits = jnp.asarray(
+        [rules_mod.pack_rule_bits([3], [2, 3]),
+         rules_mod.pack_rule_bits([3, 6, 8], [2, 4, 5]),
+         rules_mod.pack_rule_bits([2], [0])],
+        dtype=jnp.int32,
+    )
+    ref = np.asarray(ca_step_grid(jnp.asarray(grid), bits))
+    out = np.asarray(unpack_grid(bit_ca_step(pack_grid(jnp.asarray(grid)),
+                                             bits), 64))
+    np.testing.assert_array_equal(out, ref)

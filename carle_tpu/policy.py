@@ -223,6 +223,7 @@ class PPOTrainer:
         minibatches: int = 4,
         baseline_decay: float = 0.99,
         gamma: float = 0.0,
+        norm_advantage: bool = False,
     ) -> None:
         self.config = config
         self.stack = WrapperStack(config, wrappers)
@@ -236,6 +237,12 @@ class PPOTrainer:
         # universe state (a toggled glider pays SpeedDetector for many
         # steps); gamma == 0 reduces to the immediate-bonus objective.
         self.gamma = gamma
+        # std-normalizing near-constant endogenous rewards amplifies batch
+        # noise to +/-1 and the repeated clipped updates then drive the
+        # policy to a degenerate attractor (observed: collapse to zero
+        # toggles on the frozen eval stack) — default OFF, raw advantages
+        # like the REINFORCE trainer
+        self.norm_advantage = norm_advantage
         self._run = jax.jit(self._run_impl, static_argnames=("horizon",),
                             donate_argnames=("state",))
 
@@ -341,7 +348,8 @@ class PPOTrainer:
             flat_rewards - jnp.mean(flat_rewards)
             + 0.1 * (flat_rewards - baseline)
         )
-        advantages = advantages / (jnp.std(advantages) + 1e-6)
+        if self.norm_advantage:
+            advantages = advantages / (jnp.std(advantages) + 1e-6)
 
         mb = n // self.minibatches
         key, k_perm = jax.random.split(key)

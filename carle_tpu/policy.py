@@ -344,10 +344,14 @@ class PPOTrainer:
             self.baseline_decay * state.baseline
             + (1 - self.baseline_decay) * jnp.mean(flat_rewards)
         )
-        advantages = (
-            flat_rewards - jnp.mean(flat_rewards)
-            + 0.1 * (flat_rewards - baseline)
-        )
+        # STRICTLY zero-mean advantage (no EMA blend): any uniform offset
+        # acts as behaviour cloning of the sampled actions — with ~95%-zero
+        # toggle patches and many clipped updates per horizon that drives
+        # the logits to the all-zeros attractor (observed on the frozen
+        # eval stack before this fix).  The flat batch is horizon*instances
+        # samples, so the batch mean is a solid baseline on its own; the
+        # EMA is kept only as a reward-trace diagnostic.
+        advantages = flat_rewards - jnp.mean(flat_rewards)
         if self.norm_advantage:
             advantages = advantages / (jnp.std(advantages) + 1e-6)
 

@@ -319,6 +319,12 @@ def evaluate_fused(
         Agent, params_path, agent_params, config, toggle_rate, seed
     )
     ro = Rollout(config, defs, agent_fn)
+    if loaded_params is not None:
+        # the fused runners DONATE their carry; copy so the caller's params
+        # survive this call (and repeated calls with the same params work)
+        import jax.numpy as jnp
+
+        loaded_params = jax.tree.map(jnp.copy, loaded_params)
     carry = ro.init(
         jax.random.PRNGKey(seed), rules_mod.LIFE, agent_params=loaded_params
     )
@@ -405,6 +411,8 @@ def evaluate_fused_batched(
         Agent, params_path, agent_params, config, toggle_rate, seed
     )
     ro = Rollout(config, defs, agent_fn)
+    if loaded_params is not None:
+        loaded_params = jax.tree.map(jnp.copy, loaded_params)  # donation guard
     carry = ro.init(
         jax.random.PRNGKey(seed), rules_mod.LIFE, agent_params=loaded_params
     )

@@ -316,3 +316,24 @@ def test_evaluate_fused_batched_matches_sequential_scale():
         )
         np.testing.assert_allclose(per_rule[i], s_i, rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(score_b, per_rule.mean())
+
+
+def test_evaluate_fused_does_not_consume_caller_params():
+    """Repeated evaluate_fused calls with the SAME params object must work —
+    the fused runner donates its carry, so the harness copies externally
+    provided agent params instead of letting donation delete them."""
+    import jax
+
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.evaluation.eval import evaluate_fused
+    from carle_tpu.mcl import ParsimonyBonus
+    from carle_tpu.policy import PolicyTrainer, init_policy_params
+
+    cfg = EnvConfig()
+    params = init_policy_params(jax.random.PRNGKey(0), cfg)
+    agent = PolicyTrainer(cfg, []).as_agent()
+    kw = dict(Agent=(agent, params), rules=[[[3], [2, 3]]],
+              wrappers=[[ParsimonyBonus, 1.0, None]], steps=2, verbose=False)
+    s1, _ = evaluate_fused(seed=1, **kw)
+    s2, _ = evaluate_fused(seed=1, **kw)  # would raise "Array deleted" before
+    assert s1 == s2

@@ -136,3 +136,27 @@ def test_bitpack_per_instance_rules():
     out = np.asarray(unpack_grid(bit_ca_step(pack_grid(jnp.asarray(grid)),
                                              bits), 64))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_r_pentomino_census_golden():
+    """Long-horizon golden test (SURVEY §4): the R-pentomino stabilizes at
+    generation 1103 with a population of 116 (8 gliders still in flight) —
+    the published census, reproduced by the packed engine on a 1024² torus
+    large enough that nothing wraps into the debris."""
+    from carle_tpu import rules as rules_mod
+    from carle_tpu.ops.bitpack import bit_multi_step, pack_grid, unpack_grid
+
+    g = np.zeros((1, 1024, 1024), dtype=np.uint8)
+    r, c = 512, 512
+    g[0, r, c + 1 : c + 3] = 1
+    g[0, r + 1, c : c + 2] = 1
+    g[0, r + 2, c + 1] = 1
+    assert g.sum() == 5
+
+    p = bit_multi_step(pack_grid(jnp.asarray(g)),
+                       jnp.asarray(rules_mod.LIFE), 1103)
+    assert int(np.asarray(unpack_grid(p, 1024)).sum()) == 116
+    # stabilized: population is conserved afterwards (still lifes, period-2
+    # oscillators, and the eight escaping gliders)
+    p2 = bit_multi_step(p, jnp.asarray(rules_mod.LIFE), 4)
+    assert int(np.asarray(unpack_grid(p2, 1024)).sum()) == 116

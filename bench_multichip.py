@@ -87,14 +87,18 @@ def measure_spatial(n_devices: int, rows_per_device: int, width: int,
         from carle_tpu.ops.bitpack import pack_grid
 
         state = pack_grid(jnp.asarray(grid))
-        run = lambda: bit_spatial_multi_step(state, rules.LIFE, steps, mesh)
+        fn = jax.jit(
+            lambda s: bit_spatial_multi_step(s, rules.LIFE, steps, mesh)
+        )
     else:
         state = jnp.asarray(grid)
-        run = lambda: spatial_multi_step(state, rules.LIFE, steps, mesh)
+        fn = jax.jit(
+            lambda s: spatial_multi_step(s, rules.LIFE, steps, mesh)
+        )
 
-    _sync(run())  # compile + warm
+    _sync(fn(state))  # compile + warm (ONE jit instance — reused below)
     t0 = time.perf_counter()
-    _sync(run())
+    _sync(fn(state))
     dt = time.perf_counter() - t0
     return instances * h * width * steps / dt
 

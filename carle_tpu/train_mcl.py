@@ -196,7 +196,17 @@ if __name__ == "__main__":
                         help="shard the instance batch over all local "
                              "devices (multi-host: initialize "
                              "jax.distributed first)")
+    parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
+                        default="threefry",
+                        help="PRNG for in-scan randomness. Dropout masks "
+                             "dominate the training step (65.6 -> 145.1 "
+                             "scan-steps/s with dropout off on v5e); rbg "
+                             "uses the TPU hardware generator and reaches "
+                             "120.6 with dropout ON (1.84x) at the cost of "
+                             "cross-backend reproducibility")
     args = parser.parse_args()
+    if args.rng_impl != "threefry":
+        jax.config.update("jax_default_prng_impl", args.rng_impl)
 
     history = train(
         instances=args.instances,

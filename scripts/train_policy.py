@@ -49,6 +49,9 @@ def main() -> int:
                         help="PPO discount for return-to-go credit "
                              "(0 = immediate bonus only)")
     parser.add_argument("--eval-steps", type=int, default=1024)
+    parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
+                        default="threefry",
+                        help="rbg = TPU hardware PRNG (see train_mcl --help)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out-dir", default="logs/policy")
     parser.add_argument("--skip-eval", action="store_true")
@@ -57,6 +60,10 @@ def main() -> int:
     from carle_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
+    if args.rng_impl != "threefry":
+        import jax as _jax
+
+        _jax.config.update("jax_default_prng_impl", args.rng_impl)
 
     import jax
     import numpy as np

@@ -84,14 +84,17 @@ def load_pytree(path: str, like: Any, missing: str = "error") -> Any:
     code reading newer files).  Files written by a newer wire format than
     this build understands are rejected outright.
     """
-    meta = checkpoint_meta(path)
-    if meta.get("format_version", 0) > FORMAT_VERSION:
-        raise ValueError(
-            f"checkpoint {path} uses wire format "
-            f"{meta['format_version']}, newer than supported "
-            f"{FORMAT_VERSION} — upgrade carle_tpu to read it"
-        )
     with np.load(path) as data:
+        if _META_KEY in data.files:
+            meta = json.loads(bytes(data[_META_KEY]).decode())
+        else:
+            meta = {"format_version": 0}
+        if meta.get("format_version", 0) > FORMAT_VERSION:
+            raise ValueError(
+                f"checkpoint {path} uses wire format "
+                f"{meta['format_version']}, newer than supported "
+                f"{FORMAT_VERSION} — upgrade carle_tpu to read it"
+            )
         stored = {k: data[k] for k in data.files if k != _META_KEY}
 
     flat, treedef = jax.tree_util.tree_flatten_with_path(like)

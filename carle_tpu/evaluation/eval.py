@@ -197,6 +197,11 @@ def inject_wrapper_checkpoints(
     for i, (cls, _, ckpt) in enumerate(wrappers):
         if ckpt is None:
             continue
+        if not hasattr(new_wstates[i], "reward_scale"):
+            raise ValueError(
+                f"{cls.__name__} has no checkpointable state; drop the "
+                f"checkpoint path {ckpt!r} from its spec"
+            )
         if ckpt.endswith(".npz"):
             loaded = load_pytree(ckpt, new_wstates[i])
             new_wstates[i] = loaded._replace(
@@ -481,15 +486,17 @@ if __name__ == "__main__":
                 else REFERENCE_WRAPPERS)
     compat = not args.fix_survive_bug
     agent_cls = SubmissionAgent if args.agent == "random" else RandomNetworkAgent
+    # always route through the class so --agent-params reaches
+    # load_state_dict on every path (Agent=None would silently drop it)
     if args.batched:
         score, per_rule = evaluate_fused_batched(
-            Agent=None if args.agent == "random" else agent_cls,
+            Agent=agent_cls,
             wrappers=wrappers, params_path=args.agent_params,
             steps=args.steps, reference_compat=compat, seed=args.seed,
         )
     elif args.fused:
         score, trace = evaluate_fused(
-            Agent=None if args.agent == "random" else agent_cls,
+            Agent=agent_cls,
             wrappers=wrappers, params_path=args.agent_params,
             steps=args.steps, reference_compat=compat, seed=args.seed,
         )

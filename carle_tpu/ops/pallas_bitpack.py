@@ -248,10 +248,12 @@ def _static_step_block_v3(g: jax.Array, birth_set, survive_set) -> jax.Array:
     (2 lane + 2 sublane) instead of v2's 6.  Same rolled element count —
     this probes whether roll cost is per-invocation or per-element.
 
-    MEASURED (v5e, 4096x256x256): 1.905e12 cells/s vs v2's 1.94e12 — a
-    slight LOSS: roll cost is per-element, so halving invocations while
-    doubling their width buys nothing and the concat/slice costs a little.
-    Kept as the recorded negative result; "v" stays the default."""
+    MEASURED (v5e, 4096x256x256, after fixing a scheme-dispatch bug that
+    originally made this path unreachable): 1.907e12 cells/s vs v2's
+    1.899e12 in the same session — a TIE within the ±2% run-to-run noise
+    (v2 spans 1.90-1.94e12 across sessions).  Roll cost is per-element:
+    halving invocations while doubling their width buys nothing.  Kept as
+    the recorded negative result; "v" stays the default."""
     from .bitpack import _fold_tree
 
     nwords = g.shape[-2]
@@ -329,9 +331,10 @@ def bit_multi_step_pallas(
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)  # [inst, W/32, H]
     tile = _tile(inst, nwords, h)
+    if scheme not in ("v", "h"):
+        raise ValueError(f"unknown scheme {scheme!r}; one of ['h', 'v']")
     out = pl.pallas_call(
-        functools.partial(_multi_step_kernel,
-                          scheme="v" if scheme == "v" else "h"),
+        functools.partial(_multi_step_kernel, scheme=scheme),
         out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
@@ -366,11 +369,13 @@ def bit_multi_step_pallas_static(
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)
     tile = _tile(inst, nwords, h)
+    if scheme not in _STATIC_STEPS:
+        raise ValueError(f"unknown scheme {scheme!r}; one of {sorted(_STATIC_STEPS)}")
     kernel = functools.partial(
         _static_multi_step_kernel,
         birth=frozenset(birth),
         survive=frozenset(survive),
-        scheme="h" if scheme == "h" else "v",
+        scheme=scheme,
     )
     out = pl.pallas_call(
         kernel,

@@ -258,32 +258,9 @@ def _packed_row_update(padded: jax.Array, rule_bits: jax.Array) -> jax.Array:
     n2 = c3 ^ c4
     n3 = c3 & c4
 
-    mid = g[:, 1:-1, :]
+    from ..ops.bitpack import _rule_mux
 
-    def rule_plane(k):
-        bit = (rule_bits >> k) & 1
-        return jnp.broadcast_to(
-            (jnp.uint32(0) - bit.astype(jnp.uint32)), mid.shape
-        )
-
-    def select(planes, sel):
-        out = []
-        for i in range(0, len(planes) - 1, 2):
-            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
-        if len(planes) % 2:
-            out.append(planes[-1] & ~sel)
-        return out
-
-    def fold(leaves):
-        planes = select(leaves, n0)
-        planes = select(planes, n1)
-        planes = select(planes, n2)
-        planes = select(planes, n3)
-        return planes[0]
-
-    dead = fold([rule_plane(v) for v in range(9)])
-    alive = fold([rule_plane(9 + v) for v in range(9)])
-    return (dead & ~mid) | (alive & mid)
+    return _rule_mux(g[:, 1:-1, :], (n0, n1, n2, n3), rule_bits)
 
 
 def _bit_halo_multi_kernel(rule_ref, steps_ref, grid_ref, out_ref, halo_ref,

@@ -330,6 +330,14 @@ class PPOTrainer:
             _, returns = jax.lax.scan(disc,
                                       jnp.zeros_like(rewards[0]),
                                       rewards, reverse=True)
+            # truncated returns shrink toward the horizon boundary (step t
+            # accumulates ~(1-gamma^(T-t))/(1-gamma) of the bonus mass), so
+            # a single global baseline would push late-horizon actions
+            # negative by POSITION.  Center per timestep across instances
+            # to remove the position bias (inst == 1 has no cross-instance
+            # mean; the global centering below is all we can do there).
+            if cfg.instances > 1:
+                returns = returns - jnp.mean(returns, axis=1, keepdims=True)
             credit = returns
         else:
             credit = rewards

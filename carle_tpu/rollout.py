@@ -152,6 +152,11 @@ class Rollout:
         pulled to the host and RLE-encoded as one log entry.  Writes the
         reference's CSV episode-log format (plus optional PNG frames) and
         returns (carry, rewards [steps, inst, 1], log_path).
+
+        Chunk length is a static jit argument: when ``num_steps`` is not a
+        multiple of ``snapshot_every`` the trailing partial chunk compiles
+        a SECOND program — keep them divisible on the tunneled TPU, where a
+        fused-program compile costs minutes.
         """
         from . import rle as rle_codec
         from . import rules as rules_mod
@@ -171,8 +176,10 @@ class Rollout:
             done += k
             grid = np.asarray(jax.device_get(carry.stack.env.grid[instance]))
             last_action = np.asarray(jax.device_get(actions[-1]))
+            rb = np.asarray(jax.device_get(carry.stack.env.rule_bits))
+            # per-instance rule vectors: log the logged instance's rule
             birth, survive = rules_mod.unpack_rule_bits(
-                int(jax.device_get(carry.stack.env.rule_bits))
+                int(rb[instance] if rb.ndim == 1 else rb)
             )
             entries.append([
                 rle_codec.encode_grid(

@@ -206,3 +206,26 @@ def test_checkpoint_versioning_and_migration(tmp_path):
     )
     with pytest.raises(ValueError, match="newer than supported"):
         load_pytree(str(tmp_path / "future.npz"), tree)
+
+
+def test_run_logged_with_per_instance_rules(tmp_path):
+    """run_logged must log the logged instance's own rule when the env
+    carries a per-instance rule vector."""
+    from carle_tpu import rle
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    ro = Rollout(cfg, wrappers=[], agent=make_random_agent(16, 16))
+    carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
+    bits = jnp.asarray([rules.pack_rule_bits([3], [2, 3]),
+                        rules.pack_rule_bits([3, 6, 8], [2, 4, 5])],
+                       dtype=jnp.int32)
+    env = carry.stack.env._replace(rule_bits=bits)
+    carry = carry._replace(stack=carry.stack._replace(env=env))
+    carry, _ = ro.reset(carry)
+    carry, rewards, path = ro.run_logged(
+        carry, num_steps=4, snapshot_every=4, instance=1,
+        directory=str(tmp_path),
+    )
+    pat = rle.parse_rle_text(rle.read_log(path)[-1][1])
+    assert pat.birth == [3, 6, 8] and pat.survive == [2, 4, 5]

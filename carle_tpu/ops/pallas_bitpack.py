@@ -77,11 +77,11 @@ def _bit_step_block(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return (dead & ~g) | (alive & g)
 
 
-def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
-    """Vertical-first rules-as-data step: 6 rolls/generation instead of 8
-    (measured 1.42x on v5e for the static variant — rolls dominate).  The
-    count includes the centre cell, so the 10-leaf mux tables are the birth
-    bits at count9 (dead branch) and the survive bits at count9-1 (alive)."""
+def _count9_planes(g: jax.Array):
+    """Vertical-first count-INCLUDING-centre bit-planes on a transposed
+    [tile, W/32, H] block: the vertical triple collapses to two planes with
+    two lane rolls, then spreads horizontally (four word rolls) — 6 rolls
+    total.  Shared by every vertical-first step variant."""
     nwords = g.shape[-2]
     h = g.shape[-1]
     word_ax, row_ax = g.ndim - 2, g.ndim - 1
@@ -89,8 +89,8 @@ def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
     u = pltpu.roll(g, 1, row_ax)
     d = pltpu.roll(g, h - 1, row_ax)
     ab = u ^ g
-    p0 = ab ^ d
-    p1 = (u & g) | (ab & d)
+    p0 = ab ^ d                      # vertical-sum weight-1 plane
+    p1 = (u & g) | (ab & d)          # vertical-sum weight-2 plane
 
     def lr(p):
         pw = pltpu.roll(p, 1, word_ax)
@@ -99,13 +99,26 @@ def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
 
     p0l, p0r = lr(p0)
     p1l, p1r = lr(p1)
-    s1, c1 = _csa(p0l, p0, p0r)
-    s2, c2 = _csa(p1l, p1, p1r)
+    return _count9_from_triples(p0l, p0, p0r, p1l, p1, p1r)
+
+
+def _count9_from_triples(p0l, p0, p0r, p1l, p1, p1r):
+    s1, c1 = _csa(p0l, p0, p0r)      # weight-1 triple
+    s2, c2 = _csa(p1l, p1, p1r)      # weight-2 triple
     n0 = s1
     n1 = c1 ^ s2
     cc = c1 & s2
     n2 = c2 ^ cc
-    n3 = c2 & cc
+    n3 = c2 & cc                     # count9 bit-planes (0..9)
+    return n0, n1, n2, n3
+
+
+def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """Vertical-first rules-as-data step: 6 rolls/generation instead of 8
+    (measured 1.42x on v5e — rolls dominate).  The count includes the
+    centre cell, so the 10-leaf mux tables are the birth bits at count9
+    (dead branch) and the survive bits at count9-1 (alive)."""
+    n0, n1, n2, n3 = _count9_planes(g)
 
     def rule_plane(k):
         bit = (rule_bits >> k) & 1
@@ -201,31 +214,7 @@ def _static_step_block_v2(g: jax.Array, birth_set, survive_set) -> jax.Array:
     measures both (--scheme)."""
     from .bitpack import _fold_tree
 
-    nwords = g.shape[-2]
-    h = g.shape[-1]
-    word_ax, row_ax = g.ndim - 2, g.ndim - 1
-
-    u = pltpu.roll(g, 1, row_ax)
-    d = pltpu.roll(g, h - 1, row_ax)
-    ab = u ^ g
-    p0 = ab ^ d                      # vertical-sum weight-1 plane
-    p1 = (u & g) | (ab & d)          # vertical-sum weight-2 plane
-
-    def lr(p):
-        pw = pltpu.roll(p, 1, word_ax)
-        nw = pltpu.roll(p, nwords - 1, word_ax)
-        return (p << 1) | (pw >> 31), (p >> 1) | (nw << 31)
-
-    p0l, p0r = lr(p0)
-    p1l, p1r = lr(p1)
-
-    s1, c1 = _csa(p0l, p0, p0r)      # weight-1 triple
-    s2, c2 = _csa(p1l, p1, p1r)      # weight-2 triple
-    n0 = s1
-    n1 = c1 ^ s2
-    cc = c1 & s2
-    n2 = c2 ^ cc
-    n3 = c2 & cc                     # count9 bit-planes (0..9)
+    n0, n1, n2, n3 = _count9_planes(g)
 
     def fold(leaves):
         out = _fold_tree(leaves, [n0, n1, n2, n3])
@@ -275,13 +264,7 @@ def _static_step_block_v3(g: jax.Array, birth_set, survive_set) -> jax.Array:
     p0l, p1l = lshift[:tile], lshift[tile:]
     p0r, p1r = rshift[:tile], rshift[tile:]
 
-    s1, c1 = _csa(p0l, p0, p0r)
-    s2, c2 = _csa(p1l, p1, p1r)
-    n0 = s1
-    n1 = c1 ^ s2
-    cc = c1 & s2
-    n2 = c2 ^ cc
-    n3 = c2 & cc
+    n0, n1, n2, n3 = _count9_from_triples(p0l, p0, p0r, p1l, p1, p1r)
 
     def fold(digit_leaves):
         out = _fold_tree(digit_leaves, [n0, n1, n2, n3])

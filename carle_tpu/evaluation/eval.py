@@ -227,6 +227,36 @@ def inject_wrapper_checkpoints(
     return tuple(new_wstates)
 
 
+# Process-level reuse of the fused rollout programs.  Building a Rollout
+# per call re-traces its jitted scans; on the tunneled TPU even a
+# persistent-cache hit costs long remote round trips, so repeat scoring
+# (serving many submissions, scoring during training) reuses one Rollout
+# per (config, wrapper spec, agent class) — params stay per-call data.
+_ROLLOUT_CACHE: dict = {}
+
+
+def _cached_rollout(tag, config, wrappers, Agent, toggle_rate, make):
+    """Return a (possibly cached) Rollout.  Only cacheable specs — Agent
+    None or a class, hashable config — hit the cache; agent *params* are
+    per-call data so reuse is behaviourally transparent (the cached
+    functional agent closures depend only on class/dims/toggle_rate)."""
+    if not (Agent is None or isinstance(Agent, type)):
+        return make()
+    try:
+        key = (
+            tag, config,
+            tuple((cls, float(scale)) for cls, scale, _ in wrappers),
+            Agent, float(toggle_rate),
+        )
+    except TypeError:
+        return make()
+    ro = _ROLLOUT_CACHE.get(key)
+    if ro is None:
+        ro = make()
+        _ROLLOUT_CACHE[key] = ro
+    return ro
+
+
 def _resolve_fused_agent(
     Agent: Any, params_path: Optional[str], agent_params: Any,
     config: Any, toggle_rate: float, seed: int,
@@ -318,12 +348,16 @@ def evaluate_fused(
 
     if config is None:
         config = EnvConfig()  # the reference eval geometry (256², 1 env)
-    factory = _fused_wrapper_factory(config)
-    defs = [factory[cls](scale) for cls, scale, _ in wrappers]
     agent_fn, loaded_params = _resolve_fused_agent(
         Agent, params_path, agent_params, config, toggle_rate, seed
     )
-    ro = Rollout(config, defs, agent_fn)
+
+    def _make():
+        factory = _fused_wrapper_factory(config)
+        defs = [factory[cls](scale) for cls, scale, _ in wrappers]
+        return Rollout(config, defs, agent_fn)
+
+    ro = _cached_rollout("seq", config, wrappers, Agent, toggle_rate, _make)
     if loaded_params is not None:
         # the fused runners DONATE their carry; copy so the caller's params
         # survive this call (and repeated calls with the same params work)
@@ -404,18 +438,23 @@ def evaluate_fused_batched(
         wrappers = DEFAULT_WRAPPERS
 
     config = EnvConfig(instances=len(rules))
-    factory = _fused_wrapper_factory(config)
-    factory[SpeedDetector] = lambda s: speed_def(
-        config, reward_scale=s, per_instance=True
-    )
-    factory[PufferDetector] = lambda s: puffer_def(
-        config, reward_scale=s, per_instance=True
-    )
-    defs = [factory[cls](scale) for cls, scale, _ in wrappers]
     agent_fn, loaded_params = _resolve_fused_agent(
         Agent, params_path, agent_params, config, toggle_rate, seed
     )
-    ro = Rollout(config, defs, agent_fn)
+
+    def _make():
+        factory = _fused_wrapper_factory(config)
+        factory[SpeedDetector] = lambda s: speed_def(
+            config, reward_scale=s, per_instance=True
+        )
+        factory[PufferDetector] = lambda s: puffer_def(
+            config, reward_scale=s, per_instance=True
+        )
+        defs = [factory[cls](scale) for cls, scale, _ in wrappers]
+        return Rollout(config, defs, agent_fn)
+
+    ro = _cached_rollout("batched", config, wrappers, Agent, toggle_rate,
+                         _make)
     if loaded_params is not None:
         loaded_params = jax.tree.map(jnp.copy, loaded_params)  # donation guard
     carry = ro.init(

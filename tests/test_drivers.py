@@ -337,3 +337,33 @@ def test_evaluate_fused_does_not_consume_caller_params():
     s1, _ = evaluate_fused(seed=1, **kw)
     s2, _ = evaluate_fused(seed=1, **kw)  # would raise "Array deleted" before
     assert s1 == s2
+
+
+def test_evaluate_fused_reuses_rollout_across_calls():
+    """Repeat scoring with a cacheable spec (class/None agent) must reuse
+    the jitted rollout program — the serving path's repeat-call cost —
+    without changing results."""
+    from carle_tpu.evaluation.eval import _ROLLOUT_CACHE, evaluate_fused
+    from carle_tpu.mcl import SpeedDetector
+
+    _ROLLOUT_CACHE.clear()
+    kw = dict(rules=[[[3], [2, 3]]], wrappers=[[SpeedDetector, 1e-2, None]],
+              steps=4, verbose=False)
+    s1, t1 = evaluate_fused(seed=5, **kw)
+    assert len(_ROLLOUT_CACHE) == 1
+    s2, t2 = evaluate_fused(seed=5, **kw)
+    assert len(_ROLLOUT_CACHE) == 1  # reused, not rebuilt
+    assert s1 == s2
+    np.testing.assert_array_equal(t1, t2)
+
+    # uncacheable spec (an (Agent, params) pair) bypasses the cache
+    import jax
+
+    from carle_tpu import EnvConfig
+    from carle_tpu.policy import PolicyTrainer, init_policy_params
+
+    cfg = EnvConfig()
+    params = init_policy_params(jax.random.PRNGKey(0), cfg)
+    agent = PolicyTrainer(cfg, []).as_agent()
+    evaluate_fused(Agent=(agent, params), seed=5, **kw)
+    assert len(_ROLLOUT_CACHE) == 1

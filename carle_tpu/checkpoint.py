@@ -48,9 +48,10 @@ def _path_str(path: Any) -> str:
     return "/".join(parts)
 
 
-def save_pytree(path: str, tree: Any) -> str:
+def save_pytree(path: str, tree: Any, compress: bool = False) -> str:
     """Serialize a pytree of arrays to ``path`` (.npz, flat path-keyed,
-    stamped with a format-version metadata entry)."""
+    stamped with a format-version metadata entry).  ``compress`` trades
+    save time for size (shipped artifacts); ``load_pytree`` reads both."""
     flat = jax.tree_util.tree_flatten_with_path(tree)[0]
     arrays: Dict[str, np.ndarray] = {}
     for keypath, leaf in flat:
@@ -59,7 +60,7 @@ def save_pytree(path: str, tree: Any) -> str:
         json.dumps({"format_version": FORMAT_VERSION}).encode(), dtype=np.uint8
     )
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
-    np.savez(path, **arrays)
+    (np.savez_compressed if compress else np.savez)(path, **arrays)
     return path
 
 

@@ -45,7 +45,12 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 
 # Shipped carle_tpu-trained checkpoints (train_mcl on TPU: 4 epochs x 4
 # rulesets x 1024 steps x 32 instances) — the analogue of the reference's
-# evaluation/RND2D_mcl.pt / AE2D_mcl.pt artifacts.
+# evaluation/RND2D_mcl.pt / AE2D_mcl.pt artifacts.  A trained PPO policy
+# ships alongside (policy_ppo.npz, f16-compressed; battery ~1.1 vs 0.65
+# random — score it with:
+#   params = load_pytree(_HERE + "/policy_ppo.npz",
+#                        init_policy_params(jax.random.PRNGKey(0), EnvConfig()))
+#   evaluate_fused(Agent=(PolicyTrainer(EnvConfig(), []).as_agent(), params))
 DEFAULT_WRAPPERS = [
     [RND2D, 1.0, _HERE + "/RND2D_mcl.npz"],
     [AE2D, 1.0, _HERE + "/AE2D_mcl.npz"],

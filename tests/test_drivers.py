@@ -367,3 +367,28 @@ def test_evaluate_fused_reuses_rollout_across_calls():
     agent = PolicyTrainer(cfg, []).as_agent()
     evaluate_fused(Agent=(agent, params), seed=5, **kw)
     assert len(_ROLLOUT_CACHE) == 1
+
+
+def test_shipped_policy_checkpoint_loads_and_acts():
+    """The shipped trained-PPO policy artifact loads into the f32 template
+    and emits valid toggle actions (the battery score it carries — ~1.1 vs
+    0.65 random — is recorded in assets/scores.txt and reproduced on TPU)."""
+    import os
+
+    import jax
+    import jax.numpy as jnp
+
+    from carle_tpu import EnvConfig
+    from carle_tpu.checkpoint import load_pytree
+    from carle_tpu.policy import PolicyTrainer, init_policy_params
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "carle_tpu", "evaluation",
+        "policy_ppo.npz")
+    cfg = EnvConfig()
+    params = load_pytree(path, init_policy_params(jax.random.PRNGKey(0), cfg))
+    agent = PolicyTrainer(cfg, []).as_agent()
+    obs = jnp.zeros((2, 1, cfg.height, cfg.width))
+    action = agent.apply(params, jax.random.PRNGKey(1), obs)
+    assert action.shape == (2, 1, cfg.eff_action_height, cfg.eff_action_width)
+    assert set(np.unique(np.asarray(action))) <= {0.0, 1.0}

@@ -514,10 +514,12 @@ if __name__ == "__main__":
     parser.add_argument("--fix-survive-bug", action="store_true",
                         help="use the declared survive rules instead of the "
                              "reference's survive<-birth bug")
-    parser.add_argument("--agent", choices=("random", "network"),
+    parser.add_argument("--agent", choices=("random", "network", "policy"),
                         default="random",
                         help="random = Bernoulli baseline (SubmissionAgent), "
-                             "network = frozen random-CNN RandomNetworkAgent")
+                             "network = frozen random-CNN RandomNetworkAgent, "
+                             "policy = the shipped trained PPO policy "
+                             "(policy_ppo.npz; override with --agent-params)")
     parser.add_argument("--agent-params", default=None,
                         help="agent checkpoint (.pt torch state dict or "
                              ".npz params) loaded via load_state_dict")
@@ -529,6 +531,31 @@ if __name__ == "__main__":
     wrappers = (DEFAULT_WRAPPERS if args.checkpoints == "shipped"
                 else REFERENCE_WRAPPERS)
     compat = not args.fix_survive_bug
+    if args.agent == "policy":
+        import jax as _jax
+
+        from carle_tpu import EnvConfig as _EnvConfig
+        from carle_tpu.policy import PolicyTrainer, init_policy_params
+
+        _cfg = _EnvConfig()
+        _params = load_pytree(
+            args.agent_params or (_HERE + "/policy_ppo.npz"),
+            init_policy_params(_jax.random.PRNGKey(0), _cfg),
+        )
+        policy_pair = (PolicyTrainer(_cfg, []).as_agent(), _params)
+        if args.batched:
+            score, per_rule = evaluate_fused_batched(
+                Agent=policy_pair, wrappers=wrappers, steps=args.steps,
+                reference_compat=compat, seed=args.seed,
+            )
+        else:
+            score, trace = evaluate_fused(
+                Agent=policy_pair, wrappers=wrappers, steps=args.steps,
+                reference_compat=compat, seed=args.seed,
+            )
+        print("mean evaluation score is {:.3e}".format(score))
+        raise SystemExit(0)
+
     agent_cls = SubmissionAgent if args.agent == "random" else RandomNetworkAgent
     # always route through the class so --agent-params reaches
     # load_state_dict on every path (Agent=None would silently drop it)

@@ -47,10 +47,8 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # rulesets x 1024 steps x 32 instances) — the analogue of the reference's
 # evaluation/RND2D_mcl.pt / AE2D_mcl.pt artifacts.  A trained PPO policy
 # ships alongside (policy_ppo.npz, f16-compressed; battery ~1.1 vs 0.65
-# random — score it with:
-#   params = load_pytree(_HERE + "/policy_ppo.npz",
-#                        init_policy_params(jax.random.PRNGKey(0), EnvConfig()))
-#   evaluate_fused(Agent=(PolicyTrainer(EnvConfig(), []).as_agent(), params))
+# random): score it with
+#   evaluate_fused(Agent=load_shipped_policy())
 DEFAULT_WRAPPERS = [
     [RND2D, 1.0, _HERE + "/RND2D_mcl.npz"],
     [AE2D, 1.0, _HERE + "/AE2D_mcl.npz"],
@@ -74,6 +72,28 @@ DEFAULT_RULES = [
     [[3], [0, 2, 3]],
     [[2], [0]],
 ]
+
+
+def load_shipped_policy(path: Optional[str] = None):
+    """(Agent, params) pair for the shipped trained PPO policy
+    (``policy_ppo.npz``, battery ~1.1 vs the 0.63-0.66 random baseline —
+    assets/scores.txt).  ``path`` overrides with another native .npz params
+    file of the same architecture; pass the pair to ``evaluate_fused`` /
+    ``evaluate_fused_batched``."""
+    import jax
+
+    from carle_tpu import EnvConfig
+    from carle_tpu.policy import PolicyTrainer, init_policy_params
+
+    path = path or (_HERE + "/policy_ppo.npz")
+    if not path.endswith(".npz"):
+        raise ValueError(
+            "policy params must be a native .npz pytree (torch .pt state "
+            "dicts apply to the class agents, not the shipped policy)"
+        )
+    cfg = EnvConfig()
+    params = load_pytree(path, init_policy_params(jax.random.PRNGKey(0), cfg))
+    return (PolicyTrainer(cfg, []).as_agent(), params)
 
 
 def _load_wrapper_checkpoint(wrapper: Any, path: str) -> None:
@@ -236,28 +256,36 @@ def inject_wrapper_checkpoints(
 # per call re-traces its jitted scans; on the tunneled TPU even a
 # persistent-cache hit costs long remote round trips, so repeat scoring
 # (serving many submissions, scoring during training) reuses one Rollout
-# per (config, wrapper spec, agent class) — params stay per-call data.
+# per (config, wrapper spec, agent class, params_path) — params stay
+# per-call data.
 _ROLLOUT_CACHE: dict = {}
+_ROLLOUT_CACHE_MAX = 16  # FIFO-evicted; each entry pins jitted programs
 
 
-def _cached_rollout(tag, config, wrappers, Agent, toggle_rate, make):
+def _cached_rollout(tag, config, wrappers, Agent, toggle_rate, params_path,
+                    make):
     """Return a (possibly cached) Rollout.  Only cacheable specs — Agent
     None or a class, hashable config — hit the cache; agent *params* are
-    per-call data so reuse is behaviourally transparent (the cached
-    functional agent closures depend only on class/dims/toggle_rate)."""
+    per-call data so reuse is behaviourally transparent PROVIDED the
+    class's ``_agent`` closure depends only on class/dims/toggle_rate (true
+    for the in-repo agents; ``params_path`` is part of the key so distinct
+    submission files never share a closure).  Pass an agent INSTANCE or an
+    ``(Agent, params)`` pair to bypass the cache for anything fancier."""
     if not (Agent is None or isinstance(Agent, type)):
         return make()
     try:
         key = (
             tag, config,
             tuple((cls, float(scale)) for cls, scale, _ in wrappers),
-            Agent, float(toggle_rate),
+            Agent, float(toggle_rate), params_path,
         )
-    except TypeError:
+        ro = _ROLLOUT_CACHE.get(key)
+    except TypeError:  # unhashable config/spec — skip the cache
         return make()
-    ro = _ROLLOUT_CACHE.get(key)
     if ro is None:
         ro = make()
+        if len(_ROLLOUT_CACHE) >= _ROLLOUT_CACHE_MAX:
+            _ROLLOUT_CACHE.pop(next(iter(_ROLLOUT_CACHE)))
         _ROLLOUT_CACHE[key] = ro
     return ro
 
@@ -362,7 +390,8 @@ def evaluate_fused(
         defs = [factory[cls](scale) for cls, scale, _ in wrappers]
         return Rollout(config, defs, agent_fn)
 
-    ro = _cached_rollout("seq", config, wrappers, Agent, toggle_rate, _make)
+    ro = _cached_rollout("seq", config, wrappers, Agent, toggle_rate,
+                         params_path, _make)
     if loaded_params is not None:
         # the fused runners DONATE their carry; copy so the caller's params
         # survive this call (and repeated calls with the same params work)
@@ -459,7 +488,7 @@ def evaluate_fused_batched(
         return Rollout(config, defs, agent_fn)
 
     ro = _cached_rollout("batched", config, wrappers, Agent, toggle_rate,
-                         _make)
+                         params_path, _make)
     if loaded_params is not None:
         loaded_params = jax.tree.map(jnp.copy, loaded_params)  # donation guard
     carry = ro.init(
@@ -521,8 +550,10 @@ if __name__ == "__main__":
                              "policy = the shipped trained PPO policy "
                              "(policy_ppo.npz; override with --agent-params)")
     parser.add_argument("--agent-params", default=None,
-                        help="agent checkpoint (.pt torch state dict or "
-                             ".npz params) loaded via load_state_dict")
+                        help="agent checkpoint loaded via load_state_dict "
+                             "(.pt torch state dict or .npz params); for "
+                             "--agent policy this must be a native .npz "
+                             "params file")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args()
 
@@ -532,17 +563,10 @@ if __name__ == "__main__":
                 else REFERENCE_WRAPPERS)
     compat = not args.fix_survive_bug
     if args.agent == "policy":
-        import jax as _jax
-
-        from carle_tpu import EnvConfig as _EnvConfig
-        from carle_tpu.policy import PolicyTrainer, init_policy_params
-
-        _cfg = _EnvConfig()
-        _params = load_pytree(
-            args.agent_params or (_HERE + "/policy_ppo.npz"),
-            init_policy_params(_jax.random.PRNGKey(0), _cfg),
-        )
-        policy_pair = (PolicyTrainer(_cfg, []).as_agent(), _params)
+        if not (args.fused or args.batched):
+            parser.error("--agent policy is a functional policy with no "
+                         "per-step shell; pass --fused or --batched")
+        policy_pair = load_shipped_policy(args.agent_params)
         if args.batched:
             score, per_rule = evaluate_fused_batched(
                 Agent=policy_pair, wrappers=wrappers, steps=args.steps,

@@ -382,12 +382,10 @@ def test_shipped_policy_checkpoint_loads_and_acts():
     from carle_tpu.checkpoint import load_pytree
     from carle_tpu.policy import PolicyTrainer, init_policy_params
 
-    path = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "carle_tpu", "evaluation",
-        "policy_ppo.npz")
+    from carle_tpu.evaluation.eval import load_shipped_policy
+
     cfg = EnvConfig()
-    params = load_pytree(path, init_policy_params(jax.random.PRNGKey(0), cfg))
-    agent = PolicyTrainer(cfg, []).as_agent()
+    agent, params = load_shipped_policy()
     obs = jnp.zeros((2, 1, cfg.height, cfg.width))
     action = agent.apply(params, jax.random.PRNGKey(1), obs)
     assert action.shape == (2, 1, cfg.eff_action_height, cfg.eff_action_width)

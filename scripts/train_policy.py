@@ -52,6 +52,9 @@ def main() -> int:
     parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
                         default="threefry",
                         help="rbg = TPU hardware PRNG (see train_mcl --help)")
+    parser.add_argument("--resume-params", default=None,
+                        help="policy params .npz to continue training from "
+                             "(fresh optimizer state)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out-dir", default="logs/policy")
     parser.add_argument("--skip-eval", action="store_true")
@@ -95,6 +98,16 @@ def main() -> int:
             state.stack.wrappers, DEFAULT_WRAPPERS
         )
     ))
+    if args.resume_params:
+        from carle_tpu.checkpoint import load_pytree
+        from carle_tpu.policy import init_policy_params
+
+        loaded = load_pytree(
+            args.resume_params,
+            init_policy_params(jax.random.PRNGKey(0), config),
+        )
+        state = state._replace(params=loaded,
+                               opt_state=trainer.opt.init(loaded))
 
     os.makedirs(args.out_dir, exist_ok=True)
     history = []

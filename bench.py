@@ -166,10 +166,12 @@ def main() -> int:
     parser.add_argument("--launches", type=int, default=8)
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
-    parser.add_argument("--scheme", choices=("h", "v"), default="v",
+    parser.add_argument("--scheme", choices=("h", "v", "v3", "vc"), default="v",
                         help="static-kernel step scheme: v = vertical-first "
                              "(6 rolls/gen, default, 1.94e12 cells/s on "
-                             "v5e), h = horizontal-pair (8 rolls, 1.36e12)")
+                             "v5e), h = horizontal-pair (8 rolls, 1.36e12), "
+                             "v3 = stacked-plane probe (ties v), vc = "
+                             "vertical-first with slice+concat lane shifts")
     args = parser.parse_args()
 
     from carle_tpu import rules

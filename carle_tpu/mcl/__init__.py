@@ -29,6 +29,11 @@ from .prediction import (
     surprise_def,
 )
 from .patterns import get_glider, get_morley_puffer, get_symmetric_action
+from .export import (
+    learner_state_to_state_dict,
+    save_torch_checkpoint,
+    to_state_dict,
+)
 
 __all__ = [
     "Motivator",
@@ -57,4 +62,7 @@ __all__ = [
     "get_glider",
     "get_morley_puffer",
     "get_symmetric_action",
+    "to_state_dict",
+    "save_torch_checkpoint",
+    "learner_state_to_state_dict",
 ]

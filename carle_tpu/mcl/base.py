@@ -299,3 +299,12 @@ class Motivator:
 
     def set_no_grad(self) -> None:
         pass
+
+    def state_dict(self) -> Any:
+        """Reference-compatible ``state_dict`` of this wrapper stack — torch
+        tensors, reference key layout/nesting, loadable into the matching
+        reference class with ``strict=True``; ``torch.save(env.state_dict(),
+        path)`` works verbatim (train_mcl.py:80-84).  See mcl/export.py."""
+        from .export import to_state_dict
+
+        return to_state_dict(self)

@@ -77,7 +77,22 @@ def _bit_step_block(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return (dead & ~g) | (alive & g)
 
 
-def _count9_planes(g: jax.Array):
+def _lane_shift_concat(x: jax.Array, amount: int) -> jax.Array:
+    """Static torus shift along the last (lane) axis as slice+concat.
+
+    ``pltpu.roll`` lowers to a dynamic lane rotate even for compile-time
+    shifts; this spells the same ±1 shift as static slices so Mosaic can
+    pick a cheaper shuffle if it has one (scheme "vc" measures the
+    difference — the lane rolls are the kernel's dominant cost, see
+    _static_step_block_v3's per-element finding)."""
+    if amount == 1:
+        return jnp.concatenate([x[..., -1:], x[..., :-1]], axis=-1)
+    if amount == -1:
+        return jnp.concatenate([x[..., 1:], x[..., :1]], axis=-1)
+    raise ValueError(f"static lane shift only handles ±1, got {amount}")
+
+
+def _count9_planes(g: jax.Array, concat_lane_shift: bool = False):
     """Vertical-first count-INCLUDING-centre bit-planes on a transposed
     [tile, W/32, H] block: the vertical triple collapses to two planes with
     two lane rolls, then spreads horizontally (four word rolls) — 6 rolls
@@ -86,8 +101,12 @@ def _count9_planes(g: jax.Array):
     h = g.shape[-1]
     word_ax, row_ax = g.ndim - 2, g.ndim - 1
 
-    u = pltpu.roll(g, 1, row_ax)
-    d = pltpu.roll(g, h - 1, row_ax)
+    if concat_lane_shift:
+        u = _lane_shift_concat(g, 1)
+        d = _lane_shift_concat(g, -1)
+    else:
+        u = pltpu.roll(g, 1, row_ax)
+        d = pltpu.roll(g, h - 1, row_ax)
     ab = u ^ g
     p0 = ab ^ d                      # vertical-sum weight-1 plane
     p1 = (u & g) | (ab & d)          # vertical-sum weight-2 plane
@@ -199,6 +218,29 @@ def _static_step_block(g: jax.Array, birth_set, survive_set) -> jax.Array:
     return (fold(birth_set) & ~g) | (fold(survive_set) & g)
 
 
+def _static_step_block_vc(g: jax.Array, birth_set, survive_set) -> jax.Array:
+    """v2 with the two LANE rolls spelled as static slice+concat instead of
+    ``pltpu.roll`` (dynamic rotate).  The roll-cost model from the v2-vs-h
+    and v3 measurements says the two lane rolls are ~30% of the generation;
+    if Mosaic lowers static concat shifts to a cheaper shuffle this wins
+    with zero algorithmic change.  Measured by ``bench.py --scheme vc``."""
+    from .bitpack import _fold_tree
+
+    n0, n1, n2, n3 = _count9_planes(g, concat_lane_shift=True)
+
+    def fold(leaves):
+        out = _fold_tree(leaves, [n0, n1, n2, n3])
+        if isinstance(out, str):
+            zero = jnp.zeros_like(g)
+            return zero if out == "0" else ~zero
+        return out
+
+    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
+    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
+                          for v in range(1, 10)])
+    return (dead & ~g) | (alive & g)
+
+
 def _static_step_block_v2(g: jax.Array, birth_set, survive_set) -> jax.Array:
     """Vertical-first variant: 6 rolls/generation instead of 8.
 
@@ -283,6 +325,7 @@ _STATIC_STEPS = {
     "h": _static_step_block,
     "v": _static_step_block_v2,
     "v3": _static_step_block_v3,
+    "vc": _static_step_block_vc,
 }
 
 

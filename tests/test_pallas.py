@@ -104,7 +104,12 @@ def test_static_kernel_vertical_scheme_parity(rules_bs):
         out_v3 = bit_multi_step_pallas_static(
             packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="v3"
         )
+        out_vc = bit_multi_step_pallas_static(
+            packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="vc"
+        )
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_v3, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_vc, 128)),
                                   np.asarray(unpack_grid(ref, 128)))
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_v, 128)),
                                   np.asarray(unpack_grid(ref, 128)))

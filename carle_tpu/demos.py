@@ -156,9 +156,36 @@ def morpho_spaceship_demo(
     write_png(base + "_final.png", (255 * frame).astype(np.uint8))
 
 
+def episode_gif_demo(
+    outdir: str = "./frames", steps: int = 256, seed: int = 0
+) -> None:
+    """Animated episode artifact from the FUSED path: a random agent in a
+    Life universe, rendered to an animated GIF (agent toggles highlighted)
+    by Rollout.run_gif — the creativity-artifact format the reference's
+    per-step PNG dumps (env.py:504-513) approximate frame by frame."""
+    import jax
+
+    from . import rules
+    from .agents import make_random_agent
+    from .config import EnvConfig
+    from .rollout import Rollout
+
+    os.makedirs(outdir, exist_ok=True)
+    cfg = EnvConfig(instances=4)
+    ro = Rollout(cfg, wrappers=[], agent=make_random_agent())
+    carry = ro.init(jax.random.PRNGKey(seed), rules.LIFE)
+    carry, _ = ro.reset(carry)
+    _, _, path = ro.run_gif(
+        carry, num_steps=steps, chunk=min(steps, 128), every=2,
+        path=os.path.join(outdir, "episode_random_life.gif"),
+    )
+    print(f"episode gif: {path}")
+
+
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "./frames"
     prediction_demo(out, predictable_steps=256, random_steps=128)
     wrapper_agent_demo(out, steps=64)
     morpho_spaceship_demo(out, steps=64)
+    episode_gif_demo(out, steps=256)
     print(f"demo artifacts in {out}")

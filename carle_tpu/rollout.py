@@ -57,6 +57,11 @@ class Rollout:
             static_argnames=("num_steps", "instance"),
             donate_argnames=("carry",),
         )
+        self._run_framed = jax.jit(
+            self._run_framed_impl,
+            static_argnames=("num_steps", "instance"),
+            donate_argnames=("carry",),
+        )
 
     # -- construction --------------------------------------------------------
     def init(
@@ -210,6 +215,73 @@ class Rollout:
                     f.write('"' + item + '"' + ",")
                 f.write("\n")
         return carry, np.concatenate(rewards_chunks), log_path
+
+    # -- animated episodes ---------------------------------------------------
+    def _framed_step(self, carry: RolloutCarry, _, instance: int):
+        new_carry, (reward, action_bits) = self._traced_step(carry, _, instance)
+        frame = new_carry.stack.env.grid[instance].astype(jnp.uint8)
+        return new_carry, (reward, action_bits, frame)
+
+    def _run_framed_impl(self, carry: RolloutCarry, num_steps: int,
+                         instance: int):
+        return jax.lax.scan(
+            lambda c, x: self._framed_step(c, x, instance),
+            carry, length=num_steps,
+        )
+
+    def run_gif(
+        self,
+        carry: RolloutCarry,
+        num_steps: int,
+        path: str = "./logs/episode.gif",
+        every: int = 1,
+        instance: int = 0,
+        fps: float = 20.0,
+        scale: int = 1,
+        chunk: int = 256,
+        mark_actions: bool = True,
+    ) -> Tuple[RolloutCarry, jax.Array, str]:
+        """Fused run that also writes the episode as an animated GIF.
+
+        The per-step universe of ``instance`` is stacked inside the scan
+        (uint8, [steps, H, W] — 64 KB/step at 256²) and written host-side by
+        the dependency-free encoder in utils/gif.py, keeping the whole run
+        on the fused path (the reference can only produce per-step PNG
+        frames from its dispatch-bound loop, env.py:504-513).  ``every``
+        downsamples frames; with ``mark_actions`` cells the agent toggled
+        this step render in the palette's highlight colour.  Returns
+        (carry, rewards [steps, inst, 1], path).  Same chunking caveat as
+        :meth:`run_logged` — keep ``num_steps`` divisible by ``chunk``.
+        """
+        from .utils.gif import write_gif
+
+        if self.agent is None:
+            raise ValueError("rollout has no agent; use run_actions")
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        frames: List[np.ndarray] = []
+        rewards_chunks: List[np.ndarray] = []
+        done = 0
+        while done < num_steps:
+            k = int(min(chunk, num_steps - done))
+            carry, (rewards, action_bits, grids) = self._run_framed(
+                carry, num_steps=k, instance=instance
+            )
+            done += k
+            rewards_chunks.append(np.asarray(rewards))
+            g = np.asarray(jax.device_get(grids))          # [k, H, W] 0/1
+            if mark_actions:
+                a = np.asarray(jax.device_get(action_bits))  # [k, AH, AW] 0/1
+                co = self.config
+                top, left = co.action_row_offset, co.action_col_offset
+                overlay = np.zeros_like(g)
+                overlay[:, top:top + co.eff_action_height,
+                        left:left + co.eff_action_width] = a
+                g = np.where(overlay != 0, np.uint8(2), g)
+            # phase-correct downsample across chunk boundaries
+            start = (-(done - k)) % max(1, every)
+            frames.append(g[start::max(1, every)])
+        write_gif(path, np.concatenate(frames), fps=fps, scale=scale)
+        return carry, np.concatenate(rewards_chunks), path
 
     # -- fixed action streams (parity tests, canned demos) --------------------
     def _action_step(self, carry: RolloutCarry, action: jax.Array):

@@ -129,18 +129,21 @@ def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches,
     return dt, unpack_grid(p, grid.shape[-1])
 
 
-def bench_bitpack_pallas(grid, rule_bits, steps_per_launch, launches):
+def bench_bitpack_pallas(grid, rule_bits, steps_per_launch, launches,
+                         scheme="vc"):
     from carle_tpu.ops.bitpack import pack_grid, unpack_grid
     from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas
 
+    if scheme == "v3":  # static-only probe
+        scheme = "v"
     packed = pack_grid(grid)
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
-    _sync(bit_multi_step_pallas(packed, rule_bits, steps))
+    _sync(bit_multi_step_pallas(packed, rule_bits, steps, scheme=scheme))
 
     t0 = time.perf_counter()
     p = packed
     for _ in range(launches):
-        p = bit_multi_step_pallas(p, rule_bits, steps)
+        p = bit_multi_step_pallas(p, rule_bits, steps, scheme=scheme)
     _sync(p)
     dt = time.perf_counter() - t0
     return dt, unpack_grid(p, grid.shape[-1])
@@ -166,12 +169,16 @@ def main() -> int:
     parser.add_argument("--launches", type=int, default=8)
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
-    parser.add_argument("--scheme", choices=("h", "v", "v3", "vc"), default="v",
-                        help="static-kernel step scheme: v = vertical-first "
-                             "(6 rolls/gen, default, 1.94e12 cells/s on "
-                             "v5e), h = horizontal-pair (8 rolls, 1.36e12), "
-                             "v3 = stacked-plane probe (ties v), vc = "
-                             "vertical-first with slice+concat lane shifts")
+    parser.add_argument("--scheme", choices=("h", "v", "v3", "vc", "vcc"),
+                        default="vc",
+                        help="kernel step scheme: vc = vertical-first with "
+                             "slice+concat lane shifts (default; static "
+                             "2.03e12 cells/s on v5e, rules-as-data "
+                             "1.36e12), v = dynamic lane rotates (static "
+                             "1.81-2.0e12, data 1.31e12), h = horizontal-"
+                             "pair (static 1.36e12), v3 = stacked-plane "
+                             "probe (ties v), vcc = concat on both axes "
+                             "(ties vc)")
     args = parser.parse_args()
 
     from carle_tpu import rules
@@ -186,7 +193,8 @@ def main() -> int:
         backend = "bitpack-pallas-static" if platform in ("tpu", "axon") else "bitpack"
 
     bench_kwargs = (
-        {"scheme": args.scheme} if backend == "bitpack-pallas-static" else {}
+        {"scheme": args.scheme}
+        if backend in ("bitpack-pallas-static", "bitpack-pallas") else {}
     )
     try:
         dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,

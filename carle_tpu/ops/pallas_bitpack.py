@@ -92,7 +92,17 @@ def _lane_shift_concat(x: jax.Array, amount: int) -> jax.Array:
     raise ValueError(f"static lane shift only handles ±1, got {amount}")
 
 
-def _count9_planes(g: jax.Array, concat_lane_shift: bool = False):
+def _word_shift_concat(x: jax.Array, amount: int) -> jax.Array:
+    """Static torus shift along the word (sublane) axis as slice+concat."""
+    if amount == 1:
+        return jnp.concatenate([x[..., -1:, :], x[..., :-1, :]], axis=-2)
+    if amount == -1:
+        return jnp.concatenate([x[..., 1:, :], x[..., :1, :]], axis=-2)
+    raise ValueError(f"static word shift only handles ±1, got {amount}")
+
+
+def _count9_planes(g: jax.Array, concat_lane_shift: bool = False,
+                   concat_word_shift: bool = False):
     """Vertical-first count-INCLUDING-centre bit-planes on a transposed
     [tile, W/32, H] block: the vertical triple collapses to two planes with
     two lane rolls, then spreads horizontally (four word rolls) — 6 rolls
@@ -112,8 +122,12 @@ def _count9_planes(g: jax.Array, concat_lane_shift: bool = False):
     p1 = (u & g) | (ab & d)          # vertical-sum weight-2 plane
 
     def lr(p):
-        pw = pltpu.roll(p, 1, word_ax)
-        nw = pltpu.roll(p, nwords - 1, word_ax)
+        if concat_word_shift:
+            pw = _word_shift_concat(p, 1)
+            nw = _word_shift_concat(p, -1)
+        else:
+            pw = pltpu.roll(p, 1, word_ax)
+            nw = pltpu.roll(p, nwords - 1, word_ax)
         return (p << 1) | (pw >> 31), (p >> 1) | (nw << 31)
 
     p0l, p0r = lr(p0)
@@ -132,12 +146,16 @@ def _count9_from_triples(p0l, p0, p0r, p1l, p1, p1r):
     return n0, n1, n2, n3
 
 
-def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
+def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array,
+                       concat_lane: bool = False,
+                       concat_word: bool = False) -> jax.Array:
     """Vertical-first rules-as-data step: 6 rolls/generation instead of 8
     (measured 1.42x on v5e — rolls dominate).  The count includes the
     centre cell, so the 10-leaf mux tables are the birth bits at count9
-    (dead branch) and the survive bits at count9-1 (alive)."""
-    n0, n1, n2, n3 = _count9_planes(g)
+    (dead branch) and the survive bits at count9-1 (alive).
+    ``concat_lane`` switches the lane shifts to slice+concat (the "vc"
+    lowering, ~8% on the static kernel — see _make_static_step_vertical)."""
+    n0, n1, n2, n3 = _count9_planes(g, concat_lane, concat_word)
 
     def rule_plane(k):
         bit = (rule_bits >> k) & 1
@@ -168,8 +186,17 @@ def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return (dead & ~g) | (alive & g)
 
 
+_DATA_STEPS = {
+    "h": _bit_step_block,
+    "v": _bit_step_block_v2,
+    "vc": functools.partial(_bit_step_block_v2, concat_lane=True),
+    "vcc": functools.partial(_bit_step_block_v2, concat_lane=True,
+                             concat_word=True),
+}
+
+
 def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref, *, scheme="v"):
-    step = _bit_step_block_v2 if scheme == "v" else _bit_step_block
+    step = _DATA_STEPS[scheme]
 
     def body(_, g):
         return step(g, rule_ref[0])
@@ -218,27 +245,40 @@ def _static_step_block(g: jax.Array, birth_set, survive_set) -> jax.Array:
     return (fold(birth_set) & ~g) | (fold(survive_set) & g)
 
 
-def _static_step_block_vc(g: jax.Array, birth_set, survive_set) -> jax.Array:
-    """v2 with the two LANE rolls spelled as static slice+concat instead of
-    ``pltpu.roll`` (dynamic rotate).  The roll-cost model from the v2-vs-h
-    and v3 measurements says the two lane rolls are ~30% of the generation;
-    if Mosaic lowers static concat shifts to a cheaper shuffle this wins
-    with zero algorithmic change.  Measured by ``bench.py --scheme vc``."""
-    from .bitpack import _fold_tree
+def _make_static_step_vertical(concat_lane: bool, concat_word: bool):
+    """Build a vertical-first static step with a choice of shift lowering
+    per axis: ``pltpu.roll`` (dynamic rotate) or static slice+concat.
 
-    n0, n1, n2, n3 = _count9_planes(g, concat_lane_shift=True)
+    MEASURED (v5e, 4096x256x256, same-session pairs): concat LANE shifts
+    win ~4-8% over the dynamic rotate (static "vc" 1.98-2.03e12 cells/s vs
+    "v" 1.81-2.0e12; rules-as-data 1.363e12 vs 1.317e12) — the rotate's
+    dynamic shift amount costs even when the shift is a compile-time ±1.
+    Word-axis concat ("vcc") TIES vc (2.022e12 vs 2.027e12): sublane
+    rotates are cheap, only lane rotates pay the dynamic-shift tax.
+    """
 
-    def fold(leaves):
-        out = _fold_tree(leaves, [n0, n1, n2, n3])
-        if isinstance(out, str):
-            zero = jnp.zeros_like(g)
-            return zero if out == "0" else ~zero
-        return out
+    def step(g: jax.Array, birth_set, survive_set) -> jax.Array:
+        from .bitpack import _fold_tree
 
-    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
-    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
-                          for v in range(1, 10)])
-    return (dead & ~g) | (alive & g)
+        n0, n1, n2, n3 = _count9_planes(g, concat_lane, concat_word)
+
+        def fold(leaves):
+            out = _fold_tree(leaves, [n0, n1, n2, n3])
+            if isinstance(out, str):
+                zero = jnp.zeros_like(g)
+                return zero if out == "0" else ~zero
+            return out
+
+        dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
+        alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
+                              for v in range(1, 10)])
+        return (dead & ~g) | (alive & g)
+
+    return step
+
+
+_static_step_block_vc = _make_static_step_vertical(True, False)
+_static_step_block_vcc = _make_static_step_vertical(True, True)
 
 
 def _static_step_block_v2(g: jax.Array, birth_set, survive_set) -> jax.Array:
@@ -326,6 +366,7 @@ _STATIC_STEPS = {
     "v": _static_step_block_v2,
     "v3": _static_step_block_v3,
     "vc": _static_step_block_vc,
+    "vcc": _static_step_block_vcc,
 }
 
 
@@ -351,14 +392,18 @@ def _tile(instances: int, nwords: int, h: int,
 @functools.partial(jax.jit, static_argnames=("scheme",))
 def bit_multi_step_pallas(
     packed: jax.Array, rule_bits: jax.Array, num_steps: jax.Array,
-    scheme: str = "v",
+    scheme: str = "vc",
 ) -> jax.Array:
-    """``num_steps`` generations on a packed [inst, H, W/32] grid."""
+    """``num_steps`` generations on a packed [inst, H, W/32] grid.
+
+    Default scheme "vc" (vertical-first, slice+concat lane shifts) measured
+    1.363e12 cells/s on v5e vs 1.317e12 for "v" (dynamic lane rotates) —
+    the serving-path default for the env/packed engines."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)  # [inst, W/32, H]
     tile = _tile(inst, nwords, h)
-    if scheme not in ("v", "h"):
-        raise ValueError(f"unknown scheme {scheme!r}; one of ['h', 'v']")
+    if scheme not in _DATA_STEPS:
+        raise ValueError(f"unknown scheme {scheme!r}; one of {sorted(_DATA_STEPS)}")
     out = pl.pallas_call(
         functools.partial(_multi_step_kernel, scheme=scheme),
         out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),
@@ -383,15 +428,17 @@ def bit_multi_step_pallas(
 @functools.partial(jax.jit, static_argnames=("birth", "survive", "scheme"))
 def bit_multi_step_pallas_static(
     packed: jax.Array, birth, survive, num_steps: jax.Array,
-    scheme: str = "v",
+    scheme: str = "vc",
 ) -> jax.Array:
     """``num_steps`` generations with the rule baked into the kernel.
 
     ~3x fewer bitops per word than the rules-as-data kernel for sparse
     rulesets like Life; recompiles when (birth, survive) change — use for
-    long fixed-rule runs and benchmarks.  ``scheme="v"`` (default) is the
-    vertical-first step (6 rolls/gen — 1.94e12 cells/s on v5e), ``"h"`` the
-    round-1 horizontal-pair step (8 rolls, 1.36e12 — see :func:`_static_step_block_v2`)."""
+    long fixed-rule runs and benchmarks.  ``scheme="vc"`` (default) is the
+    vertical-first step with slice+concat lane shifts (2.03e12 cells/s on
+    v5e), ``"v"`` the same schedule with dynamic lane rotates (1.81-2.0e12,
+    session-dependent), ``"h"`` the round-1 horizontal-pair step (8 rolls,
+    1.36e12 — see :func:`_static_step_block_v2`)."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)
     tile = _tile(inst, nwords, h)

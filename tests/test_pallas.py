@@ -107,6 +107,11 @@ def test_static_kernel_vertical_scheme_parity(rules_bs):
         out_vc = bit_multi_step_pallas_static(
             packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="vc"
         )
+        out_vcc = bit_multi_step_pallas_static(
+            packed, tuple(birth), tuple(survive), jnp.asarray(5), scheme="vcc"
+        )
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_vcc, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_v3, 128)),
                                   np.asarray(unpack_grid(ref, 128)))
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_vc, 128)),
@@ -137,7 +142,15 @@ def test_data_kernel_vertical_scheme_parity(rules_bs):
     with pltpu.force_tpu_interpret_mode():
         out_v = bit_multi_step_pallas(packed, bits, jnp.asarray(5), scheme="v")
         out_h = bit_multi_step_pallas(packed, bits, jnp.asarray(5), scheme="h")
+        out_vc = bit_multi_step_pallas(packed, bits, jnp.asarray(5),
+                                       scheme="vc")
+        out_vcc = bit_multi_step_pallas(packed, bits, jnp.asarray(5),
+                                        scheme="vcc")
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_v, 128)),
                                   np.asarray(unpack_grid(ref, 128)))
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_h, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_vc, 128)),
+                                  np.asarray(unpack_grid(ref, 128)))
+    np.testing.assert_array_equal(np.asarray(unpack_grid(out_vcc, 128)),
                                   np.asarray(unpack_grid(ref, 128)))

@@ -149,12 +149,54 @@ def bench_bitpack_pallas(grid, rule_bits, steps_per_launch, launches,
     return dt, unpack_grid(p, grid.shape[-1])
 
 
+def bench_bitpack_pallas_static_cm(grid, rule_bits, steps_per_launch,
+                                   launches):
+    """Column-major packing (bits along H): vertical neighbours are in-word
+    bit shifts, horizontal spread is pure lane slice+concat — no cross-word
+    carry ops (the row-major kernel's dominant remaining cost)."""
+    del rule_bits  # static Life
+    from carle_tpu.ops.bitpack import pack_grid_cm, unpack_grid_cm
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_static_cm
+
+    packed = pack_grid_cm(grid)
+    steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
+    birth, survive = (3,), (2, 3)
+    _sync(bit_multi_step_pallas_static_cm(packed, birth, survive, steps))
+
+    t0 = time.perf_counter()
+    p = packed
+    for _ in range(launches):
+        p = bit_multi_step_pallas_static_cm(p, birth, survive, steps)
+    _sync(p)
+    dt = time.perf_counter() - t0
+    return dt, unpack_grid_cm(p, grid.shape[-2])
+
+
+def bench_bitpack_pallas_cm(grid, rule_bits, steps_per_launch, launches):
+    from carle_tpu.ops.bitpack import pack_grid_cm, unpack_grid_cm
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_cm
+
+    packed = pack_grid_cm(grid)
+    steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
+    _sync(bit_multi_step_pallas_cm(packed, rule_bits, steps))
+
+    t0 = time.perf_counter()
+    p = packed
+    for _ in range(launches):
+        p = bit_multi_step_pallas_cm(p, rule_bits, steps)
+    _sync(p)
+    dt = time.perf_counter() - t0
+    return dt, unpack_grid_cm(p, grid.shape[-2])
+
+
 BACKENDS = {
     "pallas": bench_pallas,
     "xla": bench_xla,
     "bitpack": bench_bitpack,
     "bitpack-pallas": bench_bitpack_pallas,
     "bitpack-pallas-static": bench_bitpack_pallas_static,
+    "bitpack-pallas-static-cm": bench_bitpack_pallas_static_cm,
+    "bitpack-pallas-cm": bench_bitpack_pallas_cm,
 }
 
 

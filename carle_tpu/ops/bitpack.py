@@ -44,6 +44,33 @@ def unpack_grid(packed: jax.Array, width: int) -> jax.Array:
     return bits.reshape(*lead, h, words * WORD).astype(jnp.uint8)[..., :width]
 
 
+def pack_grid_cm(grid: jax.Array) -> jax.Array:
+    """uint8/bool [..., H, W] -> uint32 [..., H//32, W]: bits along H
+    (column-major packing, H % 32 == 0).
+
+    Used by the "cm" Pallas kernels (ops/pallas_bitpack.py): with rows in
+    the word axis the VERTICAL neighbours become in-word bit shifts (6 ALU
+    ops + 2 sublane-roll carries) and the horizontal spread becomes pure
+    lane slice+concat shifts with ZERO cross-word carry ops — removing the
+    row-major layout's dominant remaining cost (the 12 carry bitops
+    measured at ~12% of a generation by scripts/kernel_budget.py)."""
+    *lead, h, w = grid.shape
+    assert h % WORD == 0, f"height {h} not a multiple of {WORD}"
+    bits = grid.astype(jnp.uint32).reshape(*lead, h // WORD, WORD, w)
+    weights = (jnp.uint32(1) << jnp.arange(WORD, dtype=jnp.uint32))
+    return jnp.sum(bits * weights[:, None], axis=-2, dtype=jnp.uint32)
+
+
+def unpack_grid_cm(packed: jax.Array, height: int) -> jax.Array:
+    """uint32 [..., H//32, W] -> uint8 [..., H, W]."""
+    shifts = jnp.arange(WORD, dtype=jnp.uint32)
+    bits = (packed[..., None, :] >> shifts[:, None]) & jnp.uint32(1)
+    *lead, words, _, w = bits.shape
+    return bits.reshape(*lead, words * WORD, w).astype(jnp.uint8)[
+        ..., :height, :
+    ]
+
+
 def _csa(a, b, c):
     """Carry-save adder: three weight-k bit-planes -> (sum@k, carry@2k)."""
     ab = a ^ b

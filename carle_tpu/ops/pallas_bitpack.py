@@ -361,6 +361,93 @@ def _static_step_block_v3(g: jax.Array, birth_set, survive_set) -> jax.Array:
     return (dead & ~g) | (alive & g)
 
 
+def _count9_planes_cm(g: jax.Array):
+    """Count-including-centre planes on a COLUMN-MAJOR packed block
+    [tile, H/32, W] (bits along H — ops/bitpack.py:pack_grid_cm).
+
+    The layout swap moves the carry burden off the word axis: vertical
+    neighbours become in-word bit shifts (6 ALU ops + 2 sublane-shift
+    carries) and the horizontal spread becomes four lane slice+concat
+    shifts with NO cross-word carry ops.
+
+    MEASURED NEGATIVE RESULT (v5e, 4096x256x256): 1.34e12 cells/s static /
+    1.25e12 rules-as-data — 1.4x SLOWER than the row-major "vc" scheme
+    (1.9-2.03e12), despite 6 fewer ALU ops and 2 fewer sublane rolls.  The
+    difference is the lane-shift count (4 here vs 2 in vc): each ±1 LANE
+    concat shift costs ~15-20% of a generation, far more than the
+    kernel_budget.py `no_lane_shifts` ablation suggested (that probe is
+    CSE-confounded — u = d = g collapses the two spreads into one).  The
+    zero-lane-movement extreme ([W/32, H, inst] with instances on lanes,
+    scripts/il_probe.py) is ALSO slower (1.43e12) — layout costs are not a
+    simple per-shift model; "vc" is the measured optimum of the four
+    layouts tried (row-major h/v/vc/vcc, u16, cm, instance-lanes).  Kept as
+    a working, parity-tested record of the experiment."""
+    pw = _word_shift_concat(g, 1)    # word k-1 at position k
+    nw = _word_shift_concat(g, -1)   # word k+1 at position k
+    u = (g << 1) | (pw >> 31)        # cell at row r-1, at position r
+    d = (g >> 1) | (nw << 31)        # cell at row r+1
+    ab = u ^ g
+    p0 = ab ^ d                      # vertical-sum weight-1 plane
+    p1 = (u & g) | (ab & d)          # vertical-sum weight-2 plane
+
+    p0l = _lane_shift_concat(p0, 1)
+    p0r = _lane_shift_concat(p0, -1)
+    p1l = _lane_shift_concat(p1, 1)
+    p1r = _lane_shift_concat(p1, -1)
+    return _count9_from_triples(p0l, p0, p0r, p1l, p1, p1r)
+
+
+def _static_step_block_cm(g: jax.Array, birth_set, survive_set) -> jax.Array:
+    """Column-major static step (see _count9_planes_cm)."""
+    from .bitpack import _fold_tree
+
+    n0, n1, n2, n3 = _count9_planes_cm(g)
+
+    def fold(leaves):
+        out = _fold_tree(leaves, [n0, n1, n2, n3])
+        if isinstance(out, str):
+            zero = jnp.zeros_like(g)
+            return zero if out == "0" else ~zero
+        return out
+
+    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
+    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
+                          for v in range(1, 10)])
+    return (dead & ~g) | (alive & g)
+
+
+def _bit_step_block_cm(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    """Column-major rules-as-data step (see _count9_planes_cm)."""
+    n0, n1, n2, n3 = _count9_planes_cm(g)
+
+    def rule_plane(k):
+        bit = (rule_bits >> k) & 1
+        return jnp.broadcast_to(
+            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
+        )
+
+    zero = jnp.zeros_like(g)
+
+    def select(planes, sel):
+        out = []
+        for i in range(0, len(planes) - 1, 2):
+            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
+        if len(planes) % 2:
+            out.append(planes[-1] & ~sel)
+        return out
+
+    def fold(leaves):
+        planes = select(leaves, n0)
+        planes = select(planes, n1)
+        planes = select(planes, n2)
+        planes = select(planes, n3)
+        return planes[0]
+
+    dead = fold([rule_plane(v) for v in range(9)] + [zero])
+    alive = fold([zero] + [rule_plane(9 + v) for v in range(9)])
+    return (dead & ~g) | (alive & g)
+
+
 _STATIC_STEPS = {
     "h": _static_step_block,
     "v": _static_step_block_v2,
@@ -465,3 +552,81 @@ def bit_multi_step_pallas_static(
         ),
     )(jnp.asarray(num_steps, jnp.int32).reshape(1), t)
     return out.transpose(0, 2, 1)
+
+
+def _static_multi_step_kernel_cm(steps_ref, grid_ref, out_ref, *, birth,
+                                 survive):
+    out_ref[...] = jax.lax.fori_loop(
+        0, steps_ref[0],
+        lambda _, g: _static_step_block_cm(g, birth, survive),
+        grid_ref[...],
+    )
+
+
+def _multi_step_kernel_cm(rule_ref, steps_ref, grid_ref, out_ref):
+    out_ref[...] = jax.lax.fori_loop(
+        0, steps_ref[0],
+        lambda _, g: _bit_step_block_cm(g, rule_ref[0]),
+        grid_ref[...],
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("birth", "survive"))
+def bit_multi_step_pallas_static_cm(
+    packed_cm: jax.Array, birth, survive, num_steps: jax.Array,
+) -> jax.Array:
+    """``num_steps`` generations on a COLUMN-MAJOR packed [inst, H/32, W]
+    grid (ops/bitpack.py:pack_grid_cm) with the rule baked in.
+
+    Carries live on the cheap axes: vertical neighbours are in-word bit
+    shifts (+2 sublane concat shifts), the horizontal spread is pure lane
+    slice+concat — no cross-word carry bitops.  No transpose is needed
+    either (lane dim is W, already >=128 for the shipped geometries)."""
+    inst, nwords, w = packed_cm.shape
+    tile = _tile(inst, nwords, w)
+    kernel = functools.partial(
+        _static_multi_step_kernel_cm,
+        birth=frozenset(birth),
+        survive=frozenset(survive),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(packed_cm.shape, jnp.uint32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(inst // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, nwords, w), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, nwords, w), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(jnp.asarray(num_steps, jnp.int32).reshape(1), packed_cm)
+
+
+@jax.jit
+def bit_multi_step_pallas_cm(
+    packed_cm: jax.Array, rule_bits: jax.Array, num_steps: jax.Array,
+) -> jax.Array:
+    """Rules-as-data variant of :func:`bit_multi_step_pallas_static_cm`."""
+    inst, nwords, w = packed_cm.shape
+    tile = _tile(inst, nwords, w)
+    return pl.pallas_call(
+        _multi_step_kernel_cm,
+        out_shape=jax.ShapeDtypeStruct(packed_cm.shape, jnp.uint32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(inst // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, nwords, w), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, nwords, w), lambda i, *_: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(
+        jnp.asarray(rule_bits, jnp.int32).reshape(1),
+        jnp.asarray(num_steps, jnp.int32).reshape(1),
+        packed_cm,
+    )

@@ -154,3 +154,42 @@ def test_data_kernel_vertical_scheme_parity(rules_bs):
                                   np.asarray(unpack_grid(ref, 128)))
     np.testing.assert_array_equal(np.asarray(unpack_grid(out_vcc, 128)),
                                   np.asarray(unpack_grid(ref, 128)))
+
+
+@pytest.mark.parametrize("rules_bs", [([3], [2, 3]), ([3, 6, 8], [2, 4, 5]),
+                                      ([2], [0])])
+def test_cm_kernel_parity(rules_bs):
+    """The column-major kernels (bits packed along H, carries on the cheap
+    axes) must match the row-major XLA packed engine bit for bit."""
+    import numpy as np
+
+    from carle_tpu.ops.bitpack import (
+        bit_multi_step, pack_grid, pack_grid_cm, unpack_grid, unpack_grid_cm,
+    )
+    from carle_tpu.ops.pallas_bitpack import (
+        bit_multi_step_pallas_cm, bit_multi_step_pallas_static_cm,
+    )
+    from carle_tpu import rules as rules_mod
+
+    birth, survive = rules_bs
+    rng = np.random.RandomState(23)
+    grid = (rng.rand(2, 128, 256) < 0.33).astype(np.uint8)
+    bits = rules_mod.pack_rule_bits(birth, survive)
+    ref = unpack_grid(
+        bit_multi_step(pack_grid(jnp.asarray(grid)), jnp.asarray(bits), 5),
+        256,
+    )
+
+    pcm = pack_grid_cm(jnp.asarray(grid))
+    np.testing.assert_array_equal(  # pack/unpack round-trip
+        np.asarray(unpack_grid_cm(pcm, 128)), grid)
+    with pltpu.force_tpu_interpret_mode():
+        out_s = bit_multi_step_pallas_static_cm(
+            pcm, tuple(birth), tuple(survive), jnp.asarray(5)
+        )
+        out_d = bit_multi_step_pallas_cm(pcm, jnp.asarray(bits),
+                                         jnp.asarray(5))
+    np.testing.assert_array_equal(np.asarray(unpack_grid_cm(out_s, 128)),
+                                  np.asarray(ref))
+    np.testing.assert_array_equal(np.asarray(unpack_grid_cm(out_d, 128)),
+                                  np.asarray(ref))

@@ -221,6 +221,13 @@ def main() -> int:
                              "pair (static 1.36e12), v3 = stacked-plane "
                              "probe (ties v), vcc = concat on both axes "
                              "(ties vc)")
+    parser.add_argument("--per-instance-rules", action="store_true",
+                        help="bench with an [instances] rule VECTOR cycling "
+                             "the eval battery's rulesets (rules-as-data "
+                             "engines only: mixed-rule batches in one "
+                             "launch, the evaluate_fused_batched path; "
+                             "1.30e12 cells/s on v5e — 95%% of the scalar "
+                             "rules-as-data rate)")
     args = parser.parse_args()
 
     from carle_tpu import rules
@@ -228,11 +235,27 @@ def main() -> int:
     h = w = args.size
     grid = _random_grid(jax.random.PRNGKey(0), args.instances, h, w)
     rule_bits = jnp.asarray(rules.LIFE, dtype=jnp.int32)
+    if args.per_instance_rules:
+        battery = [
+            rules.pack_rule_bits([3], [2, 3]),          # Life
+            rules.pack_rule_bits([3, 6, 8], [2, 4, 5]),  # Move/Morley
+            rules.pack_rule_bits([3, 6, 7, 8], [3, 4, 6, 7, 8]),  # Day&Night
+            rules.pack_rule_bits([3], [0, 2, 3]),
+            rules.pack_rule_bits([2], [0]),             # outgroup
+        ]
+        rule_bits = jnp.asarray(
+            [battery[i % len(battery)] for i in range(args.instances)],
+            dtype=jnp.int32,
+        )
 
     backend = args.backend
     platform = jax.devices()[0].platform
     if backend == "auto":
         backend = "bitpack-pallas-static" if platform in ("tpu", "axon") else "bitpack"
+    if args.per_instance_rules and "static" in backend:
+        # static kernels bake one rule at trace time; vector rules need the
+        # rules-as-data engines
+        backend = "bitpack-pallas" if "pallas" in backend else "bitpack"
 
     bench_kwargs = (
         {"scheme": args.scheme}
@@ -266,6 +289,8 @@ def main() -> int:
             "launches": args.launches, "backend": backend,
             **({"scheme": args.scheme}
                if backend == "bitpack-pallas-static" else {}),
+            **({"rules": "per-instance-vector"}
+               if args.per_instance_rules else {}),
             "device": str(jax.devices()[0]),
         },
         "checksum": int(np.asarray(out.sum())),

@@ -72,13 +72,10 @@ def ca_step_with_action(
     """Toggle (XOR the centred action window) + one CA generation, dispatched
     to the configured backend.  The pallas path fuses the XOR into the kernel
     (ops/pallas_ca.py); the XLA path pads and XORs explicitly."""
-    if (resolve_backend(config.backend) == "pallas"
-            and jnp.asarray(rule_bits).ndim == 0):
+    if resolve_backend(config.backend) == "pallas":
         from .pallas_ca import ca_step_pallas
 
         return ca_step_pallas(grid, action, rule_bits, config=config)
-    # XLA path; also serves per-instance rule vectors (the Pallas kernel
-    # takes one scalar rule per launch)
     return ca_step_grid(grid ^ pad_action(action, config), rule_bits)
 
 

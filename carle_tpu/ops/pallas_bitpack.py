@@ -26,8 +26,13 @@ def _csa(a, b, c):
     return ab ^ c, (a & b) | (ab & c)
 
 
-def _bit_step_block(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
-    """One generation on a [tile, W/32, H] uint32 block (transposed layout)."""
+def _bit_step_block(g: jax.Array, rule_bits: jax.Array,
+                    masks=None) -> jax.Array:
+    """One generation on a [tile, W/32, H] uint32 block (transposed layout).
+
+    ``masks`` optionally supplies the 18 rule bit-masks pre-broadcast to
+    ``g.shape`` (loop-invariant hoisting for per-instance rule vectors —
+    see _multi_step_kernel_vec)."""
     nwords = g.shape[-2]
     h = g.shape[-1]
     word_ax, row_ax = g.ndim - 2, g.ndim - 1
@@ -52,6 +57,8 @@ def _bit_step_block(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
     n3 = c3 & c4
 
     def rule_plane(k):
+        if masks is not None:
+            return masks[k]
         bit = (rule_bits >> k) & 1
         return jnp.broadcast_to(
             (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
@@ -148,7 +155,8 @@ def _count9_from_triples(p0l, p0, p0r, p1l, p1, p1r):
 
 def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array,
                        concat_lane: bool = False,
-                       concat_word: bool = False) -> jax.Array:
+                       concat_word: bool = False,
+                       masks=None) -> jax.Array:
     """Vertical-first rules-as-data step: 6 rolls/generation instead of 8
     (measured 1.42x on v5e — rolls dominate).  The count includes the
     centre cell, so the 10-leaf mux tables are the birth bits at count9
@@ -158,6 +166,8 @@ def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array,
     n0, n1, n2, n3 = _count9_planes(g, concat_lane, concat_word)
 
     def rule_plane(k):
+        if masks is not None:
+            return masks[k]
         bit = (rule_bits >> k) & 1
         return jnp.broadcast_to(
             (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
@@ -200,6 +210,32 @@ def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref, *, scheme="v"):
 
     def body(_, g):
         return step(g, rule_ref[0])
+
+    out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
+
+
+def _multi_step_kernel_vec(steps_ref, grid_ref, rule_ref, out_ref, *,
+                           scheme="v"):
+    """Per-instance rules: ``rule_ref`` is a [tile, 1, 1] VMEM block.  The
+    step functions only touch ``rule_bits`` inside ``rule_plane`` (shift,
+    mask, negate, broadcast_to(g.shape)), so a [tile, 1, 1] vector flows
+    through the same bodies as a scalar — but the 18 full-size mask
+    broadcasts are then re-issued EVERY generation (measured 36% slower
+    than scalar rules on v5e: 8.7e11 vs 1.37e12).  The masks are
+    loop-invariant, so hoist them out of the fori_loop; the dispatch picks
+    a smaller instance tile to keep 18 resident planes inside VMEM."""
+    step = _DATA_STEPS[scheme]
+    rules = rule_ref[...]
+    masks = [
+        jnp.broadcast_to(
+            jnp.uint32(0) - ((rules >> k) & 1).astype(jnp.uint32),
+            grid_ref.shape,
+        )
+        for k in range(18)
+    ]
+
+    def body(_, g):
+        return step(g, rules, masks=masks)
 
     out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
 
@@ -485,12 +521,44 @@ def bit_multi_step_pallas(
 
     Default scheme "vc" (vertical-first, slice+concat lane shifts) measured
     1.363e12 cells/s on v5e vs 1.317e12 for "v" (dynamic lane rotates) —
-    the serving-path default for the env/packed engines."""
+    the serving-path default for the env/packed engines.
+
+    ``rule_bits`` scalar or [instances] vector (per-instance rulesets in one
+    launch — the fast path for mixed-rule batches like the eval battery)."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)  # [inst, W/32, H]
     tile = _tile(inst, nwords, h)
     if scheme not in _DATA_STEPS:
         raise ValueError(f"unknown scheme {scheme!r}; one of {sorted(_DATA_STEPS)}")
+    rb = jnp.asarray(rule_bits, jnp.int32)
+    if rb.ndim == 1:
+        # ~10 live step planes + 18 hoisted rule masks resident: shrink the
+        # tile so the working set still fits VMEM (tile 32 measured within
+        # 2.5% of 64 for the static kernel — scripts/tile_probe.py)
+        tile = _tile(inst, nwords, h,
+                     budget_bytes=int(8 * 2**20 * 10 / 28))
+        out = pl.pallas_call(
+            functools.partial(_multi_step_kernel_vec, scheme=scheme),
+            out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(inst // tile,),
+                in_specs=[
+                    pl.BlockSpec((tile, nwords, h), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, 1, 1), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tile, nwords, h),
+                                       lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+        )(
+            jnp.asarray(num_steps, jnp.int32).reshape(1),
+            t,
+            rb.reshape(inst, 1, 1),
+        )
+        return out.transpose(0, 2, 1)
     out = pl.pallas_call(
         functools.partial(_multi_step_kernel, scheme=scheme),
         out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),

@@ -59,9 +59,29 @@ def _step_kernel(rule_ref, grid_ref, action_ref, out_ref):
     )
 
 
+def _step_kernel_vec(grid_ref, action_ref, rule_ref, out_ref):
+    """Per-instance rules: ``rule_ref`` is a [tile, 1, 1] VMEM block that
+    broadcasts against the [tile, H, W] rule-index plane inside
+    :func:`_neighbor_rule` — different universes in one batch can run
+    different rulesets at full kernel speed (e.g. the whole eval battery
+    as one launch)."""
+    out_ref[...] = _neighbor_rule(
+        grid_ref[...] ^ action_ref[...], rule_ref[...]
+    )
+
+
 def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref):
     def body(_, g):
         return _neighbor_rule(g, rule_ref[0])
+
+    out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
+
+
+def _multi_step_kernel_vec(steps_ref, grid_ref, rule_ref, out_ref):
+    rules = rule_ref[...]
+
+    def body(_, g):
+        return _neighbor_rule(g, rules)
 
     out_ref[...] = jax.lax.fori_loop(0, steps_ref[0], body, grid_ref[...])
 
@@ -86,12 +106,33 @@ def ca_step_pallas(
 
     grid:   uint8 [instances, H, W]
     action: uint8 [instances, AH, AW]
+
+    ``rule_bits`` may be a scalar (one rule per launch, SMEM-prefetched) or
+    an [instances] vector (per-instance rulesets: the vector rides along as
+    a [tile, 1, 1] VMEM block and broadcasts inside the kernel).
     """
     from .ca import pad_action
 
     inst, h, w = grid.shape
     tile = _instance_tile(inst, h, w)
     action_full = pad_action(action, config)
+    rb = jnp.asarray(rule_bits, jnp.int32)
+    if rb.ndim == 1:
+        return pl.pallas_call(
+            _step_kernel_vec,
+            out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.uint8),
+            grid=(inst // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile, 1, 1), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((tile, h, w), lambda i: (i, 0, 0),
+                                   memory_space=pltpu.VMEM),
+        )(grid, action_full, rb.reshape(inst, 1, 1))
     return pl.pallas_call(
         _step_kernel,
         out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.uint8),
@@ -114,9 +155,33 @@ def ca_step_pallas(
 def ca_multi_step_pallas(
     grid: jax.Array, rule_bits: jax.Array, num_steps: jax.Array
 ) -> jax.Array:
-    """``num_steps`` action-free generations with the grid VMEM-resident."""
+    """``num_steps`` action-free generations with the grid VMEM-resident.
+
+    ``rule_bits`` scalar or [instances] vector (per-instance rulesets)."""
     inst, h, w = grid.shape
     tile = _instance_tile(inst, h, w)
+    rb = jnp.asarray(rule_bits, jnp.int32)
+    if rb.ndim == 1:
+        return pl.pallas_call(
+            _multi_step_kernel_vec,
+            out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.uint8),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(inst // tile,),
+                in_specs=[
+                    pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, 1, 1), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tile, h, w), lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+        )(
+            jnp.asarray(num_steps, jnp.int32).reshape(1),
+            grid,
+            rb.reshape(inst, 1, 1),
+        )
     return pl.pallas_call(
         _multi_step_kernel,
         out_shape=jax.ShapeDtypeStruct(grid.shape, jnp.uint8),

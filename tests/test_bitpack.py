@@ -160,3 +160,38 @@ def test_r_pentomino_census_golden():
     # oscillators, and the eight escaping gliders)
     p2 = bit_multi_step(p, jnp.asarray(rules_mod.LIFE), 4)
     assert int(np.asarray(unpack_grid(p2, 1024)).sum()) == 116
+
+
+def test_bitpack_pallas_vector_rules_parity():
+    """Per-instance rule vectors through the PACKED Pallas kernel: every
+    scheme's rule_plane broadcasts a [tile,1,1] rule block like a scalar."""
+    from carle_tpu import rules as rules_mod
+    from jax.experimental.pallas import tpu as pltpu
+
+    from carle_tpu.ops.bitpack import pack_grid, unpack_grid
+    from carle_tpu.ops.ca import ca_step_grid
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas
+
+    rng = np.random.RandomState(11)
+    grid = (rng.rand(4, 128, 256) < 0.4).astype(np.uint8)
+    bits = jnp.asarray(
+        [rules_mod.pack_rule_bits([3], [2, 3]),
+         rules_mod.pack_rule_bits([3, 6, 8], [2, 4, 5]),
+         rules_mod.pack_rule_bits([2], [0]),
+         rules_mod.pack_rule_bits([3, 6, 7, 8], [3, 4, 6, 7, 8])],
+        dtype=jnp.int32,
+    )
+
+    ref = jnp.asarray(grid)
+    for _ in range(4):
+        ref = ca_step_grid(ref, bits)
+
+    packed = pack_grid(jnp.asarray(grid))
+    for scheme in ("h", "v", "vc", "vcc"):
+        with pltpu.force_tpu_interpret_mode():
+            out = bit_multi_step_pallas(packed, bits, jnp.asarray(4),
+                                        scheme=scheme)
+        np.testing.assert_array_equal(
+            np.asarray(unpack_grid(out, 256)), np.asarray(ref),
+            err_msg=f"scheme {scheme}",
+        )

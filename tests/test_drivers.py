@@ -390,3 +390,28 @@ def test_shipped_policy_checkpoint_loads_and_acts():
     action = agent.apply(params, jax.random.PRNGKey(1), obs)
     assert action.shape == (2, 1, cfg.eff_action_height, cfg.eff_action_width)
     assert set(np.unique(np.asarray(action))) <= {0.0, 1.0}
+
+
+def test_train_mixed_rules(tmp_path):
+    """mixed_rules=True deals the rulesets across the instance batch as a
+    per-instance rule vector: one fused segment per epoch (per-instance
+    rule STEPPING itself is parity-tested in test_rollout.py and the
+    engine tests)."""
+    log_dir = str(tmp_path / "logs")
+    rules = [[[3], [2, 3]], [[3, 6, 8], [2, 4, 5]]]
+    history = train(
+        instances=4,
+        steps=[2, 6],
+        rules=rules,
+        height=64,
+        width=64,
+        batch_size=4,
+        log_dir=log_dir,
+        seed=0,
+        mixed_rules=True,
+    )
+    # 2 epochs x ONE mixed segment x 6 steps (not epochs x len(rules))
+    assert history.shape == (12,)
+    assert np.isfinite(history).all()
+    models = os.listdir(os.path.join(log_dir, "models"))
+    assert any(m.startswith("RND2D_") for m in models)

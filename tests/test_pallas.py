@@ -193,3 +193,50 @@ def test_cm_kernel_parity(rules_bs):
                                   np.asarray(ref))
     np.testing.assert_array_equal(np.asarray(unpack_grid_cm(out_d, 128)),
                                   np.asarray(ref))
+
+
+def test_step_kernel_vector_rules_parity():
+    """Per-instance rule vectors run through the fused per-step kernel
+    (vector rules used to fall back to the XLA roll-sum path)."""
+    config = EnvConfig(height=64, width=128, action_height=16,
+                       action_width=16, instances=3)
+    rng = np.random.RandomState(5)
+    grid = (rng.rand(3, 64, 128) < 0.3).astype(np.uint8)
+    action = (rng.rand(3, 16, 16) < 0.2).astype(np.uint8)
+    bits = jnp.asarray(
+        [rules.pack_rule_bits([3], [2, 3]),
+         rules.pack_rule_bits([3, 6, 8], [2, 4, 5]),
+         rules.pack_rule_bits([2], [0])],
+        dtype=jnp.int32,
+    )
+
+    toggled = jnp.asarray(grid) ^ pad_action(jnp.asarray(action), config)
+    ref = ca_step_grid(toggled, bits)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_ca.ca_step_pallas(
+            jnp.asarray(grid), jnp.asarray(action), bits, config=config,
+        )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_multi_step_kernel_vector_rules_parity():
+    rng = np.random.RandomState(6)
+    grid = (rng.rand(4, 64, 128) < 0.4).astype(np.uint8)
+    bits = jnp.asarray(
+        [rules.pack_rule_bits([3], [2, 3]),
+         rules.pack_rule_bits([3, 6, 7, 8], [3, 4, 6, 7, 8]),
+         rules.pack_rule_bits([2], [0]),
+         rules.pack_rule_bits([3, 6], [2, 3])],
+        dtype=jnp.int32,
+    )
+
+    ref = jnp.asarray(grid)
+    for _ in range(5):
+        ref = ca_step_grid(ref, bits)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = pallas_ca.ca_multi_step_pallas(
+            jnp.asarray(grid), bits, jnp.asarray(5)
+        )
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))

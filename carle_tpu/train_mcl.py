@@ -48,6 +48,33 @@ DEFAULT_RULES: List[List[List[int]]] = [
 ]
 
 
+def _find_checkpoint(directory: str, name: str) -> str:
+    """Resolve a wrapper checkpoint in ``directory``: the canonical
+    ``{name}.npz`` if present, else the NEWEST ``{name}_*.npz`` the trainer
+    itself writes — so ``--resume-from`` can point straight at a previous
+    run's ``models/`` directory without renaming."""
+    canonical = os.path.join(directory, f"{name}.npz")
+    if os.path.exists(canonical):
+        return canonical
+    candidates = [
+        os.path.join(directory, f)
+        for f in os.listdir(directory)
+        if f.startswith(name + "_") and f.endswith(".npz")
+    ]
+    if not candidates:
+        return canonical  # let load_pytree raise its clear error
+    return max(candidates, key=os.path.getmtime)
+
+
+def _write_progress(path: str, payload: Dict[str, Any]) -> None:
+    """Atomic progress write (tmp + rename): a crash mid-write must never
+    leave a torn JSON for the supervisor to trip over."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f)
+    os.replace(tmp, path)
+
+
 def train(
     agent_fn: Optional[Callable[..., Any]] = None,
     instances: int = 16,
@@ -63,6 +90,8 @@ def train(
     segment_callback: Optional[Callable[[Dict[str, Any]], None]] = None,
     mesh: Any = "auto",
     mixed_rules: bool = False,
+    skip_segments: int = 0,
+    progress_file: Optional[str] = None,
 ) -> np.ndarray:
     """Pre-train the RND2D + AE2D wrapper stack (reference train(),
     train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
@@ -86,7 +115,18 @@ def train(
     batch-mean losses into ICI all-reduces — so reward histories match the
     single-device run (tests/test_drivers.py).
 
-    Returns the per-step summed reward history, and writes:
+    Elastic recovery (scripts/train_supervisor.py drives this; the reference
+    has no failure handling at all — a crash loses the run): ``progress_file``
+    atomically records how many segments completed after each one, and
+    ``skip_segments`` fast-forwards the schedule past segments a previous
+    (crashed) process already finished — combined with ``resume_from`` this
+    continues training from the last completed segment.  Continuation is
+    semantic, not bit-exact: the carry's RNG key restarts from ``seed``, so
+    the action stream differs from the uncrashed run; the learned state
+    (params + Adam moments + accumulation counters) is exact.
+
+    Returns the per-step summed reward history (skipped segments excluded),
+    and writes:
       {log_dir}/models/RND2D_{exp}.npz, AE2D_{exp}.npz  (full learner states)
       {log_dir}/metrics/mcl_rewards_{exp}.npy
     """
@@ -113,7 +153,7 @@ def train(
 
     if resume_from:
         wstates = tuple(
-            load_pytree(os.path.join(resume_from, f"{name}.npz"), ws)
+            load_pytree(_find_checkpoint(resume_from, name), ws)
             for name, ws in zip(("RND2D", "AE2D"), carry.stack.wrappers)
         )
         carry = carry._replace(stack=carry.stack._replace(wrappers=wstates))
@@ -155,8 +195,13 @@ def train(
             (ruleset, rules_mod.pack_rule_bits(ruleset[0], ruleset[1]))
             for ruleset in rules
         ]
+    total_segments = epochs * len(segments)
+    seg_index = 0
     for epoch in range(epochs):
         for ruleset, bits in segments:
+            seg_index += 1
+            if seg_index <= skip_segments:
+                continue
             carry = ro.with_rules(carry, bits)
             carry, _ = ro.reset(carry)
 
@@ -178,6 +223,13 @@ def train(
                 save_pytree(
                     os.path.join(model_dir, f"{name}_{exp_id}.npz"), ws
                 )
+            if progress_file:
+                _write_progress(progress_file, {
+                    "completed_segments": seg_index,
+                    "total_segments": total_segments,
+                    "exp_id": exp_id,
+                    "model_dir": model_dir,
+                })
             if segment_callback:
                 segment_callback(
                     dict(epoch=epoch, ruleset=ruleset,
@@ -185,12 +237,14 @@ def train(
                          mean_reward=mean_reward)
                 )
 
-        np.save(
-            os.path.join(metric_dir, f"mcl_rewards_{exp_id}.npy"),
-            np.concatenate(rewards_hist),
-        )
+        if rewards_hist:
+            np.save(
+                os.path.join(metric_dir, f"mcl_rewards_{exp_id}.npy"),
+                np.concatenate(rewards_hist),
+            )
 
-    return np.concatenate(rewards_hist)
+    return (np.concatenate(rewards_hist) if rewards_hist
+            else np.zeros(0, dtype=np.float32))
 
 
 if __name__ == "__main__":
@@ -211,7 +265,20 @@ if __name__ == "__main__":
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--log-dir", default="./logs/mcl")
     parser.add_argument("--resume-from", default=None,
-                        help="directory holding RND2D.npz / AE2D.npz")
+                        help="directory holding RND2D.npz / AE2D.npz (or a "
+                             "previous run's models/ dir — the newest "
+                             "RND2D_*/AE2D_* checkpoints are picked up)")
+    parser.add_argument("--skip-segments", type=int, default=0,
+                        help="fast-forward past the first N schedule "
+                             "segments (elastic restart: pair with "
+                             "--resume-from; see scripts/train_supervisor.py)")
+    parser.add_argument("--progress-file", default=None,
+                        help="atomically record completed-segment count "
+                             "here after each segment (for the supervisor)")
+    parser.add_argument("--platform", default=None,
+                        help="override the JAX platform (e.g. cpu); the "
+                             "axon plugin ignores JAX_PLATFORMS, only this "
+                             "works")
     parser.add_argument("--mixed-rules", action="store_true",
                         help="train on ALL rulesets simultaneously via a "
                              "per-instance rule vector (one fused segment "
@@ -230,6 +297,8 @@ if __name__ == "__main__":
                              "120.6 with dropout ON (1.84x) at the cost of "
                              "cross-backend reproducibility")
     args = parser.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     if args.rng_impl != "threefry":
         jax.config.update("jax_default_prng_impl", args.rng_impl)
 
@@ -245,6 +314,8 @@ if __name__ == "__main__":
         resume_from=args.resume_from,
         mesh={"auto": "auto", "on": True, "off": False}[args.mesh],
         mixed_rules=args.mixed_rules,
+        skip_segments=args.skip_segments,
+        progress_file=args.progress_file,
     )
     print(json.dumps({"total_reward": float(history.sum()),
                       "segments": len(history) // args.steps_per_rule}))

@@ -415,3 +415,80 @@ def test_train_mixed_rules(tmp_path):
     assert np.isfinite(history).all()
     models = os.listdir(os.path.join(log_dir, "models"))
     assert any(m.startswith("RND2D_") for m in models)
+
+
+def test_train_resume_from_timestamped_models_dir(tmp_path):
+    """--resume-from can point at a previous run's models/ directory as-is:
+    the newest RND2D_*/AE2D_* checkpoints are resolved automatically."""
+    log_dir = str(tmp_path / "logs")
+    train(instances=2, steps=[1, 4], rules=[[[3], [2, 3]]],
+          height=64, width=64, batch_size=2, log_dir=log_dir, seed=0)
+    models_dir = os.path.join(log_dir, "models")
+    history = train(
+        instances=2, steps=[1, 4], rules=[[[3], [2, 3]]],
+        height=64, width=64, batch_size=2, log_dir=log_dir, seed=1,
+        resume_from=models_dir,
+    )
+    assert history.shape == (4,)
+
+
+def test_train_skip_segments_and_progress(tmp_path):
+    """Elastic-restart plumbing: progress is recorded atomically after each
+    segment, and skip_segments fast-forwards the schedule."""
+    import json
+
+    log_dir = str(tmp_path / "logs")
+    progress = str(tmp_path / "progress.json")
+    rules = [[[3], [2, 3]], [[3, 6, 8], [2, 4, 5]]]
+    train(instances=2, steps=[2, 4], rules=rules, height=64, width=64,
+          batch_size=2, log_dir=log_dir, seed=0, progress_file=progress)
+    with open(progress) as f:
+        rec = json.load(f)
+    assert rec["completed_segments"] == 4 and rec["total_segments"] == 4
+
+    # skipping 3 of 4 segments runs only the last one
+    history = train(instances=2, steps=[2, 4], rules=rules, height=64,
+                    width=64, batch_size=2, log_dir=log_dir, seed=0,
+                    skip_segments=3)
+    assert history.shape == (4,)
+    # skipping everything runs nothing and still returns cleanly
+    history = train(instances=2, steps=[2, 4], rules=rules, height=64,
+                    width=64, batch_size=2, log_dir=log_dir, seed=0,
+                    skip_segments=4)
+    assert history.shape == (0,)
+
+
+def test_supervisor_recovers_from_injected_crash(tmp_path):
+    """End-to-end elastic recovery: the supervisor SIGKILLs its first child
+    mid-run (fault injection), relaunches with --resume-from/--skip-segments,
+    and the run completes all segments."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = str(tmp_path / "logs")
+    proc = subprocess.run(
+        [sys.executable, "scripts/train_supervisor.py",
+         "--log-dir", log_dir,
+         "--max-restarts", "3",
+         "--backoff-seconds", "0.1",
+         "--poll-seconds", "0.1",
+         "--inject-kill-after-segments", "2",
+         # pass-through train_mcl flags (tiny CPU config)
+         "--platform", "cpu", "--instances", "2", "--epochs", "2",
+         "--steps-per-rule", "8", "--batch-size", "8", "--size", "64",
+         "--mesh", "off"],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    events = [json.loads(line) for line in proc.stdout.splitlines()
+              if line.startswith('{"supervisor"')]
+    kinds = [e["supervisor"] for e in events]
+    assert "inject_kill" in kinds and "restart" in kinds
+    done = events[-1]
+    assert done["supervisor"] == "done" and done["restarts"] >= 1
+    # all 8 segments (2 epochs x 4 default rulesets) completed across lives
+    assert done["completed_segments"] == 8
+    relaunch = [e for e in events if e["supervisor"] == "launch"][-1]
+    assert relaunch["skip_segments"] >= 2

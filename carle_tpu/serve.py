@@ -1,0 +1,230 @@
+"""Serving daemon: hold the compiled programs hot, score agents on demand.
+
+The deployment story for the challenge harness (reference evaluation/eval.py)
+is batch scoring of submitted agents.  Through the remote-compile tunnel a
+fresh process pays ~50 s/program of compile round-trips; the fused battery
+itself runs in ~0.4 s warm (`evaluate_fused_batched`) — so the economical
+serving shape is ONE resident process that compiles once and answers many
+scoring requests.  This module is that process: a dependency-free HTTP
+daemon (stdlib ``http.server``) in front of the fused evaluation paths,
+with the process-level rollout cache keeping every program warm across
+requests.
+
+Endpoints (JSON in/out):
+
+  GET  /health          liveness + device + request counters
+  POST /score           {"agent": "random"|"network"|"policy",
+                         "params_path": str|null, "steps": int,
+                         "seed": int, "seeds": [int, ...],
+                         "batched": bool, "toggle_rate": float}
+                        -> {"score", "per_ruleset"|"per_seed", "latency_s"}
+  POST /rollout         {"rule": "B3/S23", "steps": int, "size": int,
+                         "seed": int, "density": float, "rle": str|null}
+                        -> {"population", "generations", "rle", "latency_s"}
+
+Single-threaded by design: one TPU chip, one request at a time (queueing is
+the correct backpressure — a second in-flight TPU program would wedge on
+chip acquisition, see CLAUDE.md).
+
+Run:  python -m carle_tpu.serve --port 8787 [--warmup] [--platform cpu]
+Test: tests/test_serve.py drives a live server over HTTP on CPU.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from http.server import BaseHTTPRequestHandler, HTTPServer
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+
+def _score(body: Dict[str, Any]) -> Dict[str, Any]:
+    from .evaluation.eval import (
+        evaluate_fused,
+        evaluate_fused_batched,
+        load_shipped_policy,
+    )
+
+    agent_kind = body.get("agent", "random")
+    params_path = body.get("params_path")
+    if agent_kind == "random":
+        agent: Any = None
+    elif agent_kind == "network":
+        from .agents import RandomNetworkAgent
+
+        agent = RandomNetworkAgent
+    elif agent_kind == "policy":
+        agent = load_shipped_policy(params_path)
+        params_path = None
+    else:
+        raise ValueError(f"unknown agent {agent_kind!r}; "
+                         "one of random/network/policy")
+
+    fn = evaluate_fused_batched if body.get("batched", True) else evaluate_fused
+    seeds = body.get("seeds") or [int(body.get("seed", 0))]
+    kwargs = dict(
+        Agent=agent,
+        params_path=params_path,
+        steps=int(body.get("steps", 1024)),
+        toggle_rate=float(body.get("toggle_rate", 0.1)),
+        reference_compat=bool(body.get("reference_compat", True)),
+        verbose=False,
+    )
+    t0 = time.perf_counter()
+    scores, per_rule = [], None
+    for s in seeds:
+        score, per_rule = fn(seed=int(s), **kwargs)
+        scores.append(float(score))
+    out: Dict[str, Any] = {
+        "score": float(np.mean(scores)),
+        "agent": agent_kind,
+        "steps": kwargs["steps"],
+        "batched": bool(body.get("batched", True)),
+        "latency_s": round(time.perf_counter() - t0, 4),
+    }
+    if len(seeds) > 1:
+        out["per_seed"] = scores
+    if per_rule is not None:
+        out["per_ruleset"] = [float(x) for x in np.asarray(per_rule).ravel()]
+    return out
+
+
+def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
+    import jax.numpy as jnp
+    import jax
+
+    from . import rules as rules_mod
+    from .ops.bitpack import pack_grid, unpack_grid
+    from .ops.bitpack import bit_multi_step
+    from .rle import encode_grid, parse_rle_text
+
+    size = int(body.get("size", 256))
+    steps = int(body.get("steps", 256))
+    rule = body.get("rule", "B3/S23")
+    birth, survive = rules_mod.parse_rulestring(rule)
+    bits = rules_mod.pack_rule_bits(birth, survive)
+
+    if body.get("rle"):
+        grid_np = parse_rle_text(body["rle"]).grid
+        h = max(size, grid_np.shape[0])
+        w = -(-max(size, grid_np.shape[1]) // 32) * 32  # packed W % 32 == 0
+        full = np.zeros((h, w), dtype=np.uint8)
+        r0 = (h - grid_np.shape[0]) // 2
+        c0 = (w - grid_np.shape[1]) // 2
+        full[r0:r0 + grid_np.shape[0], c0:c0 + grid_np.shape[1]] = grid_np
+        grid = jnp.asarray(full[None])
+    else:
+        key = jax.random.PRNGKey(int(body.get("seed", 0)))
+        grid = jax.random.bernoulli(
+            key, float(body.get("density", 0.3)), (1, size, size)
+        ).astype(jnp.uint8)
+
+    t0 = time.perf_counter()
+    packed = pack_grid(grid)
+    out = bit_multi_step(packed, jnp.asarray(bits), jnp.asarray(steps))
+    final = np.asarray(unpack_grid(out, grid.shape[2]))[0]
+    latency = time.perf_counter() - t0
+    resp = {
+        "rule": rules_mod.rulestring(birth, survive),
+        "generations": steps,
+        "population": int(final.sum()),
+        "latency_s": round(latency, 4),
+    }
+    if body.get("return_rle", True):
+        resp["rle"] = encode_grid(final, birth, survive)
+    return resp
+
+
+class _Handler(BaseHTTPRequestHandler):
+    server_version = "carle_tpu_serve/1.0"
+    stats = {"requests": 0, "errors": 0, "started": time.time()}
+
+    def log_message(self, fmt, *args):  # quiet by default
+        if getattr(self.server, "verbose", False):
+            super().log_message(fmt, *args)
+
+    def _reply(self, code: int, payload: Dict[str, Any]) -> None:
+        data = json.dumps(payload).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def do_GET(self):
+        if self.path != "/health":
+            return self._reply(404, {"error": "unknown path"})
+        import jax
+
+        self._reply(200, {
+            "ok": True,
+            "device": str(jax.devices()[0]),
+            "requests": self.stats["requests"],
+            "errors": self.stats["errors"],
+            "uptime_s": round(time.time() - self.stats["started"], 1),
+        })
+
+    def do_POST(self):
+        routes = {"/score": _score, "/rollout": _rollout}
+        handler = routes.get(self.path)
+        if handler is None:
+            return self._reply(404, {"error": "unknown path"})
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            body = json.loads(self.rfile.read(n) or b"{}")
+            self.stats["requests"] += 1
+            self._reply(200, handler(body))
+        except Exception as exc:  # serve errors as JSON, keep the daemon up
+            self.stats["errors"] += 1
+            self._reply(400, {"error": f"{type(exc).__name__}: {exc}"})
+
+
+def make_server(host: str = "127.0.0.1", port: int = 8787,
+                verbose: bool = False) -> HTTPServer:
+    srv = HTTPServer((host, port), _Handler)
+    srv.verbose = verbose
+    return srv
+
+
+def main() -> None:
+    import argparse
+
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8787)
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile + run the batched battery once before "
+                             "accepting requests (first /score is then warm)")
+    parser.add_argument("--platform", default=None,
+                        help="override the JAX platform (e.g. cpu); the "
+                             "axon plugin ignores JAX_PLATFORMS")
+    parser.add_argument("--verbose", action="store_true")
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.warmup:
+        t0 = time.time()
+        _score({"agent": "random", "steps": 16})
+        print(json.dumps({"warmup_s": round(time.time() - t0, 1)}),
+              flush=True)
+
+    srv = make_server(args.host, args.port, args.verbose)
+    print(json.dumps({"serving": f"http://{args.host}:{args.port}",
+                      "device": str(jax.devices()[0])}), flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        pass
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,96 @@
+"""Serving daemon tests: drive a live HTTP server (CPU, tiny shapes)."""
+
+import json
+import threading
+import urllib.request
+
+import numpy as np
+import pytest
+
+from carle_tpu.serve import make_server
+
+
+@pytest.fixture(scope="module")
+def server():
+    srv = make_server(port=0)  # OS-assigned free port
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=120) as r:
+        return r.status, json.loads(r.read())
+
+
+def _post(url, body):
+    req = urllib.request.Request(
+        url, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_health(server):
+    status, body = _get(server + "/health")
+    assert status == 200 and body["ok"] is True
+    assert "device" in body
+
+
+def test_score_random_batched(server):
+    status, body = _post(server + "/score",
+                         {"agent": "random", "steps": 8})
+    assert status == 200, body
+    assert np.isfinite(body["score"])
+    assert len(body["per_ruleset"]) == 5  # the published 5-ruleset battery
+    assert body["latency_s"] > 0
+
+    # second request reuses the compiled program (process rollout cache):
+    # must be strictly faster than the cold one
+    status2, body2 = _post(server + "/score",
+                           {"agent": "random", "steps": 8, "seed": 1})
+    assert status2 == 200
+    assert body2["latency_s"] < body["latency_s"]
+    assert body2["score"] != pytest.approx(body["score"])  # seed matters
+
+
+def test_score_multi_seed(server):
+    status, body = _post(
+        server + "/score",
+        {"agent": "random", "steps": 8, "seeds": [0, 1]},
+    )
+    assert status == 200, body
+    assert len(body["per_seed"]) == 2
+    assert body["score"] == pytest.approx(float(np.mean(body["per_seed"])))
+
+
+def test_rollout_soup_and_rle(server):
+    status, body = _post(
+        server + "/rollout",
+        {"rule": "B3/S23", "steps": 4, "size": 64, "seed": 0},
+    )
+    assert status == 200, body
+    assert body["rule"] == "B3/S23"
+    assert body["population"] > 0
+    assert body["rle"].strip().endswith("!")
+
+    # glider in an empty universe: population stays 5 forever
+    glider = "x = 3, y = 3, rule = B3/S23\nbob$2bo$3o!"
+    status, body = _post(
+        server + "/rollout",
+        {"rle": glider, "steps": 8, "size": 64},
+    )
+    assert status == 200, body
+    assert body["population"] == 5
+
+
+def test_error_handling(server):
+    status, body = _post(server + "/score", {"agent": "nope"})
+    assert status == 400 and "error" in body
+    status, body = _post(server + "/bogus", {})
+    assert status == 404

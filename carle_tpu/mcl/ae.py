@@ -46,12 +46,18 @@ def init_ae_params(key: jax.Array, config: EnvConfig) -> Dict[str, Any]:
 
 def ae_forward(
     params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array],
-    train: bool, compute_dtype=None,
+    train: bool, compute_dtype=None, fused_head: bool = False,
 ) -> jax.Array:
     k1, k2, k3, k4 = nets.split_keys(key, 4)
-    x = nets.conv2d(obs, params["conv1"], padding=1,
-                    compute_dtype=compute_dtype)
-    x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k1, DROP_P, train)))
+    if fused_head:
+        # first layer only: deeper heads would need input cotangents the
+        # fused kernel deliberately doesn't compute (nets.conv_head)
+        x = nets.conv_head(obs, params["conv1"], k1, pool=2,
+                           drop_p=DROP_P, train=train)
+    else:
+        x = nets.conv2d(obs, params["conv1"], padding=1,
+                        compute_dtype=compute_dtype)
+        x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k1, DROP_P, train)))
     x = nets.conv2d(x, params["conv2"], padding=1,
                     compute_dtype=compute_dtype)
     x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k2, DROP_P, train)))
@@ -72,6 +78,7 @@ def ae2d_def(
     dropout: Optional[bool] = None,
     compute_dtype=None,
     remat: bool = False,
+    fused_head: bool = False,
     **kwargs: Any,
 ) -> WrapperDef:
     use_dropout = train if dropout is None else dropout
@@ -83,7 +90,8 @@ def ae2d_def(
         )
 
     def loss_fn(params, state: LearnerState, obs, key):
-        prediction = ae_forward(params, obs, key, use_dropout, compute_dtype)
+        prediction = ae_forward(params, obs, key, use_dropout, compute_dtype,
+                                fused_head)
         # mean over C,H,W (mcl.py:508)
         per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, state.extra

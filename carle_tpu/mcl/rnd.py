@@ -58,13 +58,19 @@ def init_random_network_params(key: jax.Array, config: EnvConfig) -> Dict[str, A
 
 def predictor_forward(
     params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array],
-    train: bool, compute_dtype=None,
+    train: bool, compute_dtype=None, fused_head: bool = False,
 ) -> jax.Array:
     k1, k2, k3 = nets.split_keys(key, 3)
-    x = nets.conv2d(obs, params["conv1"], padding=1,
-                    compute_dtype=compute_dtype)
-    x = jax.nn.relu(nets.dropout(x, k1, DROP_P, train))
-    x = nets.max_pool2(nets.max_pool2(x))
+    if fused_head:
+        # conv1 + dropout + relu + pool4 as one Pallas kernel (first layer:
+        # obs carries no grads, so the head's zero input cotangent is exact)
+        x = nets.conv_head(obs, params["conv1"], k1, pool=4,
+                           drop_p=DROP_P, train=train)
+    else:
+        x = nets.conv2d(obs, params["conv1"], padding=1,
+                        compute_dtype=compute_dtype)
+        x = jax.nn.relu(nets.dropout(x, k1, DROP_P, train))
+        x = nets.max_pool2(nets.max_pool2(x))
     x = nets.conv2d(x, params["conv2"], padding=1,
                     compute_dtype=compute_dtype)
     x = jax.nn.relu(nets.dropout(x, k2, DROP_P, train))
@@ -77,10 +83,14 @@ def predictor_forward(
 
 
 def random_forward(params: Dict[str, Any], obs: jax.Array,
-                   compute_dtype=None) -> jax.Array:
-    x = jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1,
-                                compute_dtype=compute_dtype))
-    x = nets.max_pool2(nets.max_pool2(x))
+                   compute_dtype=None, fused_head: bool = False) -> jax.Array:
+    if fused_head:
+        x = nets.conv_head(obs, params["conv1"], None, pool=4,
+                           drop_p=0.0, train=False)
+    else:
+        x = jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1,
+                                    compute_dtype=compute_dtype))
+        x = nets.max_pool2(nets.max_pool2(x))
     x = jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1,
                                 compute_dtype=compute_dtype))
     x = nets.max_pool2(x)
@@ -97,6 +107,7 @@ def rnd2d_def(
     dropout: Optional[bool] = None,
     compute_dtype=None,
     remat: bool = False,
+    fused_head: bool = False,
     **kwargs: Any,
 ) -> WrapperDef:
     # dropout defaults to the train flag; pass dropout=False with train=True
@@ -116,9 +127,10 @@ def rnd2d_def(
         )
 
     def loss_fn(params, state: LearnerState, obs, key):
-        target = random_forward(state.target_params, obs, compute_dtype)
+        target = random_forward(state.target_params, obs, compute_dtype,
+                                fused_head)
         prediction = predictor_forward(params, obs, key, use_dropout,
-                                       compute_dtype)
+                                       compute_dtype, fused_head)
         # mean over the embedding dim (mcl.py:350); target carries no grads
         per_inst = jnp.mean((jax.lax.stop_gradient(target) - prediction) ** 2, axis=1)
         return per_inst, state.extra

@@ -201,3 +201,52 @@ def split_keys(key: Optional[jax.Array], n: int) -> Tuple[Optional[jax.Array], .
     if key is None:
         return (None,) * n
     return tuple(jax.random.split(key, n))
+
+
+def conv_head(
+    x: jax.Array,
+    p: Params,
+    key: Optional[jax.Array],
+    *,
+    pool: int,
+    drop_p: float,
+    train: bool,
+    force_kernel: bool = False,
+) -> jax.Array:
+    """The fused front-end segment ``pool^k(relu(dropout(conv3x3(x))))`` as
+    ONE Pallas kernel (ops/pallas_head.py) — the measured training
+    bottleneck (the tiny-channel activations pad onto 128 lanes in XLA, so
+    the unfused chain moves ~32x the data; scripts/train_cost_probe.py).
+
+    FIRST-LAYER ONLY: the custom VJP emits parameter grads and a zero input
+    cotangent, so ``x`` must not depend on other learned parameters.
+
+    Semantics deltas vs the unfused composition (both documented, both
+    opt-in via the wrappers' ``fused_head`` flag): the conv runs in plain
+    f32 (MORE precise than the default-lowered TPU conv); dropout masks
+    come from the on-core hardware PRNG (a different stream than
+    jax.random, like ``--rng-impl rbg``; all-zero bits under the Pallas
+    interpreter, so CPU use requires dropout off); max-pool grads share
+    ties equally (reduce-max VJP semantics) where torch routes first-match.
+    """
+    from .ops.pallas_head import make_fused_head
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu and not force_kernel:
+        # graceful fallback off-TPU: the interpreter is slow and stubs the
+        # PRNG to zero bits (all-dropped masks); keep CPU runs correct via
+        # the unfused composition — the flag plumbing still exercises
+        # end-to-end, and kernel correctness is covered by the interpret
+        # tests (tests/test_pallas_head.py)
+        z = conv2d(x, p, padding=1)
+        z = jax.nn.relu(dropout(z, key, drop_p, train))
+        steps = {2: 1, 4: 2}[pool]
+        for _ in range(steps):
+            z = max_pool2(z)
+        return z
+    head = make_fused_head(pool, drop_p, train, interpret=not on_tpu)
+    if key is not None and train and drop_p > 0.0:
+        seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+    else:
+        seed = jnp.int32(0)
+    return head(x, p["w"], p["b"], seed)

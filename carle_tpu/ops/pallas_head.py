@@ -1,0 +1,393 @@
+"""Fused conv-head Pallas kernel: conv3x3 + dropout + relu + maxpool in VMEM.
+
+The wrapper nets' front-end (reference mcl.py:257-279 predictor /
+mcl.py:445-481 AE encoder: Conv2d(3x3, pad 1) -> Dropout -> ReLU ->
+MaxPool2d) is THE training cost on TPU: the C=2..4-channel activations pad
+onto 128 lanes, so every XLA pool/elementwise pass moves ~32x the useful
+data — measured 2.92 ms of the 3.32 ms RND gradient at inst=32, 256^2
+(scripts/train_cost_probe.py; reformulation probes cap at 1.5x).  This
+kernel computes the whole segment per instance-tile in VMEM with W on
+lanes and channels as unrolled planes (no padding waste):
+
+* conv as C_in x 9 shifted multiply-adds on the VPU (zero-padded edges,
+  matching the reference's padding=1) — plain f32, which is MORE precise
+  than the default-lowered TPU conv;
+* dropout from the on-core hardware PRNG (`pltpu.prng_*`) — no HBM mask
+  traffic at all; masks are regenerated bit-identically in the backward
+  kernel from the same seed;
+* maxpool (2x2 or 4x4, stride = window, the only configs the nets use) as
+  separable shifted maxes, decimated via exact selection matmuls on the
+  MXU (precision HIGHEST: products are x*1 / x*0, so the selection is
+  bitwise exact);
+* a custom VJP whose backward kernel recomputes the forward from the tile
+  in VMEM and emits ONLY the parameter gradients (dW [O,C,3,3], db [O]) —
+  the head is the first layer of its net, so input cotangents are
+  structurally zero.  Max-pool gradient routing follows jnp/reduce-max VJP
+  semantics (ties share the grad equally — the symmetric subgradient);
+  torch/SelectAndScatter routes whole grads to the first tie instead, so
+  the two differ exactly on tied maxima (common on near-binary activations)
+  — an equally valid subgradient, chosen because it needs ~3x fewer
+  full-resolution passes than first-match routing.
+
+HBM traffic per step: read x once + write the pool-decimated output (and
+the tiny grads) — ~160x less than the unfused chain at pool=4.
+
+Forward-only use (the frozen RND target net) skips the VJP machinery via
+``fused_conv_head(..., stop_gradient=True)`` semantics at the call site.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _decim_matrix(n: int, pool: int) -> np.ndarray:
+    """[n, n/pool] f32 selection matrix: column a picks row pool*a."""
+    m = np.zeros((n, n // pool), np.float32)
+    m[np.arange(0, n, pool), np.arange(n // pool)] = 1.0
+    return m
+
+
+def _window_matrix(n: int, pool: int) -> np.ndarray:
+    """[n, n/pool] f32 ones-over-window matrix: column a covers rows
+    [pool*a, pool*(a+1)) — contract to window-sum, transpose-contract to
+    broadcast a pooled value over its window."""
+    m = np.zeros((n, n // pool), np.float32)
+    for a in range(n // pool):
+        m[pool * a : pool * (a + 1), a] = 1.0
+    return m
+
+
+def _shift_neg(x: jax.Array, di: int, dj: int) -> jax.Array:
+    """x[..., i+di, j+dj] with zero fill (di, dj >= 0)."""
+    t, h, w = x.shape
+    if di:
+        x = jnp.concatenate(
+            [x[:, di:, :], jnp.zeros((t, di, w), x.dtype)], axis=1)
+    if dj:
+        x = jnp.concatenate(
+            [x[:, :, dj:], jnp.zeros((t, h, dj), x.dtype)], axis=2)
+    return x
+
+
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _contract1(x: jax.Array, m: jax.Array) -> jax.Array:
+    """Contract x's axis 1 with m's axis 0: [T,A,B] @ [A,A'] -> [T,B,A']."""
+    return jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())), precision=_HI)
+
+
+def _contract1_t(x: jax.Array, m: jax.Array) -> jax.Array:
+    """Contract x's axis 1 with m's axis 1: [T,A',B] @ [A,A'] -> [T,B,A]."""
+    return jax.lax.dot_general(x, m, (((1,), (1,)), ((), ())), precision=_HI)
+
+
+def _decimate(x: jax.Array, sh: jax.Array, sw: jax.Array) -> jax.Array:
+    """[T,H,W] -> [T,H/p,W/p], out[a,b] = x[p*a, p*b] (exact)."""
+    return _contract1(_contract1(x, sh), sw)  # [T,W,HP] -> [T,HP,WP]
+
+
+def _window_max(z: jax.Array, pool: int) -> jax.Array:
+    """m[i,j] = max over the pool x pool window starting at (i,j):
+    separable log-step shifted maxes (pool must be a power of two), so a
+    4-window costs 2 lane shifts + 2 row shifts.  Only multiples of
+    ``pool`` are read downstream; edge fill is irrelevant there."""
+    m = z
+    d = 1
+    while d < pool:
+        m = jnp.maximum(m, _shift_neg(m, 0, d))
+        d *= 2
+    d = 1
+    while d < pool:
+        m = jnp.maximum(m, _shift_neg(m, d, 0))
+        d *= 2
+    return m
+
+
+def _shift_rows(x: jax.Array, d: int) -> jax.Array:
+    """Row (sublane) shift by d in {-1, 0, 1} with zero fill — cheap on TPU
+    (only LANE shifts pay, see the vc-scheme findings)."""
+    t, h, w = x.shape
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.concatenate(
+            [x[:, d:, :], jnp.zeros((t, d, w), x.dtype)], axis=1)
+    return jnp.concatenate(
+        [jnp.zeros((t, -d, w), x.dtype), x[:, :h + d, :]], axis=1)
+
+
+def _tap_planes(x_ref, cin: int):
+    """The 3 lane-shifted copies of every input plane, hoisted ONCE per
+    tile: tap (dy,dx) of the 3x3 conv is then a free row shift of one of
+    these.  Cuts lane shifts from 9 per channel-use to 2 per tile."""
+    planes = []
+    for c in range(cin):
+        xc = x_ref[:, c]
+        t, h, w = xc.shape
+        left = jnp.concatenate(  # x[., ., j-1]
+            [jnp.zeros((t, h, 1), xc.dtype), xc[:, :, : w - 1]], axis=2)
+        right = jnp.concatenate(  # x[., ., j+1]
+            [xc[:, :, 1:], jnp.zeros((t, h, 1), xc.dtype)], axis=2)
+        planes.append((left, xc, right))
+    return planes
+
+
+def _conv_block(taps, w_ref, b_ref, o: int, cin: int):
+    """One output channel of the 3x3 zero-padded conv from the hoisted
+    lane-shifted planes: 9*C row-shifted MACs."""
+    t, h, w = taps[0][1].shape
+    acc = jnp.full((t, h, w), b_ref[o, 0], jnp.float32)
+    for c in range(cin):
+        for dy in range(3):
+            for dx in range(3):
+                # out[i,j] += w[dy,dx] * x[i+dy-1, j+dx-1]
+                tap = _shift_rows(taps[c][dx], dy - 1)
+                acc = acc + tap * w_ref[o, c, dy, dx]
+    return acc
+
+
+def _apply_drop_relu(z, bits, drop_p):
+    if drop_p > 0.0:
+        threshold = jnp.uint32(int(drop_p * (2**32)))
+        keep = bits >= threshold
+        z = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
+    return jnp.maximum(z, 0.0)
+
+
+def _head_fwd_kernel(seed_ref, x_ref, w_ref, b_ref, sh_ref, sw_ref, out_ref,
+                     *, cout: int, cin: int, pool: int, drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    sh, sw = sh_ref[...], sw_ref[...]
+    taps = _tap_planes(x_ref, cin)
+    for o in range(cout):
+        z = _conv_block(taps, w_ref, b_ref, o, cin)
+        if drop_p > 0.0:
+            bits = pltpu.prng_random_bits(z.shape)
+            z = _apply_drop_relu(z, bits, drop_p)
+        else:
+            z = jnp.maximum(z, 0.0)
+        out_ref[:, o] = _decimate(_window_max(z, pool), sh, sw)
+
+
+def _head_bwd_kernel(seed_ref, x_ref, w_ref, b_ref, sh_ref, sw_ref,
+                     bh_ref, bw_ref, g_ref, dw_ref, db_ref,
+                     *, cout: int, cin: int, pool: int, drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    sh, sw = sh_ref[...], sw_ref[...]
+
+    @pl.when(pi == 0)
+    def _init():
+        # SMEM accepts scalar stores only — unrolled zero-init
+        for o in range(cout):
+            db_ref[o, 0] = 0.0
+            for c in range(cin):
+                for dy in range(3):
+                    for dx in range(3):
+                        dw_ref[o, c, dy, dx] = 0.0
+
+    bh, bw = bh_ref[...], bw_ref[...]
+    taps = _tap_planes(x_ref, cin)
+    for o in range(cout):
+        # recompute the forward for this channel (bit-identical PRNG order)
+        c = _conv_block(taps, w_ref, b_ref, o, cin)
+        if drop_p > 0.0:
+            bits = pltpu.prng_random_bits(c.shape)
+            threshold = jnp.uint32(int(drop_p * (2**32)))
+            keep = bits >= threshold
+            d = jnp.where(keep, c * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            d = c
+        z = jnp.maximum(d, 0.0)
+
+        # pool grad with reduce-max VJP semantics: every element equal to
+        # its window max shares the grad equally (ties split 1/cnt — the
+        # symmetric subgradient; torch/SelectAndScatter picks first-match
+        # instead, which only differs on exact ties).  All window algebra
+        # is exact selection/ones matmuls on the MXU.
+        m_dec = _decimate(_window_max(z, pool), sh, sw)
+        mb = _contract1_t(_contract1_t(m_dec, bh), bw)   # max over own window
+        eqf = jnp.where(z == mb, 1.0, 0.0)
+        cnt_dec = _contract1(_contract1(eqf, bh), bw)    # ties per window
+        g = g_ref[:, o] / cnt_dec                        # cnt >= 1 always
+        gb = _contract1_t(_contract1_t(g, bh), bw)       # grad over window
+        g_z = gb * eqf
+
+        g_d = jnp.where(d > 0.0, g_z, 0.0)  # relu'
+        if drop_p > 0.0:
+            g_c = jnp.where(keep, g_d * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c = g_d
+
+        db_ref[o, 0] = db_ref[o, 0] + jnp.sum(g_c)
+        for cc in range(cin):
+            for dy in range(3):
+                for dx in range(3):
+                    tap = _shift_rows(taps[cc][dx], dy - 1)
+                    dw_ref[o, cc, dy, dx] = (
+                        dw_ref[o, cc, dy, dx] + jnp.sum(tap * g_c)
+                    )
+
+
+TILE_BUDGET_BYTES = 5 * 2**20  # tile=2 at 256^2: grad 0.97 vs 1.05 ms at
+                               # tile=1; tile=4 exceeds scoped vmem
+
+
+def _tile(instances: int, cin: int, cout: int, h: int, w: int,
+          budget_bytes: Optional[int] = None) -> int:
+    """Shared by fwd AND bwd: the PRNG stream is seeded per grid step, so
+    both kernels must tile instances identically — size for the bwd's
+    larger working set.  Budget is deliberately tight: the bwd at tile=2,
+    256^2 measured 16.03 M of the 16 M scoped-vmem limit on v5e (routing
+    temporaries dominate), so 256^2 runs at tile=1."""
+    del cout  # channels are processed one at a time; temps are reused
+    if budget_bytes is None:
+        budget_bytes = TILE_BUDGET_BYTES
+    per_inst = (cin + 8) * h * w * 4
+    tile = max(1, budget_bytes // max(per_inst, 1))
+    while instances % tile:
+        tile -= 1
+    return tile
+
+
+def _head_fwd_call(x, w, b, seed, *, pool: int, drop_p: float,
+                   interpret: bool):
+    n, cin, h, wd = x.shape
+    cout = w.shape[0]
+    tile = _tile(n, cin, cout, h, wd)
+    sh = jnp.asarray(_decim_matrix(h, pool))
+    sw = jnp.asarray(_decim_matrix(wd, pool))
+    kernel = functools.partial(
+        _head_fwd_kernel, cout=cout, cin=cin, pool=pool, drop_p=drop_p)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(
+            (n, cout, h // pool, wd // pool), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, cin, h, wd), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(w.shape, lambda i, *_: (0,) * w.ndim,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(sh.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(sw.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec(
+                (tile, cout, h // pool, wd // pool),
+                lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        b.astype(jnp.float32).reshape(cout, 1),
+        sh, sw,
+    )
+
+
+def _head_bwd_call(x, w, b, seed, g, *, pool: int, drop_p: float,
+                   interpret: bool):
+    n, cin, h, wd = x.shape
+    cout = w.shape[0]
+    tile = _tile(n, cin, cout, h, wd)
+    sh = jnp.asarray(_decim_matrix(h, pool))
+    sw = jnp.asarray(_decim_matrix(wd, pool))
+    bh = jnp.asarray(_window_matrix(h, pool))
+    bw = jnp.asarray(_window_matrix(wd, pool))
+    kernel = functools.partial(
+        _head_bwd_kernel, cout=cout, cin=cin, pool=pool, drop_p=drop_p)
+    dw, db = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct(w.shape, jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=[
+                pl.BlockSpec((tile, cin, h, wd), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(w.shape, lambda i, *_: (0,) * w.ndim,
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(sh.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(sw.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(bh.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(bw.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(
+                    (tile, cout, h // pool, wd // pool),
+                    lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                # SMEM: the grads are accumulated via SCALAR stores, which
+                # Mosaic only allows into SMEM (VMEM swap requires vectors)
+                pl.BlockSpec(w.shape, lambda i, *_: (0,) * w.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        w.astype(jnp.float32),
+        b.astype(jnp.float32).reshape(cout, 1),
+        sh, sw, bh, bw,
+        g.astype(jnp.float32),
+    )
+    return dw, db.reshape(cout)
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_head(pool: int, drop_p: float = 0.0, train: bool = False,
+                    interpret: bool = False):
+    """Build ``head(x, w, b, seed) -> [N, O, H/pool, W/pool]`` with a custom
+    VJP producing parameter gradients only (the head is a first layer; input
+    cotangents are structurally zero).
+
+    x [N,C,H,W] f32 (zero-padded 3x3 conv), w [O,C,3,3], b [O], seed scalar
+    int32 (ignored when ``drop_p == 0`` or ``train`` is False).
+    """
+    p = drop_p if train else 0.0
+
+    @jax.custom_vjp
+    def head(x, w, b, seed):
+        return _head_fwd_call(x, w, b, seed, pool=pool, drop_p=p,
+                              interpret=interpret)
+
+    def fwd(x, w, b, seed):
+        return head(x, w, b, seed), (x, w, b, seed)
+
+    def bwd(res, g):
+        x, w, b, seed = res
+        dw, db = _head_bwd_call(x, w, b, seed, g, pool=pool, drop_p=p,
+                                interpret=interpret)
+        return (jnp.zeros_like(x), dw.astype(w.dtype), db.astype(b.dtype),
+                np.zeros((), jax.dtypes.float0))
+
+    head.defvjp(fwd, bwd)
+    return head

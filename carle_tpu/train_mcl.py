@@ -92,6 +92,7 @@ def train(
     mixed_rules: bool = False,
     skip_segments: int = 0,
     progress_file: Optional[str] = None,
+    fused_head: bool = False,
 ) -> np.ndarray:
     """Pre-train the RND2D + AE2D wrapper stack (reference train(),
     train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
@@ -138,8 +139,8 @@ def train(
     ).validate()
 
     wrapper_defs = [
-        rnd2d_def(config, batch_size=batch_size),
-        ae2d_def(config, batch_size=batch_size),
+        rnd2d_def(config, batch_size=batch_size, fused_head=fused_head),
+        ae2d_def(config, batch_size=batch_size, fused_head=fused_head),
     ]
     agent = (agent_fn or make_random_agent)(
         action_width=config.eff_action_width,
@@ -288,6 +289,13 @@ if __name__ == "__main__":
                         help="shard the instance batch over all local "
                              "devices (multi-host: initialize "
                              "jax.distributed first)")
+    parser.add_argument("--fused-head", action="store_true",
+                        help="run the wrapper nets' conv front-ends as one "
+                             "fused Pallas kernel (ops/pallas_head.py): "
+                             "conv in exact f32, dropout from the on-core "
+                             "hardware PRNG, pool-tie grads split equally "
+                             "— measured 3x on the front-end segment; "
+                             "TPU-only (the interpreter has no PRNG)")
     parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
                         default="threefry",
                         help="PRNG for in-scan randomness. Dropout masks "
@@ -316,6 +324,7 @@ if __name__ == "__main__":
         mixed_rules=args.mixed_rules,
         skip_segments=args.skip_segments,
         progress_file=args.progress_file,
+        fused_head=args.fused_head,
     )
     print(json.dumps({"total_reward": float(history.sum()),
                       "segments": len(history) // args.steps_per_rule}))

@@ -50,17 +50,23 @@ def ae_forward(
 ) -> jax.Array:
     k1, k2, k3, k4 = nets.split_keys(key, 4)
     if fused_head:
-        # first layer only: deeper heads would need input cotangents the
-        # fused kernel deliberately doesn't compute (nets.conv_head)
         x = nets.conv_head(obs, params["conv1"], k1, pool=2,
                            drop_p=DROP_P, train=train)
+        # deeper head: its input carries conv1's grads, so this one runs
+        # with need_dx=True (full input cotangent in the bwd kernel)
+        x = nets.conv_head(x, params["conv2"], k2, pool=2,
+                           drop_p=DROP_P, train=train, need_dx=True)
+        x = nets.conv_tail(x, params["deconv1"], k3, act="relu",
+                           drop_p=DROP_P, train=train)
+        return nets.conv_tail(x, params["deconv2"], k4, act="sigmoid",
+                              drop_p=DROP_P, train=train)
     else:
         x = nets.conv2d(obs, params["conv1"], padding=1,
                         compute_dtype=compute_dtype)
         x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k1, DROP_P, train)))
-    x = nets.conv2d(x, params["conv2"], padding=1,
-                    compute_dtype=compute_dtype)
-    x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k2, DROP_P, train)))
+        x = nets.conv2d(x, params["conv2"], padding=1,
+                        compute_dtype=compute_dtype)
+        x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k2, DROP_P, train)))
     x = nets.conv_transpose2d(x, params["deconv1"],
                               compute_dtype=compute_dtype)
     x = jax.nn.relu(nets.dropout(x, k3, DROP_P, train))

@@ -66,15 +66,19 @@ def predictor_forward(
         # obs carries no grads, so the head's zero input cotangent is exact)
         x = nets.conv_head(obs, params["conv1"], k1, pool=4,
                            drop_p=DROP_P, train=train)
+        # conv2's input carries conv1's grads: the deeper head computes the
+        # true input cotangent in its backward kernel (need_dx=True)
+        x = nets.conv_head(x, params["conv2"], k2, pool=2,
+                           drop_p=DROP_P, train=train, need_dx=True)
     else:
         x = nets.conv2d(obs, params["conv1"], padding=1,
                         compute_dtype=compute_dtype)
         x = jax.nn.relu(nets.dropout(x, k1, DROP_P, train))
         x = nets.max_pool2(nets.max_pool2(x))
-    x = nets.conv2d(x, params["conv2"], padding=1,
-                    compute_dtype=compute_dtype)
-    x = jax.nn.relu(nets.dropout(x, k2, DROP_P, train))
-    x = nets.max_pool2(x)
+        x = nets.conv2d(x, params["conv2"], padding=1,
+                        compute_dtype=compute_dtype)
+        x = jax.nn.relu(nets.dropout(x, k2, DROP_P, train))
+        x = nets.max_pool2(x)
     x = nets.dropout(x, k3, DROP_P, train)
     return jnp.tanh(
         nets.linear(nets.flatten(x), params["dense"],
@@ -87,13 +91,16 @@ def random_forward(params: Dict[str, Any], obs: jax.Array,
     if fused_head:
         x = nets.conv_head(obs, params["conv1"], None, pool=4,
                            drop_p=0.0, train=False)
+        # frozen target: no grads flow, first-layer (zero-dx) head is exact
+        x = nets.conv_head(x, params["conv2"], None, pool=2,
+                           drop_p=0.0, train=False)
     else:
         x = jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1,
                                     compute_dtype=compute_dtype))
         x = nets.max_pool2(nets.max_pool2(x))
-    x = jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1,
-                                compute_dtype=compute_dtype))
-    x = nets.max_pool2(x)
+        x = jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1,
+                                    compute_dtype=compute_dtype))
+        x = nets.max_pool2(x)
     return jnp.tanh(nets.linear(nets.flatten(x), params["dense"],
                                 compute_dtype=compute_dtype))
 

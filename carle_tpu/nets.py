@@ -212,14 +212,17 @@ def conv_head(
     drop_p: float,
     train: bool,
     force_kernel: bool = False,
+    need_dx: bool = False,
 ) -> jax.Array:
     """The fused front-end segment ``pool^k(relu(dropout(conv3x3(x))))`` as
     ONE Pallas kernel (ops/pallas_head.py) — the measured training
     bottleneck (the tiny-channel activations pad onto 128 lanes in XLA, so
     the unfused chain moves ~32x the data; scripts/train_cost_probe.py).
 
-    FIRST-LAYER ONLY: the custom VJP emits parameter grads and a zero input
-    cotangent, so ``x`` must not depend on other learned parameters.
+    By default the custom VJP emits parameter grads and a zero input
+    cotangent (first-layer heads: ``x`` must not depend on other learned
+    parameters); pass ``need_dx=True`` for deeper heads — the backward
+    kernel then also computes the true input cotangent.
 
     Semantics deltas vs the unfused composition (both documented, both
     opt-in via the wrappers' ``fused_head`` flag): the conv runs in plain
@@ -244,9 +247,39 @@ def conv_head(
         for _ in range(steps):
             z = max_pool2(z)
         return z
-    head = make_fused_head(pool, drop_p, train, interpret=not on_tpu)
+    head = make_fused_head(pool, drop_p, train, interpret=not on_tpu,
+                           need_dx=need_dx)
     if key is not None and train and drop_p > 0.0:
         seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
     else:
         seed = jnp.int32(0)
     return head(x, p["w"], p["b"], seed)
+
+
+def conv_tail(
+    x: jax.Array,
+    p: Params,
+    key: Optional[jax.Array],
+    *,
+    act: str,
+    drop_p: float,
+    train: bool,
+    force_kernel: bool = False,
+) -> jax.Array:
+    """The AE decoder stage ``act(dropout(conv_transpose2d(x)))`` (stride 2,
+    k=4, pad=1) as one Pallas kernel with a full custom VJP (input
+    cotangents included — decoders sit mid-net).  Same conventions and
+    off-TPU fallback as :func:`conv_head`."""
+    from .ops.pallas_head import make_fused_tail
+
+    on_tpu = jax.devices()[0].platform == "tpu"
+    if not on_tpu and not force_kernel:
+        z = conv_transpose2d(x, p, stride=2, padding=1)
+        z = dropout(z, key, drop_p, train)
+        return jax.nn.relu(z) if act == "relu" else jax.nn.sigmoid(z)
+    tail = make_fused_tail(act, drop_p, train, interpret=not on_tpu)
+    if key is not None and train and drop_p > 0.0:
+        seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+    else:
+        seed = jnp.int32(0)
+    return tail(x, p["w"], p["b"], seed)

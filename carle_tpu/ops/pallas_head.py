@@ -20,17 +20,31 @@ lanes and channels as unrolled planes (no padding waste):
   MXU (precision HIGHEST: products are x*1 / x*0, so the selection is
   bitwise exact);
 * a custom VJP whose backward kernel recomputes the forward from the tile
-  in VMEM and emits ONLY the parameter gradients (dW [O,C,3,3], db [O]) —
-  the head is the first layer of its net, so input cotangents are
-  structurally zero.  Max-pool gradient routing follows jnp/reduce-max VJP
-  semantics (ties share the grad equally — the symmetric subgradient);
-  torch/SelectAndScatter routes whole grads to the first tie instead, so
-  the two differ exactly on tied maxima (common on near-binary activations)
-  — an equally valid subgradient, chosen because it needs ~3x fewer
-  full-resolution passes than first-match routing.
+  in VMEM and emits the parameter gradients (dW [O,C,3,3], db [O]); for
+  first-layer heads the input cotangent is structurally zero and skipped,
+  while ``need_dx=True`` (deeper heads, e.g. conv2 of both wrapper nets)
+  additionally computes the true input cotangent as a transpose conv of
+  the routed grad in the same kernel.  Max-pool gradient routing follows
+  jnp/reduce-max VJP semantics (ties share the grad equally — the
+  symmetric subgradient); torch/SelectAndScatter routes whole grads to the
+  first tie instead, so the two differ exactly on tied maxima (common on
+  near-binary activations) — an equally valid subgradient, chosen because
+  it needs ~3x fewer full-resolution passes than first-match routing.
+
+The module also provides :func:`make_fused_tail` — the AE decoder stage
+``act(dropout(conv_transpose2d(x)))`` (stride 2, k=4, pad 1) as one kernel
+with a full custom VJP — so BOTH wrapper nets (RND predictor/target, AE
+encoder+decoder) run entirely in fused kernels under ``--fused-head``.
 
 HBM traffic per step: read x once + write the pool-decimated output (and
 the tiny grads) — ~160x less than the unfused chain at pool=4.
+
+Precision (measured v5e, scripts/fused_net_validate.py): the fused stacks'
+parameter grads sit at ~1.4e-6 of leaf scale vs a float64 oracle, while
+the XLA composition's ConvTranspose2d weight grads are off by up to ~6e-2
+EVEN under ``jax.default_matmul_precision("highest")`` — the transpose-conv
+dw lowers to a conv XLA runs at bf16 regardless.  The kernels are not just
+faster than the unfused chain; they are strictly more accurate on TPU.
 
 Forward-only use (the frozen RND target net) skips the VJP machinery via
 ``fused_conv_head(..., stop_gradient=True)`` semantics at the call site.
@@ -155,10 +169,23 @@ def _conv_block(taps, w_ref, b_ref, o: int, cin: int):
     return acc
 
 
-def _apply_drop_relu(z, bits, drop_p):
+def _keep_mask(shape, drop_p: float):
+    """Bernoulli(1 - drop_p) keep mask from the hardware PRNG.
+
+    SIGN-SAFE: Mosaic treats the PRNG words as SIGNED i32 — both a raw
+    ``bits >= uint32_threshold`` compare and a ``bits >> 8`` pre-shift
+    lower signed (arithmetic shift keeps the sign; measured effective drop
+    rates 0.55 and 0.60 at p=0.1 on v5e).  A bitwise AND clearing the sign
+    bit is lowering-proof: uniform over [0, 2^31) (micro-probe quantiles
+    0.099/0.499/0.899 on hardware).  Keep the LOW (1-p) fraction so the
+    interpreter's zero-bit stub degrades to all-keep rather than all-drop."""
+    bits = pltpu.prng_random_bits(shape).astype(jnp.int32)
+    nonneg = jax.lax.bitwise_and(bits, jnp.int32(0x7FFFFFFF))
+    return nonneg < jnp.int32(int((1.0 - drop_p) * (1 << 31)))
+
+
+def _apply_drop_relu(z, keep, drop_p):
     if drop_p > 0.0:
-        threshold = jnp.uint32(int(drop_p * (2**32)))
-        keep = bits >= threshold
         z = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
     return jnp.maximum(z, 0.0)
 
@@ -172,16 +199,17 @@ def _head_fwd_kernel(seed_ref, x_ref, w_ref, b_ref, sh_ref, sw_ref, out_ref,
     for o in range(cout):
         z = _conv_block(taps, w_ref, b_ref, o, cin)
         if drop_p > 0.0:
-            bits = pltpu.prng_random_bits(z.shape)
-            z = _apply_drop_relu(z, bits, drop_p)
+            keep = _keep_mask(z.shape, drop_p)
+            z = _apply_drop_relu(z, keep, drop_p)
         else:
             z = jnp.maximum(z, 0.0)
         out_ref[:, o] = _decimate(_window_max(z, pool), sh, sw)
 
 
 def _head_bwd_kernel(seed_ref, x_ref, w_ref, b_ref, sh_ref, sw_ref,
-                     bh_ref, bw_ref, g_ref, dw_ref, db_ref,
-                     *, cout: int, cin: int, pool: int, drop_p: float):
+                     bh_ref, bw_ref, g_ref, dw_ref, db_ref, gx_ref=None,
+                     *, cout: int, cin: int, pool: int, drop_p: float,
+                     need_dx: bool = False):
     pi = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], pi)
     sh, sw = sh_ref[...], sw_ref[...]
@@ -198,13 +226,15 @@ def _head_bwd_kernel(seed_ref, x_ref, w_ref, b_ref, sh_ref, sw_ref,
 
     bh, bw = bh_ref[...], bw_ref[...]
     taps = _tap_planes(x_ref, cin)
+    gx_acc = None
+    if need_dx:
+        t, h_, w_ = taps[0][1].shape
+        gx_acc = [jnp.zeros((t, h_, w_), jnp.float32) for _ in range(cin)]
     for o in range(cout):
         # recompute the forward for this channel (bit-identical PRNG order)
         c = _conv_block(taps, w_ref, b_ref, o, cin)
         if drop_p > 0.0:
-            bits = pltpu.prng_random_bits(c.shape)
-            threshold = jnp.uint32(int(drop_p * (2**32)))
-            keep = bits >= threshold
+            keep = _keep_mask(c.shape, drop_p)
             d = jnp.where(keep, c * (1.0 / (1.0 - drop_p)), 0.0)
         else:
             d = c
@@ -237,6 +267,28 @@ def _head_bwd_kernel(seed_ref, x_ref, w_ref, b_ref, sh_ref, sw_ref,
                     dw_ref[o, cc, dy, dx] = (
                         dw_ref[o, cc, dy, dx] + jnp.sum(tap * g_c)
                     )
+        if need_dx:
+            # input cotangent: transpose conv of g_c with the same taps
+            # trick — hoist the lane-shifted g_c planes (reverse offsets),
+            # then 9 row-shifted MACs per input channel
+            t, h_, w_ = g_c.shape
+            g_left = jnp.concatenate(  # g_c[., ., j+1] -> tap dx=0
+                [g_c[:, :, 1:], jnp.zeros((t, h_, 1), g_c.dtype)], axis=2)
+            g_right = jnp.concatenate(  # g_c[., ., j-1] -> tap dx=2
+                [jnp.zeros((t, h_, 1), g_c.dtype), g_c[:, :, : w_ - 1]],
+                axis=2)
+            g_taps = (g_left, g_c, g_right)
+            for cc in range(cin):
+                acc = gx_acc[cc]
+                for dy in range(3):
+                    for dx in range(3):
+                        # gx[i,j] += w[dy,dx] * g_c[i-(dy-1), j-(dx-1)]
+                        tapg = _shift_rows(g_taps[dx], 1 - dy)
+                        acc = acc + tapg * w_ref[o, cc, dy, dx]
+                gx_acc[cc] = acc
+    if need_dx:
+        for cc in range(cin):
+            gx_ref[:, cc] = gx_acc[cc]
 
 
 TILE_BUDGET_BYTES = 5 * 2**20  # tile=2 at 256^2: grad 0.97 vs 1.05 ms at
@@ -244,16 +296,22 @@ TILE_BUDGET_BYTES = 5 * 2**20  # tile=2 at 256^2: grad 0.97 vs 1.05 ms at
 
 
 def _tile(instances: int, cin: int, cout: int, h: int, w: int,
-          budget_bytes: Optional[int] = None) -> int:
+          budget_bytes: Optional[int] = None, need_dx: bool = False) -> int:
     """Shared by fwd AND bwd: the PRNG stream is seeded per grid step, so
     both kernels must tile instances identically — size for the bwd's
     larger working set.  Budget is deliberately tight: the bwd at tile=2,
     256^2 measured 16.03 M of the 16 M scoped-vmem limit on v5e (routing
-    temporaries dominate), so 256^2 runs at tile=1."""
+    temporaries dominate), so 256^2 runs at tile=1.  ``need_dx`` adds the
+    input-cotangent working set (gx out block + cin accumulator planes +
+    3 shifted grad planes) — without it the RND conv2 bwd at [32,4,64,64]
+    compiled to a 19.3 M scoped-vmem stack vs the 16 M v5e limit."""
     del cout  # channels are processed one at a time; temps are reused
     if budget_bytes is None:
         budget_bytes = TILE_BUDGET_BYTES
-    per_inst = (cin + 8) * h * w * 4
+    planes = cin + 8
+    if need_dx:
+        planes += 2 * cin + 3
+    per_inst = planes * h * w * 4
     tile = max(1, budget_bytes // max(per_inst, 1))
     while instances % tile:
         tile -= 1
@@ -261,10 +319,12 @@ def _tile(instances: int, cin: int, cout: int, h: int, w: int,
 
 
 def _head_fwd_call(x, w, b, seed, *, pool: int, drop_p: float,
-                   interpret: bool):
+                   interpret: bool, need_dx: bool = False):
+    # need_dx only affects the TILE here (fwd and bwd must tile instances
+    # identically or the per-grid-step PRNG streams diverge)
     n, cin, h, wd = x.shape
     cout = w.shape[0]
-    tile = _tile(n, cin, cout, h, wd)
+    tile = _tile(n, cin, cout, h, wd, need_dx=need_dx)
     sh = jnp.asarray(_decim_matrix(h, pool))
     sw = jnp.asarray(_decim_matrix(wd, pool))
     kernel = functools.partial(
@@ -303,22 +363,37 @@ def _head_fwd_call(x, w, b, seed, *, pool: int, drop_p: float,
 
 
 def _head_bwd_call(x, w, b, seed, g, *, pool: int, drop_p: float,
-                   interpret: bool):
+                   interpret: bool, need_dx: bool = False):
     n, cin, h, wd = x.shape
     cout = w.shape[0]
-    tile = _tile(n, cin, cout, h, wd)
+    tile = _tile(n, cin, cout, h, wd, need_dx=need_dx)
     sh = jnp.asarray(_decim_matrix(h, pool))
     sw = jnp.asarray(_decim_matrix(wd, pool))
     bh = jnp.asarray(_window_matrix(h, pool))
     bw = jnp.asarray(_window_matrix(wd, pool))
     kernel = functools.partial(
-        _head_bwd_kernel, cout=cout, cin=cin, pool=pool, drop_p=drop_p)
-    dw, db = pl.pallas_call(
+        _head_bwd_kernel, cout=cout, cin=cin, pool=pool, drop_p=drop_p,
+        need_dx=need_dx)
+    out_shape = [
+        jax.ShapeDtypeStruct(w.shape, jnp.float32),
+        jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+    ]
+    out_specs = [
+        # SMEM: the grads are accumulated via SCALAR stores, which
+        # Mosaic only allows into SMEM (VMEM swap requires vectors)
+        pl.BlockSpec(w.shape, lambda i, *_: (0,) * w.ndim,
+                     memory_space=pltpu.SMEM),
+        pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.SMEM),
+    ]
+    if need_dx:
+        out_shape.append(jax.ShapeDtypeStruct(x.shape, jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((tile, cin, h, wd), lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM))
+    outs = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct(w.shape, jnp.float32),
-            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
-        ),
+        out_shape=tuple(out_shape),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(n // tile,),
@@ -341,14 +416,7 @@ def _head_bwd_call(x, w, b, seed, g, *, pool: int, drop_p: float,
                     (tile, cout, h // pool, wd // pool),
                     lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                # SMEM: the grads are accumulated via SCALAR stores, which
-                # Mosaic only allows into SMEM (VMEM swap requires vectors)
-                pl.BlockSpec(w.shape, lambda i, *_: (0,) * w.ndim,
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
-                             memory_space=pltpu.SMEM),
-            ),
+            out_specs=tuple(out_specs),
         ),
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(
@@ -359,15 +427,21 @@ def _head_bwd_call(x, w, b, seed, g, *, pool: int, drop_p: float,
         sh, sw, bh, bw,
         g.astype(jnp.float32),
     )
-    return dw, db.reshape(cout)
+    if need_dx:
+        dw, db, gx = outs
+        return dw, db.reshape(cout), gx
+    dw, db = outs
+    return dw, db.reshape(cout), None
 
 
 @functools.lru_cache(maxsize=None)
 def make_fused_head(pool: int, drop_p: float = 0.0, train: bool = False,
-                    interpret: bool = False):
+                    interpret: bool = False, need_dx: bool = False):
     """Build ``head(x, w, b, seed) -> [N, O, H/pool, W/pool]`` with a custom
-    VJP producing parameter gradients only (the head is a first layer; input
-    cotangents are structurally zero).
+    VJP.  With ``need_dx=False`` (first-layer heads) the input cotangent is
+    structurally zero and skipped; ``need_dx=True`` computes the true input
+    cotangent in the same backward kernel (transpose conv of the routed
+    grad), enabling DEEPER fused heads whose inputs carry upstream grads.
 
     x [N,C,H,W] f32 (zero-padded 3x3 conv), w [O,C,3,3], b [O], seed scalar
     int32 (ignored when ``drop_p == 0`` or ``train`` is False).
@@ -377,17 +451,250 @@ def make_fused_head(pool: int, drop_p: float = 0.0, train: bool = False,
     @jax.custom_vjp
     def head(x, w, b, seed):
         return _head_fwd_call(x, w, b, seed, pool=pool, drop_p=p,
-                              interpret=interpret)
+                              interpret=interpret, need_dx=need_dx)
 
     def fwd(x, w, b, seed):
         return head(x, w, b, seed), (x, w, b, seed)
 
     def bwd(res, g):
         x, w, b, seed = res
-        dw, db = _head_bwd_call(x, w, b, seed, g, pool=pool, drop_p=p,
-                                interpret=interpret)
-        return (jnp.zeros_like(x), dw.astype(w.dtype), db.astype(b.dtype),
+        dw, db, gx = _head_bwd_call(x, w, b, seed, g, pool=pool, drop_p=p,
+                                    interpret=interpret, need_dx=need_dx)
+        if gx is None:
+            gx = jnp.zeros_like(x)
+        return (gx.astype(x.dtype), dw.astype(w.dtype), db.astype(b.dtype),
                 np.zeros((), jax.dtypes.float0))
 
     head.defvjp(fwd, bwd)
     return head
+
+
+# ---------------------------------------------------------------------------
+# Fused ConvTranspose tails (the AE decoder: deconv s2 k4 p1 + dropout + act)
+# ---------------------------------------------------------------------------
+
+def _shift_lanes(x: jax.Array, d: int) -> jax.Array:
+    """Lane shift by any |d| <= 3 with zero fill: y[..., j] = x[..., j+d]."""
+    t, h, w = x.shape
+    if d == 0:
+        return x
+    if d > 0:
+        return jnp.concatenate(
+            [x[:, :, d:], jnp.zeros((t, h, d), x.dtype)], axis=2)
+    return jnp.concatenate(
+        [jnp.zeros((t, h, -d), x.dtype), x[:, :, :w + d]], axis=2)
+
+
+def _shift2(x: jax.Array, di: int, dj: int) -> jax.Array:
+    return _shift_rows(_shift_lanes(x, dj), di)
+
+
+def _deconv_block(dil, wt_ref, b_ref, o: int, cin: int):
+    """One output channel of the stride-2 k4 pad-1 transpose conv from the
+    per-channel DILATED planes (zeros interleaved): 16*C shifted MACs.
+
+    out[y, x] = b[o] + sum_c sum_{k in [0,4)^2} wt[c, o, ky, kx]
+                * dil[c][y + 1 - ky, x + 1 - kx]
+    (torch ConvTranspose2d semantics: y = 2i - pad + ky, pad=1)."""
+    t, h2, w2 = dil[0].shape
+    acc = jnp.full((t, h2, w2), b_ref[o, 0], jnp.float32)
+    for c in range(cin):
+        for ky in range(4):
+            for kx in range(4):
+                tap = _shift2(dil[c], 1 - ky, 1 - kx)
+                acc = acc + tap * wt_ref[c, o, ky, kx]
+    return acc
+
+
+def _apply_tail_act(d, act: str):
+    if act == "relu":
+        return jnp.maximum(d, 0.0)
+    return jax.nn.sigmoid(d)
+
+
+def _tail_fwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref, out_ref,
+                     *, cout: int, cin: int, drop_p: float, act: str):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    uh, uw = uh_ref[...], uw_ref[...]
+    # dilate each input channel to output resolution (exact transpose
+    # selection matmuls): D[2i, 2j] = x[i, j]
+    dil = [_contract1_t(_contract1_t(x_ref[:, c], uh), uw)
+           for c in range(cin)]
+    for o in range(cout):
+        z = _deconv_block(dil, wt_ref, b_ref, o, cin)
+        if drop_p > 0.0:
+            keep = _keep_mask(z.shape, drop_p)
+            z = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
+        out_ref[:, o] = _apply_tail_act(z, act)
+
+
+def _tail_bwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref, g_ref,
+                     dw_ref, db_ref, gx_ref,
+                     *, cout: int, cin: int, drop_p: float, act: str):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    uh, uw = uh_ref[...], uw_ref[...]
+
+    @pl.when(pi == 0)
+    def _init():
+        for c in range(cin):
+            for o in range(cout):
+                for ky in range(4):
+                    for kx in range(4):
+                        dw_ref[c, o, ky, kx] = 0.0
+        for o in range(cout):
+            db_ref[o, 0] = 0.0
+
+    dil = [_contract1_t(_contract1_t(x_ref[:, c], uh), uw)
+           for c in range(cin)]
+    t, hi, wi = x_ref[:, 0].shape
+    gx_acc = [jnp.zeros((t, hi, wi), jnp.float32) for _ in range(cin)]
+    for o in range(cout):
+        z = _deconv_block(dil, wt_ref, b_ref, o, cin)
+        if drop_p > 0.0:
+            keep = _keep_mask(z.shape, drop_p)
+            d = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            d = z
+        g = g_ref[:, o]
+        if act == "relu":
+            g_d = jnp.where(d > 0.0, g, 0.0)
+        else:
+            y = jax.nn.sigmoid(d)
+            g_d = g * y * (1.0 - y)
+        if drop_p > 0.0:
+            g_c = jnp.where(keep, g_d * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c = g_d
+
+        db_ref[o, 0] = db_ref[o, 0] + jnp.sum(g_c)
+        # dw[c,o,ky,kx] = sum dil[c][m] * g_c[m - 1 + ky] (both axes):
+        # shift g_c by (ky-1, kx-1) and reduce against the dilated input
+        for c in range(cin):
+            for ky in range(4):
+                for kx in range(4):
+                    tap = _shift2(g_c, ky - 1, kx - 1)
+                    dw_ref[c, o, ky, kx] = (
+                        dw_ref[c, o, ky, kx] + jnp.sum(dil[c] * tap)
+                    )
+        # dx[c][i,j] = sum_k wt[c,o,ky,kx] * g_c[2i-1+ky, 2j-1+kx]:
+        # correlation at output res, then exact decimation
+        for c in range(cin):
+            corr = jnp.zeros_like(g_c)
+            for ky in range(4):
+                for kx in range(4):
+                    corr = corr + wt_ref[c, o, ky, kx] * _shift2(
+                        g_c, ky - 1, kx - 1)
+            gx_acc[c] = gx_acc[c] + _contract1(_contract1(corr, uh), uw)
+    for c in range(cin):
+        gx_ref[:, c] = gx_acc[c]
+
+
+def _tail_tile(instances: int, cin: int, h2: int, w2: int) -> int:
+    per_inst = (2 * cin + 6) * h2 * w2 * 4
+    tile = max(1, TILE_BUDGET_BYTES // max(per_inst, 1))
+    while instances % tile:
+        tile -= 1
+    return tile
+
+
+def _tail_call(x, wt, b, seed, g, *, drop_p: float, act: str,
+               interpret: bool, backward: bool):
+    n, cin, hi, wi = x.shape
+    cout = wt.shape[1]
+    h2, w2 = 2 * hi, 2 * wi
+    tile = _tail_tile(n, cin, h2, w2)
+    uh = jnp.asarray(_decim_matrix(h2, 2))  # [2Hi, Hi]
+    uw = jnp.asarray(_decim_matrix(w2, 2))
+    common_in = [
+        pl.BlockSpec((tile, cin, hi, wi), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt.shape, lambda i, *_: (0,) * wt.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(uh.shape, lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(uw.shape, lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        wt.astype(jnp.float32),
+        b.astype(jnp.float32).reshape(cout, 1),
+        uh, uw,
+    ]
+    if not backward:
+        return pl.pallas_call(
+            functools.partial(_tail_fwd_kernel, cout=cout, cin=cin,
+                              drop_p=drop_p, act=act),
+            out_shape=jax.ShapeDtypeStruct((n, cout, h2, w2), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // tile,),
+                in_specs=common_in,
+                out_specs=pl.BlockSpec(
+                    (tile, cout, h2, w2), lambda i, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ),
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(*args)
+    dw, db, gx = pl.pallas_call(
+        functools.partial(_tail_bwd_kernel, cout=cout, cin=cin,
+                          drop_p=drop_p, act=act),
+        out_shape=(
+            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=common_in + [
+                pl.BlockSpec((tile, cout, h2, w2), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(wt.shape, lambda i, *_: (0,) * wt.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, cin, hi, wi), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*args, g.astype(jnp.float32))
+    return dw, db.reshape(cout), gx
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_tail(act: str, drop_p: float = 0.0, train: bool = False,
+                    interpret: bool = False):
+    """Build ``tail(x, wt, b, seed) -> [N, O, 2H, 2W]`` — the AE decoder
+    stage ``act(dropout(conv_transpose2d(x)))`` (stride 2, k=4, pad=1,
+    torch weight layout [C_in, C_out, 4, 4]) as one Pallas kernel, with a
+    full custom VJP (dW, db, and input cotangent — decoders sit mid-net).
+    ``act`` is "relu" (deconv1) or "sigmoid" (deconv2, the reconstruction
+    output).  Same PRNG/precision conventions as :func:`make_fused_head`."""
+    p = drop_p if train else 0.0
+
+    @jax.custom_vjp
+    def tail(x, wt, b, seed):
+        return _tail_call(x, wt, b, seed, None, drop_p=p, act=act,
+                          interpret=interpret, backward=False)
+
+    def fwd(x, wt, b, seed):
+        return tail(x, wt, b, seed), (x, wt, b, seed)
+
+    def bwd(res, g):
+        x, wt, b, seed = res
+        dw, db, gx = _tail_call(x, wt, b, seed, g, drop_p=p, act=act,
+                                interpret=interpret, backward=True)
+        return (gx.astype(x.dtype), dw.astype(wt.dtype), db.astype(b.dtype),
+                np.zeros((), jax.dtypes.float0))
+
+    tail.defvjp(fwd, bwd)
+    return tail

@@ -1,0 +1,182 @@
+"""Hardware validation of the fully-fused wrapper nets (heads + tails).
+
+Validates, on the live TPU:
+
+1. empirical dropout RATES of the fused head and tail kernels (the
+   hardware PRNG path — Mosaic lowers integer compares on the PRNG words
+   as SIGNED, so the sign-safe mask in ops/pallas_head.py is load-bearing;
+   a raw uint32-threshold compare measured a 0.55 effective drop at p=0.1);
+2. forward/loss parity of the full fused AE stack vs the XLA composition;
+3. gradient parity of the full fused AE stack AND the full fused RND
+   predictor stack against a float64 oracle computed on the host CPU —
+   NOT against XLA: on v5e the XLA ConvTranspose2d weight gradient is
+   wrong by up to ~6e-2 of leaf scale EVEN under
+   ``jax.default_matmul_precision("highest")`` (the transpose-conv dw
+   lowers to a conv XLA runs in bf16 regardless), while the fused kernels
+   sit at ~1.4e-6.  The oracle errors for both sides are printed so the
+   asymmetry stays visible.
+
+Run: PYTHONPATH must include the repo;  ~2 min warm, ~15 min on a cold
+compile cache (remote-compile tunnel).
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from carle_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+from carle_tpu.ops.pallas_head import make_fused_head, make_fused_tail
+from carle_tpu import nets
+from carle_tpu.config import EnvConfig
+from carle_tpu.mcl.ae import init_ae_params
+from carle_tpu.mcl.rnd import init_predictor_params
+
+DN = jax.lax.conv_dimension_numbers((1, 1, 1, 1), (1, 1, 1, 1),
+                                    ("NCHW", "OIHW", "NCHW"))
+
+
+def conv_hi(x, p, padding):
+    out = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (1, 1),
+        ((padding, padding), (padding, padding)), dimension_numbers=DN)
+    return out + p["b"].astype(x.dtype)[None, :, None, None]
+
+
+def deconv_hi(x, p, stride, padding):
+    w = jnp.flip(p["w"].astype(x.dtype), (2, 3)).swapaxes(0, 1)
+    k = w.shape[2]
+    pad = k - 1 - padding
+    out = jax.lax.conv_general_dilated(
+        x, w, (1, 1), ((pad, pad), (pad, pad)),
+        lhs_dilation=(stride, stride), dimension_numbers=DN)
+    return out + p["b"].astype(x.dtype)[None, :, None, None]
+
+
+def ref_pool(z, k):
+    for _ in range(int(np.log2(k))):
+        z = nets.max_pool2(z)
+    return z
+
+
+def check_drop_rates():
+    n, cin, cout, h, w = 4, 1, 2, 128, 256
+    x = jnp.ones((n, cin, h, w), jnp.float32)
+    wt = jnp.full((cout, cin, 3, 3), 0.1, jnp.float32)
+    b = jnp.full((cout,), 0.5, jnp.float32)  # pre-act strictly positive
+    head = jax.jit(make_fused_head(1, 0.1, train=True))
+    out = np.asarray(jax.device_get(head(x, wt, b, jnp.int32(1234))))
+    rate = float((out == 0).mean())
+    print(f"head drop_rate={rate:.4f} (want ~0.10)", flush=True)
+    assert 0.07 < rate < 0.13, rate
+    out2 = np.asarray(jax.device_get(head(x, wt, b, jnp.int32(4321))))
+    assert (out != out2).any(), "seed-insensitive dropout"
+
+    xi = jnp.ones((n, cin, h // 2, w // 2), jnp.float32)
+    wtt = jnp.full((cin, cout, 4, 4), 0.1, jnp.float32)
+    tail = jax.jit(make_fused_tail("relu", 0.1, train=True))
+    out_t = np.asarray(jax.device_get(tail(xi, wtt, b, jnp.int32(77))))
+    rate_t = float((out_t == 0).mean())
+    print(f"tail drop_rate={rate_t:.4f} (want ~0.10)", flush=True)
+    assert 0.07 < rate_t < 0.13, rate_t
+
+
+def grads_vs_oracle(name, fused_loss, ref_loss, params):
+    """TPU fused grads + TPU XLA grads, then a float64 CPU oracle."""
+    with jax.default_matmul_precision("highest"):
+        lf, gf = jax.device_get(
+            jax.jit(jax.value_and_grad(fused_loss))(params))
+        lr, gr = jax.device_get(
+            jax.jit(jax.value_and_grad(ref_loss))(params))
+    print(f"{name}: loss fused={float(lf):.6f} xla={float(lr):.6f}",
+          flush=True)
+    assert abs(float(lf) - float(lr)) < 1e-4 * max(1.0, abs(float(lr)))
+
+    cpu = jax.devices("cpu")[0]
+    jax.config.update("jax_enable_x64", True)
+    try:
+        with jax.default_device(cpu):
+            p64 = jax.tree.map(
+                lambda a: jnp.asarray(np.asarray(a), jnp.float64), params)
+            g64 = jax.device_get(jax.grad(ref_loss)(p64))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+
+    worst_f = worst_x = 0.0
+    leaves_f = jax.tree_util.tree_flatten_with_path(gf)[0]
+    leaves_x = jax.tree.leaves(gr)
+    leaves_o = jax.tree.leaves(g64)
+    for (path, a), r, t in zip(leaves_f, leaves_x, leaves_o):
+        a, r, t = map(np.asarray, (a, r, t))
+        scale = np.abs(t).max() + 1e-30
+        ef = np.abs(a - t).max() / scale
+        ex = np.abs(r - t).max() / scale
+        worst_f, worst_x = max(worst_f, ef), max(worst_x, ex)
+        print(f"  {jax.tree_util.keystr(path):24s} fused_err={ef:.2e} "
+              f"xla_err={ex:.2e}", flush=True)
+    print(f"{name}: worst fused-vs-f64 {worst_f:.2e}; "
+          f"worst xla-vs-f64 {worst_x:.2e}", flush=True)
+    assert worst_f < 1e-4, worst_f
+    return worst_f, worst_x
+
+
+def main():
+    print("platform:", jax.devices()[0].platform, flush=True)
+    check_drop_rates()
+
+    obs = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.3, (4, 1, 64, 128)).astype(jnp.float32)
+    cfg = EnvConfig(height=64, width=128, instances=4)
+
+    # --- full fused AE stack (2 heads + 2 tails) ---
+    ae_params = init_ae_params(jax.random.PRNGKey(0), cfg)
+    h1 = make_fused_head(2, 0.0, train=False)
+    h2 = make_fused_head(2, 0.0, train=False, need_dx=True)
+    t1 = make_fused_tail("relu", 0.0, train=False)
+    t2 = make_fused_tail("sigmoid", 0.0, train=False)
+
+    def ae_fused(p):
+        z = h1(obs.astype(jnp.float32), p["conv1"]["w"], p["conv1"]["b"],
+               jnp.int32(0))
+        z = h2(z, p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0))
+        z = t1(z, p["deconv1"]["w"], p["deconv1"]["b"], jnp.int32(0))
+        z = t2(z, p["deconv2"]["w"], p["deconv2"]["b"], jnp.int32(0))
+        return jnp.mean((obs.astype(z.dtype) - z) ** 2)
+
+    def ae_ref(p):
+        o = obs.astype(p["conv1"]["w"].dtype)
+        z = ref_pool(jax.nn.relu(conv_hi(o, p["conv1"], 1)), 2)
+        z = ref_pool(jax.nn.relu(conv_hi(z, p["conv2"], 1)), 2)
+        z = jax.nn.relu(deconv_hi(z, p["deconv1"], 2, 1))
+        z = jax.nn.sigmoid(deconv_hi(z, p["deconv2"], 2, 1))
+        return jnp.mean((o - z) ** 2)
+
+    grads_vs_oracle("AE", ae_fused, ae_ref, ae_params)
+
+    # --- full fused RND predictor stack (2 heads + dense/tanh) ---
+    rnd_params = init_predictor_params(jax.random.PRNGKey(1), cfg)
+    r1 = make_fused_head(4, 0.0, train=False)
+    r2 = make_fused_head(2, 0.0, train=False, need_dx=True)
+
+    def rnd_fused(p):
+        z = r1(obs.astype(jnp.float32), p["conv1"]["w"], p["conv1"]["b"],
+               jnp.int32(0))
+        z = r2(z, p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0))
+        z = jnp.tanh(nets.flatten(z) @ p["dense"]["w"].T + p["dense"]["b"])
+        return (z ** 2).mean()
+
+    def rnd_ref(p):
+        o = obs.astype(p["conv1"]["w"].dtype)
+        z = ref_pool(jax.nn.relu(conv_hi(o, p["conv1"], 1)), 4)
+        z = ref_pool(jax.nn.relu(conv_hi(z, p["conv2"], 1)), 2)
+        z = jnp.tanh(nets.flatten(z) @ p["dense"]["w"].T.astype(o.dtype)
+                     + p["dense"]["b"].astype(o.dtype))
+        return (z ** 2).mean()
+
+    grads_vs_oracle("RND", rnd_fused, rnd_ref, rnd_params)
+    print("ALL HARDWARE CHECKS PASSED", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -133,6 +133,15 @@ def main():
         recon = ae_mod.ae_forward(params, o, k, True)
         return jnp.mean((o - recon) ** 2)
 
+    def rnd_loss_fused(params, o, k):
+        target = rnd_mod.random_forward(rnd_target, o, fused_head=True)
+        pred = rnd_mod.predictor_forward(params, o, k, True, fused_head=True)
+        return jnp.mean((jax.lax.stop_gradient(target) - pred) ** 2)
+
+    def ae_loss_fused(params, o, k):
+        recon = ae_mod.ae_forward(params, o, k, True, fused_head=True)
+        return jnp.mean((o - recon) ** 2)
+
     def conv1_loss(params, o, _):
         return nets.conv2d(o, params, padding=1).sum()
 
@@ -198,6 +207,14 @@ def main():
         "ae_fwd": _scanned(lambda o, k: ae_loss(ae_params, o, k)),
         "ae_grad": _scanned(
             lambda o, k: jax.grad(ae_loss)(ae_params, o, k)["conv1"]["b"].sum()
+        ),
+        "rnd_grad_fused": _scanned(
+            lambda o, k: jax.grad(rnd_loss_fused)(
+                rnd_params, o, k)["conv1"]["b"].sum()
+        ),
+        "ae_grad_fused": _scanned(
+            lambda o, k: jax.grad(ae_loss_fused)(
+                ae_params, o, k)["conv1"]["b"].sum()
         ),
         "conv1_fwd": _scanned(
             lambda o, k: conv1_loss(rnd_params["conv1"], o, k)

@@ -112,3 +112,140 @@ def test_train_fused_head_runs(tmp_path):
     )
     assert history.shape == (6,)
     assert np.isfinite(history).all()
+
+
+@pytest.mark.parametrize("shape", [(2, 4, 2, 64, 128, 2)])
+def test_head_input_cotangent_parity(shape):
+    """need_dx=True computes the true input cotangent (deeper fused heads)."""
+    n, cin, cout, h, w, pool = shape
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(n, cin, h, w).astype(np.float32))
+    wt = jnp.asarray(rng.randn(cout, cin, 3, 3).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    head = make_fused_head(pool, 0.0, train=False, interpret=True,
+                           need_dx=True)
+    out = head(x, wt, b, jnp.int32(0))
+    co = jnp.asarray(rng.randn(*out.shape).astype(np.float32))
+
+    def loss_f(x_):
+        return (head(x_, wt, b, jnp.int32(0)) * co).sum()
+
+    def loss_r(x_):
+        z = jax.nn.relu(nets.conv2d(x_, {"w": wt, "b": b}, padding=1))
+        return (_ref_pool(z, pool) * co).sum()
+
+    gf = jax.grad(loss_f)(x)
+    gr = jax.grad(loss_r)(x)
+    np.testing.assert_allclose(np.asarray(gf), np.asarray(gr),
+                               rtol=1e-4, atol=1e-6)
+
+
+@pytest.mark.parametrize("act,cin", [("relu", 2), ("sigmoid", 1)])
+def test_tail_parity(act, cin):
+    """Fused ConvTranspose tail (stride 2, k4, pad 1 + act): fwd and the
+    full VJP (dx, dw, db) match the XLA composition."""
+    from carle_tpu.ops.pallas_head import make_fused_tail
+
+    rng = np.random.RandomState(11)
+    n, cout, hi, wi = 2, 1, 32, 64
+    x = jnp.asarray(rng.randn(n, cin, hi, wi).astype(np.float32))
+    wt = jnp.asarray(rng.randn(cin, cout, 4, 4).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+
+    def ref(x, wt, b):
+        z = nets.conv_transpose2d(x, {"w": wt, "b": b}, stride=2, padding=1)
+        return jnp.maximum(z, 0.0) if act == "relu" else jax.nn.sigmoid(z)
+
+    tail = make_fused_tail(act, 0.0, train=False, interpret=True)
+    out = tail(x, wt, b, jnp.int32(0))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref(x, wt, b)),
+                               rtol=1e-5, atol=1e-5)
+
+    co = jnp.asarray(rng.randn(*out.shape).astype(np.float32))
+    gf = jax.grad(lambda x_, w_, b_: (tail(x_, w_, b_, jnp.int32(0))*co).sum(),
+                  argnums=(0, 1, 2))(x, wt, b)
+    gr = jax.grad(lambda x_, w_, b_: (ref(x_, w_, b_)*co).sum(),
+                  argnums=(0, 1, 2))(x, wt, b)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_ae_fused_grads_full_stack():
+    """The fully-fused AE forward (2 heads + 2 tails, interpret kernels via
+    monkeypatched platform detection is overkill — here: kernel chain built
+    directly) produces grads for ALL params matching the XLA composition."""
+    from carle_tpu.mcl.ae import init_ae_params
+    from carle_tpu.ops.pallas_head import make_fused_head, make_fused_tail
+
+    cfg = EnvConfig(height=32, width=64, instances=2)
+    params = init_ae_params(jax.random.PRNGKey(0), cfg)
+    obs = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.3, (2, 1, 32, 64)).astype(jnp.float32)
+
+    h1 = make_fused_head(2, 0.0, train=False, interpret=True)
+    h2 = make_fused_head(2, 0.0, train=False, interpret=True, need_dx=True)
+    t1 = make_fused_tail("relu", 0.0, train=False, interpret=True)
+    t2 = make_fused_tail("sigmoid", 0.0, train=False, interpret=True)
+
+    def fused_loss(p):
+        x = h1(obs, p["conv1"]["w"], p["conv1"]["b"], jnp.int32(0))
+        x = h2(x, p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0))
+        x = t1(x, p["deconv1"]["w"], p["deconv1"]["b"], jnp.int32(0))
+        x = t2(x, p["deconv2"]["w"], p["deconv2"]["b"], jnp.int32(0))
+        return jnp.mean((obs - x) ** 2)
+
+    def ref_loss(p):
+        x = nets.conv2d(obs, p["conv1"], padding=1)
+        x = _ref_pool(jax.nn.relu(x), 2)
+        x = nets.conv2d(x, p["conv2"], padding=1)
+        x = _ref_pool(jax.nn.relu(x), 2)
+        x = jax.nn.relu(nets.conv_transpose2d(x, p["deconv1"],
+                                              stride=2, padding=1))
+        x = jax.nn.sigmoid(nets.conv_transpose2d(x, p["deconv2"],
+                                                 stride=2, padding=1))
+        return jnp.mean((obs - x) ** 2)
+
+    gf = jax.grad(fused_loss)(params)
+    gr = jax.grad(ref_loss)(params)
+    flat_f, _ = jax.tree.flatten(gf)
+    flat_r, _ = jax.tree.flatten(gr)
+    for a, r in zip(flat_f, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-3, atol=1e-6)
+
+
+def test_rnd_fused_grads_full_stack():
+    """The fully-fused RND predictor (head pool4 + deeper head pool2 with
+    need_dx + dense/tanh) produces grads for ALL params matching the XLA
+    composition (mirrors mcl/rnd.py predictor_forward's fused path)."""
+    from carle_tpu.mcl.rnd import init_predictor_params
+    from carle_tpu.ops.pallas_head import make_fused_head
+
+    cfg = EnvConfig(height=32, width=64, instances=2)
+    params = init_predictor_params(jax.random.PRNGKey(0), cfg)
+    obs = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.3, (2, 1, 32, 64)).astype(jnp.float32)
+
+    h1 = make_fused_head(4, 0.0, train=False, interpret=True)
+    h2 = make_fused_head(2, 0.0, train=False, interpret=True, need_dx=True)
+
+    def fused_loss(p):
+        x = h1(obs, p["conv1"]["w"], p["conv1"]["b"], jnp.int32(0))
+        x = h2(x, p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0))
+        x = jnp.tanh(nets.linear(nets.flatten(x), p["dense"]))
+        return (x ** 2).mean()
+
+    def ref_loss(p):
+        x = nets.conv2d(obs, p["conv1"], padding=1)
+        x = _ref_pool(jax.nn.relu(x), 4)
+        x = nets.conv2d(x, p["conv2"], padding=1)
+        x = _ref_pool(jax.nn.relu(x), 2)
+        x = jnp.tanh(nets.linear(nets.flatten(x), p["dense"]))
+        return (x ** 2).mean()
+
+    gf = jax.grad(fused_loss)(params)
+    gr = jax.grad(ref_loss)(params)
+    for a, r in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-3, atol=1e-7)

@@ -121,9 +121,54 @@ def grads_vs_oracle(name, fused_loss, ref_loss, params):
     return worst_f, worst_x
 
 
+def check_dropout_grad_alignment():
+    """Directional-derivative check with dropout ON: the bwd kernel must
+    regenerate the SAME keep masks the fwd drew (same seed, same per-grid-
+    step PRNG stream — this is why fwd and bwd must tile instances
+    identically; the interpreter stubs the PRNG to zero bits, so only
+    hardware can catch a divergence).
+
+    Run in a LINEAR regime — pool=1, positive x/w/b so every kept pre-act
+    stays strictly positive and every dropped one is exactly zero: the
+    loss is then exactly linear in (w, b) for fixed masks, so the finite
+    difference equals <grad, dir> to f32 rounding IF AND ONLY IF the bwd
+    masks match the fwd's.  (At pool=2 with random signs, maxpool argmax
+    switches inside the ±eps interval make the FD itself ~3% noisy —
+    measured on v5e with dropout OFF, where the f64 oracle proves the
+    grads exact — so a generic-position FD cannot resolve alignment.)"""
+    rng = np.random.RandomState(5)
+    n, cin, cout, h, w = 4, 2, 2, 64, 128
+    x = jnp.asarray(rng.uniform(0.5, 1.5, (n, cin, h, w)).astype(np.float32))
+    co = jnp.asarray(rng.uniform(0.5, 1.5, (n, cout, h, w)).astype(np.float32))
+    head = make_fused_head(1, 0.1, train=True, need_dx=True)
+    seed = jnp.int32(99)
+
+    def loss(wt, b):
+        return (head(x, wt, b, seed) * co).sum()
+
+    wt = jnp.asarray(rng.uniform(0.05, 0.15, (cout, cin, 3, 3))
+                     .astype(np.float32))
+    b = jnp.asarray(rng.uniform(0.9, 1.1, (cout,)).astype(np.float32))
+    gw, gb = jax.jit(jax.grad(loss, argnums=(0, 1)))(wt, b)
+    dw = jnp.asarray(rng.uniform(-1, 1, wt.shape).astype(np.float32))
+    db = jnp.asarray(rng.uniform(-1, 1, b.shape).astype(np.float32))
+    eps = 1e-2  # pre-acts stay > 0.9 - 18*0.0015 — no kink is crossed
+    lp = jax.jit(loss)(wt + eps * dw, b + eps * db)
+    lm = jax.jit(loss)(wt - eps * dw, b - eps * db)
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    an = float((gw * dw).sum() + (gb * db).sum())
+    rel = abs(fd - an) / (abs(fd) + 1e-9)
+    print(f"dropout-on directional derivative (linear regime): fd={fd:.4f} "
+          f"grad={an:.4f} rel={rel:.2e}", flush=True)
+    # a 1% fwd/bwd mask mismatch would show as ~2e-2 here; f32 rounding
+    # and the (measure-zero) kink set sit well under 1e-3
+    assert rel < 1e-3, (fd, an)
+
+
 def main():
     print("platform:", jax.devices()[0].platform, flush=True)
     check_drop_rates()
+    check_dropout_grad_alignment()
 
     obs = jax.random.bernoulli(
         jax.random.PRNGKey(2), 0.3, (4, 1, 64, 128)).astype(jnp.float32)

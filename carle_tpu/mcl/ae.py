@@ -46,20 +46,24 @@ def init_ae_params(key: jax.Array, config: EnvConfig) -> Dict[str, Any]:
 
 def ae_forward(
     params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array],
-    train: bool, compute_dtype=None, fused_head: bool = False,
+    train: bool, compute_dtype=None, fused_head: Any = False,
 ) -> jax.Array:
     k1, k2, k3, k4 = nets.split_keys(key, 4)
     if fused_head:
+        # fused_head may be a Mesh — the kernels are then shard_mapped over
+        # the instance batch (nets._shard_fused)
+        mesh = None if isinstance(fused_head, bool) else fused_head
         x = nets.conv_head(obs, params["conv1"], k1, pool=2,
-                           drop_p=DROP_P, train=train)
+                           drop_p=DROP_P, train=train, mesh=mesh)
         # deeper head: its input carries conv1's grads, so this one runs
         # with need_dx=True (full input cotangent in the bwd kernel)
         x = nets.conv_head(x, params["conv2"], k2, pool=2,
-                           drop_p=DROP_P, train=train, need_dx=True)
+                           drop_p=DROP_P, train=train, need_dx=True,
+                           mesh=mesh)
         x = nets.conv_tail(x, params["deconv1"], k3, act="relu",
-                           drop_p=DROP_P, train=train)
+                           drop_p=DROP_P, train=train, mesh=mesh)
         return nets.conv_tail(x, params["deconv2"], k4, act="sigmoid",
-                              drop_p=DROP_P, train=train)
+                              drop_p=DROP_P, train=train, mesh=mesh)
     else:
         x = nets.conv2d(obs, params["conv1"], padding=1,
                         compute_dtype=compute_dtype)

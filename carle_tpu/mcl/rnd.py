@@ -58,18 +58,23 @@ def init_random_network_params(key: jax.Array, config: EnvConfig) -> Dict[str, A
 
 def predictor_forward(
     params: Dict[str, Any], obs: jax.Array, key: Optional[jax.Array],
-    train: bool, compute_dtype=None, fused_head: bool = False,
+    train: bool, compute_dtype=None, fused_head: Any = False,
 ) -> jax.Array:
     k1, k2, k3 = nets.split_keys(key, 3)
     if fused_head:
+        # fused_head may be a Mesh: the kernels are then shard_mapped over
+        # the instance batch (pallas calls are opaque to GSPMD — see
+        # nets._shard_fused)
+        mesh = None if isinstance(fused_head, bool) else fused_head
         # conv1 + dropout + relu + pool4 as one Pallas kernel (first layer:
         # obs carries no grads, so the head's zero input cotangent is exact)
         x = nets.conv_head(obs, params["conv1"], k1, pool=4,
-                           drop_p=DROP_P, train=train)
+                           drop_p=DROP_P, train=train, mesh=mesh)
         # conv2's input carries conv1's grads: the deeper head computes the
         # true input cotangent in its backward kernel (need_dx=True)
         x = nets.conv_head(x, params["conv2"], k2, pool=2,
-                           drop_p=DROP_P, train=train, need_dx=True)
+                           drop_p=DROP_P, train=train, need_dx=True,
+                           mesh=mesh)
     else:
         x = nets.conv2d(obs, params["conv1"], padding=1,
                         compute_dtype=compute_dtype)
@@ -87,13 +92,14 @@ def predictor_forward(
 
 
 def random_forward(params: Dict[str, Any], obs: jax.Array,
-                   compute_dtype=None, fused_head: bool = False) -> jax.Array:
+                   compute_dtype=None, fused_head: Any = False) -> jax.Array:
     if fused_head:
+        mesh = None if isinstance(fused_head, bool) else fused_head
         x = nets.conv_head(obs, params["conv1"], None, pool=4,
-                           drop_p=0.0, train=False)
+                           drop_p=0.0, train=False, mesh=mesh)
         # frozen target: no grads flow, first-layer (zero-dx) head is exact
         x = nets.conv_head(x, params["conv2"], None, pool=2,
-                           drop_p=0.0, train=False)
+                           drop_p=0.0, train=False, mesh=mesh)
     else:
         x = jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1,
                                     compute_dtype=compute_dtype))

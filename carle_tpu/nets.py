@@ -25,7 +25,7 @@ for weights, and the same bound for biases.
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -203,6 +203,35 @@ def split_keys(key: Optional[jax.Array], n: int) -> Tuple[Optional[jax.Array], .
     return tuple(jax.random.split(key, n))
 
 
+def _shard_fused(call, mesh):
+    """Partition a fused head/tail kernel call over a device mesh's first
+    axis (the instance batch).
+
+    A ``pallas_call`` is an opaque custom call to GSPMD: under committed
+    shardings it silently gathers the whole batch onto one device (measured
+    — the output comes back SingleDeviceSharding).  Wrapping the call in
+    ``shard_map`` keeps each shard's instances local; JAX's shard_map
+    transpose handles the replicated-weight cotangents (per-shard dW/db are
+    psummed automatically), verified grad-exact vs the unsharded kernel on
+    the 8-device CPU mesh (tests/test_pallas_head.py).  The PRNG seed is
+    decorrelated per shard (the kernels seed per LOCAL grid step, so shards
+    would otherwise draw identical dropout masks)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(x, w, b, seed):
+        seed = seed + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+            0x3779B1)
+        return call(x, w, b, seed)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P()), out_specs=P(axis),
+        check_vma=False,
+    )
+
+
 def conv_head(
     x: jax.Array,
     p: Params,
@@ -213,6 +242,7 @@ def conv_head(
     train: bool,
     force_kernel: bool = False,
     need_dx: bool = False,
+    mesh: Any = None,
 ) -> jax.Array:
     """The fused front-end segment ``pool^k(relu(dropout(conv3x3(x))))`` as
     ONE Pallas kernel (ops/pallas_head.py) — the measured training
@@ -249,6 +279,8 @@ def conv_head(
         return z
     head = make_fused_head(pool, drop_p, train, interpret=not on_tpu,
                            need_dx=need_dx)
+    if mesh is not None:
+        head = _shard_fused(head, mesh)
     if key is not None and train and drop_p > 0.0:
         seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
     else:
@@ -265,11 +297,12 @@ def conv_tail(
     drop_p: float,
     train: bool,
     force_kernel: bool = False,
+    mesh: Any = None,
 ) -> jax.Array:
     """The AE decoder stage ``act(dropout(conv_transpose2d(x)))`` (stride 2,
     k=4, pad=1) as one Pallas kernel with a full custom VJP (input
-    cotangents included — decoders sit mid-net).  Same conventions and
-    off-TPU fallback as :func:`conv_head`."""
+    cotangents included — decoders sit mid-net).  Same conventions,
+    off-TPU fallback, and mesh partitioning as :func:`conv_head`."""
     from .ops.pallas_head import make_fused_tail
 
     on_tpu = jax.devices()[0].platform == "tpu"
@@ -278,6 +311,8 @@ def conv_tail(
         z = dropout(z, key, drop_p, train)
         return jax.nn.relu(z) if act == "relu" else jax.nn.sigmoid(z)
     tail = make_fused_tail(act, drop_p, train, interpret=not on_tpu)
+    if mesh is not None:
+        tail = _shard_fused(tail, mesh)
     if key is not None and train and drop_p > 0.0:
         seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
     else:

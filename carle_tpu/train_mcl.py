@@ -138,9 +138,31 @@ def train(
         instances=instances,
     ).validate()
 
+    # resolve the mesh BEFORE building the wrapper defs: the fused Pallas
+    # kernels are opaque to GSPMD (they would gather the batch onto one
+    # device), so on a multi-device mesh they must be shard_mapped — the
+    # defs receive the Mesh itself through fused_head (nets._shard_fused)
+    mesh_obj = None
+    if mesh is not None and mesh is not False:
+        from jax.sharding import Mesh
+
+        from .parallel.mesh import make_mesh
+
+        devices = jax.devices()
+        if isinstance(mesh, Mesh):
+            mesh_obj = mesh
+        elif mesh is True or (
+            mesh == "auto" and len(devices) > 1
+            and instances % len(devices) == 0
+        ):
+            mesh_obj = make_mesh(devices)
+    fused_arg: Any = fused_head
+    if fused_head and mesh_obj is not None and mesh_obj.devices.size > 1:
+        fused_arg = mesh_obj
+
     wrapper_defs = [
-        rnd2d_def(config, batch_size=batch_size, fused_head=fused_head),
-        ae2d_def(config, batch_size=batch_size, fused_head=fused_head),
+        rnd2d_def(config, batch_size=batch_size, fused_head=fused_arg),
+        ae2d_def(config, batch_size=batch_size, fused_head=fused_arg),
     ]
     agent = (agent_fn or make_random_agent)(
         action_width=config.eff_action_width,
@@ -159,19 +181,10 @@ def train(
         )
         carry = carry._replace(stack=carry.stack._replace(wrappers=wstates))
 
-    if mesh is not None and mesh is not False:
-        from jax.sharding import Mesh
+    if mesh_obj is not None:
+        from .parallel.mesh import shard_carry
 
-        from .parallel.mesh import make_mesh, shard_carry
-
-        devices = jax.devices()
-        if isinstance(mesh, Mesh):
-            carry = shard_carry(carry, mesh, config)
-        elif mesh is True or (
-            mesh == "auto" and len(devices) > 1
-            and instances % len(devices) == 0
-        ):
-            carry = shard_carry(carry, make_mesh(devices), config)
+        carry = shard_carry(carry, mesh_obj, config)
 
     exp_id = "mcl" + str(int(time.time()))
     model_dir = os.path.join(log_dir, "models")

@@ -249,3 +249,45 @@ def test_rnd_fused_grads_full_stack():
     for a, r in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-3, atol=1e-7)
+
+
+def test_fused_kernels_shard_over_mesh():
+    """Mesh-wrapped fused kernels (nets._shard_fused): a pallas_call is
+    opaque to GSPMD — under committed shardings the batch silently gathers
+    onto one device — so conv_head/conv_tail accept a Mesh and shard_map
+    the kernel over the instance axis.  Checks (on the 8-device CPU mesh):
+    output stays batch-sharded, and grads (incl. the psummed replicated-
+    weight cotangents from the shard_map transpose) match the unsharded
+    kernel."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(16, 1, 32, 64).astype(np.float32))
+    x = jax.device_put(x, NamedSharding(mesh, P("env")))
+    hp = {"w": jnp.asarray(rng.randn(2, 1, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(2).astype(np.float32) * 0.1)}
+    tp = {"w": jnp.asarray(rng.randn(2, 1, 4, 4).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)}
+    co = jnp.asarray(rng.randn(16, 1, 32, 64).astype(np.float32))
+
+    def net(p, mesh_arg):
+        z = nets.conv_head(x, p["h"], None, pool=2, drop_p=0.0, train=False,
+                           force_kernel=True, need_dx=False, mesh=mesh_arg)
+        z = nets.conv_tail(z, p["t"], None, act="relu", drop_p=0.0,
+                           train=False, force_kernel=True, mesh=mesh_arg)
+        return (z * co).sum()
+
+    params = {"h": hp, "t": tp}
+    out_sharded = jax.jit(
+        lambda p: nets.conv_head(x, p["h"], None, pool=2, drop_p=0.0,
+                                 train=False, force_kernel=True, mesh=mesh)
+    )(params)
+    assert out_sharded.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("env")), out_sharded.ndim)
+
+    gs = jax.jit(jax.grad(lambda p: net(p, mesh)))(params)
+    gp = jax.jit(jax.grad(lambda p: net(p, None)))(params)
+    for a, r in zip(jax.tree.leaves(gs), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)

@@ -7,7 +7,10 @@ moments, rule bits).  Rollouts jitted on such committed inputs compile to one
 SPMD program per device; cross-device terms (batch-mean losses feeding the
 replicated-parameter updates, batch-global Speed/Puffer statistics) become
 XLA all-reduces over ICI — no hand-written collectives and no host traffic
-in the loop.
+in the loop.  The one exception is the fused wrapper-net Pallas kernels:
+pallas calls are opaque to GSPMD (the batch would gather onto one device),
+so `nets._shard_fused` shard_maps them over the instance axis; train()
+plumbs the Mesh through `fused_head` automatically.
 
 Works identically on a real TPU pod slice and on the CPU fake mesh
 (``XLA_FLAGS=--xla_force_host_platform_device_count=8``) used by tests and

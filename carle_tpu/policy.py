@@ -44,10 +44,27 @@ def init_policy_params(key: jax.Array, config: EnvConfig,
     }
 
 
-def policy_logits(params: Dict[str, Any], obs: jax.Array) -> jax.Array:
-    """obs [inst, 1, H, W] -> toggle logits [inst, AH*AW]."""
-    x = nets.max_pool2(jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1)))
-    x = nets.max_pool2(jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1)))
+def policy_logits(params: Dict[str, Any], obs: jax.Array,
+                  fused_head: Any = False,
+                  force_kernel: bool = False) -> jax.Array:
+    """obs [inst, 1, H, W] -> toggle logits [inst, AH*AW].
+
+    ``fused_head`` runs the conv front-end as the fused Pallas head kernels
+    (dropout-free configuration) — the policy net has the same tiny-channel
+    lane-padding pathology as the wrapper nets; may be a Mesh to shard the
+    kernels over the instance batch (nets._shard_fused)."""
+    if fused_head or force_kernel:
+        mesh = None if isinstance(fused_head, bool) else fused_head
+        x = nets.conv_head(obs, params["conv1"], None, pool=2, drop_p=0.0,
+                           train=False, force_kernel=force_kernel, mesh=mesh)
+        x = nets.conv_head(x, params["conv2"], None, pool=2, drop_p=0.0,
+                           train=False, need_dx=True,
+                           force_kernel=force_kernel, mesh=mesh)
+    else:
+        x = nets.max_pool2(
+            jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1)))
+        x = nets.max_pool2(
+            jax.nn.relu(nets.conv2d(x, params["conv2"], padding=1)))
     # bias toward sparse toggling at init (sigmoid(-3) ~ 0.047 toggle rate)
     return nets.linear(nets.flatten(x), params["dense"]) - 3.0
 
@@ -70,8 +87,10 @@ class PolicyTrainer:
         lr: float = 1e-3,
         entropy_beta: float = 1e-3,
         baseline_decay: float = 0.99,
+        fused_head: Any = False,
     ) -> None:
         self.config = config
+        self.fused_head = fused_head
         self.stack = WrapperStack(config, wrappers)
         # global-norm clipping: the surrogate's gradient scales with the
         # summed log-prob over the whole action window, and occasional large
@@ -100,7 +119,7 @@ class PolicyTrainer:
         obs = state.stack.env.grid.astype(jnp.float32)[:, None]
 
         # 1. sample an action from the current policy (no gradients here)
-        logits = policy_logits(state.params, obs)
+        logits = policy_logits(state.params, obs, self.fused_head)
         u = jax.random.uniform(k_sample, logits.shape)
         action = (u < jax.nn.sigmoid(logits)).astype(jnp.float32)
         patch = action.reshape(
@@ -123,7 +142,7 @@ class PolicyTrainer:
 
         # 4. REINFORCE surrogate on the sampled action
         def loss_fn(params):
-            lg = policy_logits(params, obs)
+            lg = policy_logits(params, obs, self.fused_head)
             logp = -optax.sigmoid_binary_cross_entropy(lg, action)
             logp_sum = jnp.sum(logp, axis=1)                    # [inst]
             # Bernoulli entropy in stable logits form: -log p = softplus(-x),
@@ -224,8 +243,10 @@ class PPOTrainer:
         baseline_decay: float = 0.99,
         gamma: float = 0.0,
         norm_advantage: bool = False,
+        fused_head: Any = False,
     ) -> None:
         self.config = config
+        self.fused_head = fused_head
         self.stack = WrapperStack(config, wrappers)
         self.opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(lr))
         self.clip_eps = clip_eps
@@ -265,7 +286,7 @@ class PPOTrainer:
         grid_u8 = stack.env.grid
         obs = grid_u8.astype(jnp.float32)[:, None]
 
-        logits = policy_logits(params, obs)
+        logits = policy_logits(params, obs, self.fused_head)
         u = jax.random.uniform(k_sample, logits.shape)
         action = (u < jax.nn.sigmoid(logits)).astype(jnp.float32)
         logp_old = jnp.sum(
@@ -290,7 +311,7 @@ class PPOTrainer:
 
         def loss_fn(p):
             obs = grids[idx].astype(jnp.float32)[:, None]
-            lg = policy_logits(p, obs)
+            lg = policy_logits(p, obs, self.fused_head)
             act = actions[idx].astype(jnp.float32)
             logp = jnp.sum(-optax.sigmoid_binary_cross_entropy(lg, act),
                            axis=1)

@@ -58,6 +58,9 @@ def main() -> int:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--out-dir", default="logs/policy")
     parser.add_argument("--skip-eval", action="store_true")
+    parser.add_argument("--fused-head", action="store_true",
+                        help="run the policy conv front-end as the fused "
+                             "Pallas head kernels (TPU only)")
     args = parser.parse_args()
 
     from carle_tpu.utils.cache import enable_compilation_cache
@@ -88,10 +91,11 @@ def main() -> int:
     if args.algo == "ppo":
         trainer = PPOTrainer(config, defs, lr=args.lr,
                              entropy_beta=args.entropy_beta,
-                             gamma=args.gamma)
+                             gamma=args.gamma, fused_head=args.fused_head)
     else:
         trainer = PolicyTrainer(config, defs, lr=args.lr,
-                                entropy_beta=args.entropy_beta)
+                                entropy_beta=args.entropy_beta,
+                                fused_head=args.fused_head)
     state = trainer.init(jax.random.PRNGKey(args.seed), rules_mod.LIFE)
     state = state._replace(stack=state.stack._replace(
         wrappers=inject_wrapper_checkpoints(

@@ -291,3 +291,31 @@ def test_fused_kernels_shard_over_mesh():
     for a, r in zip(jax.tree.leaves(gs), jax.tree.leaves(gp)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_policy_fused_head_parity():
+    """policy_logits(fused_head) matches the unfused forward and grads —
+    the policy net shares the wrapper nets' tiny-channel pathology, so
+    PolicyTrainer/PPOTrainer accept fused_head too (interpret kernels via
+    force_kernel on CPU; dropout-free config so interpret is exact)."""
+    from carle_tpu.policy import init_policy_params, policy_logits
+
+    cfg = EnvConfig(height=32, width=64, action_height=16, action_width=16,
+                    instances=4)
+    params = init_policy_params(jax.random.PRNGKey(0), cfg)
+    obs = jax.random.bernoulli(
+        jax.random.PRNGKey(1), 0.3, (4, 1, 32, 64)).astype(jnp.float32)
+    co = jax.random.normal(jax.random.PRNGKey(2), (4, 16 * 16))
+
+    def loss_fused(p):
+        return (policy_logits(p, obs, force_kernel=True) * co).sum()
+
+    def loss_ref(p):
+        return (policy_logits(p, obs) * co).sum()
+
+    lf, gf = jax.value_and_grad(loss_fused)(params)
+    lr, gr = jax.value_and_grad(loss_ref)(params)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    for a, r in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-4, atol=1e-5)

@@ -67,6 +67,7 @@ def _make_def(
     train: bool = True,
     dropout: Optional[bool] = None,
     remat: bool = False,
+    fused_head: Any = False,
     **kwargs: Any,
 ) -> WrapperDef:
     use_dropout = train if dropout is None else dropout
@@ -87,7 +88,8 @@ def _make_def(
 
     def loss_fn(params, state: LearnerState, obs, key):
         src, new_buf = _push(state.extra, obs, k)
-        prediction = ae_forward(params, jax.lax.stop_gradient(src), key, use_dropout)
+        prediction = ae_forward(params, jax.lax.stop_gradient(src), key,
+                                use_dropout, fused_head=fused_head)
         # target is the current frame; error mean over C,H,W (mcl.py:596-598)
         per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, new_buf

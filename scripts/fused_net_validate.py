@@ -164,6 +164,30 @@ def check_dropout_grad_alignment():
     # and the (measure-zero) kink set sit well under 1e-3
     assert rel < 1e-3, (fd, an)
 
+    # same check for the tail kernel (deconv + dropout + relu, all-positive
+    # regime: the deconv's 16 positive taps keep every kept pre-act > 0)
+    tail = make_fused_tail("relu", 0.1, train=True)
+    xt = jnp.asarray(rng.uniform(0.5, 1.5, (n, cin, h // 2, w // 2))
+                     .astype(np.float32))
+    cot = jnp.asarray(rng.uniform(0.5, 1.5, (n, cout, h, w))
+                      .astype(np.float32))
+    wtt = jnp.asarray(rng.uniform(0.05, 0.15, (cin, cout, 4, 4))
+                      .astype(np.float32))
+
+    def loss_t(wt_, b_):
+        return (tail(xt, wt_, b_, seed) * cot).sum()
+
+    gw, gb = jax.jit(jax.grad(loss_t, argnums=(0, 1)))(wtt, b)
+    dwt = jnp.asarray(rng.uniform(-1, 1, wtt.shape).astype(np.float32))
+    lp = jax.jit(loss_t)(wtt + eps * dwt, b + eps * db)
+    lm = jax.jit(loss_t)(wtt - eps * dwt, b - eps * db)
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    an = float((gw * dwt).sum() + (gb * db).sum())
+    rel = abs(fd - an) / (abs(fd) + 1e-9)
+    print(f"tail dropout-on directional derivative: fd={fd:.4f} "
+          f"grad={an:.4f} rel={rel:.2e}", flush=True)
+    assert rel < 1e-3, (fd, an)
+
 
 def main():
     print("platform:", jax.devices()[0].platform, flush=True)

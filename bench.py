@@ -236,26 +236,25 @@ def main() -> int:
     grid = _random_grid(jax.random.PRNGKey(0), args.instances, h, w)
     rule_bits = jnp.asarray(rules.LIFE, dtype=jnp.int32)
     if args.per_instance_rules:
-        battery = [
-            rules.pack_rule_bits([3], [2, 3]),          # Life
-            rules.pack_rule_bits([3, 6, 8], [2, 4, 5]),  # Move/Morley
-            rules.pack_rule_bits([3, 6, 7, 8], [3, 4, 6, 7, 8]),  # Day&Night
-            rules.pack_rule_bits([3], [0, 2, 3]),
-            rules.pack_rule_bits([2], [0]),             # outgroup
-        ]
+        # the published 5-ruleset battery — single source of truth
+        from carle_tpu.evaluation.eval import DEFAULT_RULES
+
+        battery = [rules.pack_rule_bits(b, s) for b, s in DEFAULT_RULES]
         rule_bits = jnp.asarray(
             [battery[i % len(battery)] for i in range(args.instances)],
             dtype=jnp.int32,
         )
 
     backend = args.backend
-    platform = jax.devices()[0].platform
     if backend == "auto":
-        backend = "bitpack-pallas-static" if platform in ("tpu", "axon") else "bitpack"
+        from carle_tpu.ops.ca import is_tpu_platform
+
+        backend = "bitpack-pallas-static" if is_tpu_platform() else "bitpack"
     if args.per_instance_rules and "static" in backend:
         # static kernels bake one rule at trace time; vector rules need the
-        # rules-as-data engines
-        backend = "bitpack-pallas" if "pallas" in backend else "bitpack"
+        # rules-as-data engine of the SAME layout family (cm stays cm)
+        backend = (backend.replace("-static", "") if "pallas" in backend
+                   else "bitpack")
 
     bench_kwargs = (
         {"scheme": args.scheme}
@@ -265,7 +264,8 @@ def main() -> int:
         dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,
                                     args.launches, **bench_kwargs)
     except Exception as exc:  # kernel path unavailable -> XLA fallback
-        if backend in ("pallas", "bitpack-pallas", "bitpack-pallas-static"):
+        if backend in ("pallas", "bitpack-pallas", "bitpack-pallas-static",
+                       "bitpack-pallas-cm", "bitpack-pallas-static-cm"):
             print(f"# {backend} path failed ({exc!r}); falling back to bitpack",
                   file=sys.stderr)
             backend = "bitpack"
@@ -288,7 +288,8 @@ def main() -> int:
             "steps_per_launch": args.steps_per_launch,
             "launches": args.launches, "backend": backend,
             **({"scheme": args.scheme}
-               if backend == "bitpack-pallas-static" else {}),
+               if backend in ("bitpack-pallas-static", "bitpack-pallas")
+               else {}),
             **({"rules": "per-instance-vector"}
                if args.per_instance_rules else {}),
             "device": str(jax.devices()[0]),

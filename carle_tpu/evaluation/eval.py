@@ -265,13 +265,19 @@ _ROLLOUT_CACHE_MAX = 16  # FIFO-evicted; each entry pins jitted programs
 def _cached_rollout(tag, config, wrappers, Agent, toggle_rate, params_path,
                     make):
     """Return a (possibly cached) Rollout.  Only cacheable specs — Agent
-    None or a class, hashable config — hit the cache; agent *params* are
-    per-call data so reuse is behaviourally transparent PROVIDED the
-    class's ``_agent`` closure depends only on class/dims/toggle_rate (true
-    for the in-repo agents; ``params_path`` is part of the key so distinct
-    submission files never share a closure).  Pass an agent INSTANCE or an
-    ``(Agent, params)`` pair to bypass the cache for anything fancier."""
-    if not (Agent is None or isinstance(Agent, type)):
+    None, a class, or a functional :class:`carle_tpu.agents.Agent` — hit the
+    cache; agent *params* are per-call data so reuse is behaviourally
+    transparent PROVIDED the class's ``_agent`` closure depends only on
+    class/dims/toggle_rate (true for the in-repo agents; ``params_path`` is
+    part of the key so distinct submission files never share a closure).
+    Functional Agents key on their own (function-identity) equality, so the
+    SAME Agent instance reuses its programs — pass params via
+    ``agent_params`` rather than baking them into the closure to benefit.
+    Pass a shell instance or an ``(Agent, params)`` pair to bypass the
+    cache for anything fancier."""
+    from carle_tpu.agents import Agent as FnAgent
+
+    if not (Agent is None or isinstance(Agent, (type, FnAgent))):
         return make()
     try:
         key = (

@@ -264,7 +264,9 @@ def conv_head(
     """
     from .ops.pallas_head import make_fused_head
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    from .ops.ca import is_tpu_platform
+
+    on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         # graceful fallback off-TPU: the interpreter is slow and stubs the
         # PRNG to zero bits (all-dropped masks); keep CPU runs correct via
@@ -305,7 +307,9 @@ def conv_tail(
     off-TPU fallback, and mesh partitioning as :func:`conv_head`."""
     from .ops.pallas_head import make_fused_tail
 
-    on_tpu = jax.devices()[0].platform == "tpu"
+    from .ops.ca import is_tpu_platform
+
+    on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         z = conv_transpose2d(x, p, stride=2, padding=1)
         z = dropout(z, key, drop_p, train)

@@ -58,12 +58,20 @@ def ca_step_grid(grid: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return apply_rule(grid, neighbor_counts(grid), rule_bits)
 
 
+def is_tpu_platform() -> bool:
+    """True when device 0 runs Mosaic kernels natively.  The tunneled chip
+    can report its platform as "axon" rather than "tpu" (plugin-dependent),
+    so every TPU gate in the package must go through this helper — a bare
+    ``platform == "tpu"`` check silently routes axon devices onto CPU
+    fallbacks."""
+    return jax.devices()[0].platform in ("tpu", "axon")
+
+
 def resolve_backend(backend: str) -> str:
     """Resolve the EnvConfig.backend selector ("auto" -> platform choice)."""
     if backend != "auto":
         return backend
-    platform = jax.devices()[0].platform
-    return "pallas" if platform in ("tpu", "axon") else "xla"
+    return "pallas" if is_tpu_platform() else "xla"
 
 
 def ca_step_with_action(

@@ -452,11 +452,16 @@ def _static_step_block_cm(g: jax.Array, birth_set, survive_set) -> jax.Array:
     return (dead & ~g) | (alive & g)
 
 
-def _bit_step_block_cm(g: jax.Array, rule_bits: jax.Array) -> jax.Array:
-    """Column-major rules-as-data step (see _count9_planes_cm)."""
+def _bit_step_block_cm(g: jax.Array, rule_bits: jax.Array,
+                       masks=None) -> jax.Array:
+    """Column-major rules-as-data step (see _count9_planes_cm).  ``masks``
+    optionally supplies the 18 pre-broadcast rule planes (loop-invariant
+    hoisting for per-instance rule vectors, as in _multi_step_kernel_vec)."""
     n0, n1, n2, n3 = _count9_planes_cm(g)
 
     def rule_plane(k):
+        if masks is not None:
+            return masks[k]
         bit = (rule_bits >> k) & 1
         return jnp.broadcast_to(
             (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
@@ -639,6 +644,25 @@ def _multi_step_kernel_cm(rule_ref, steps_ref, grid_ref, out_ref):
     )
 
 
+def _multi_step_kernel_vec_cm(steps_ref, grid_ref, rule_ref, out_ref):
+    """Per-instance rules, column-major: the [tile, 1, 1] rule block
+    broadcasts like a scalar; the 18 masks are hoisted out of the
+    generation loop (see _multi_step_kernel_vec)."""
+    rules = rule_ref[...]
+    masks = [
+        jnp.broadcast_to(
+            jnp.uint32(0) - ((rules >> k) & 1).astype(jnp.uint32),
+            grid_ref.shape,
+        )
+        for k in range(18)
+    ]
+    out_ref[...] = jax.lax.fori_loop(
+        0, steps_ref[0],
+        lambda _, g: _bit_step_block_cm(g, rules, masks=masks),
+        grid_ref[...],
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("birth", "survive"))
 def bit_multi_step_pallas_static_cm(
     packed_cm: jax.Array, birth, survive, num_steps: jax.Array,
@@ -677,9 +701,39 @@ def bit_multi_step_pallas_static_cm(
 def bit_multi_step_pallas_cm(
     packed_cm: jax.Array, rule_bits: jax.Array, num_steps: jax.Array,
 ) -> jax.Array:
-    """Rules-as-data variant of :func:`bit_multi_step_pallas_static_cm`."""
+    """Rules-as-data variant of :func:`bit_multi_step_pallas_static_cm`.
+
+    ``rule_bits`` scalar or [instances] vector (per-instance rulesets in
+    one launch, as in :func:`bit_multi_step_pallas`)."""
     inst, nwords, w = packed_cm.shape
     tile = _tile(inst, nwords, w)
+    rb = jnp.asarray(rule_bits, jnp.int32)
+    if rb.ndim == 1:
+        # 18 hoisted rule masks resident next to ~10 live planes: shrink
+        # the tile so the working set still fits VMEM
+        tile = _tile(inst, nwords, w,
+                     budget_bytes=int(8 * 2**20 * 10 / 28))
+        return pl.pallas_call(
+            _multi_step_kernel_vec_cm,
+            out_shape=jax.ShapeDtypeStruct(packed_cm.shape, jnp.uint32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(inst // tile,),
+                in_specs=[
+                    pl.BlockSpec((tile, nwords, w), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((tile, 1, 1), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM),
+                ],
+                out_specs=pl.BlockSpec((tile, nwords, w),
+                                       lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+        )(
+            jnp.asarray(num_steps, jnp.int32).reshape(1),
+            packed_cm,
+            rb.reshape(inst, 1, 1),
+        )
     return pl.pallas_call(
         _multi_step_kernel_cm,
         out_shape=jax.ShapeDtypeStruct(packed_cm.shape, jnp.uint32),

@@ -17,7 +17,9 @@ Endpoints (JSON in/out):
                          "params_path": str|null, "steps": int,
                          "seed": int, "seeds": [int, ...],
                          "batched": bool, "toggle_rate": float}
-                        -> {"score", "per_ruleset"|"per_seed", "latency_s"}
+                        -> {"score", "per_ruleset" (seed-averaged mean
+                            reward/step per battery ruleset, both paths),
+                            "per_seed" (multi-seed only), "latency_s"}
   POST /rollout         {"rule": "B3/S23", "steps": int, "size": int,
                          "seed": int, "density": float, "rle": str|null}
                         -> {"population", "generations", "rle", "latency_s"}
@@ -32,6 +34,7 @@ Test: tests/test_serve.py drives a live server over HTTP on CPU.
 
 from __future__ import annotations
 
+import functools
 import json
 import time
 from http.server import BaseHTTPRequestHandler, HTTPServer
@@ -40,15 +43,32 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 
 
+# The shipped policy's (Agent, params) pair, cached per params_path so
+# repeated /score requests reuse one functional Agent instance — the
+# rollout cache keys on it, keeping policy scoring on the warm path.
+_POLICY_CACHE: Dict[Any, Tuple[Any, Any]] = {}
+
+
+def _shipped_policy(params_path: Optional[str]) -> Tuple[Any, Any]:
+    pair = _POLICY_CACHE.get(params_path)
+    if pair is None:
+        from .evaluation.eval import load_shipped_policy
+
+        pair = load_shipped_policy(params_path)
+        _POLICY_CACHE[params_path] = pair
+    return pair
+
+
 def _score(body: Dict[str, Any]) -> Dict[str, Any]:
     from .evaluation.eval import (
+        DEFAULT_RULES,
         evaluate_fused,
         evaluate_fused_batched,
-        load_shipped_policy,
     )
 
     agent_kind = body.get("agent", "random")
     params_path = body.get("params_path")
+    agent_params: Any = None
     if agent_kind == "random":
         agent: Any = None
     elif agent_kind == "network":
@@ -56,39 +76,68 @@ def _score(body: Dict[str, Any]) -> Dict[str, Any]:
 
         agent = RandomNetworkAgent
     elif agent_kind == "policy":
-        agent = load_shipped_policy(params_path)
+        agent, agent_params = _shipped_policy(params_path)
         params_path = None
     else:
         raise ValueError(f"unknown agent {agent_kind!r}; "
                          "one of random/network/policy")
 
-    fn = evaluate_fused_batched if body.get("batched", True) else evaluate_fused
+    batched = bool(body.get("batched", True))
+    fn = evaluate_fused_batched if batched else evaluate_fused
     seeds = body.get("seeds") or [int(body.get("seed", 0))]
     kwargs = dict(
         Agent=agent,
         params_path=params_path,
+        agent_params=agent_params,
         steps=int(body.get("steps", 1024)),
         toggle_rate=float(body.get("toggle_rate", 0.1)),
         reference_compat=bool(body.get("reference_compat", True)),
         verbose=False,
     )
     t0 = time.perf_counter()
-    scores, per_rule = [], None
+    scores, per_rules = [], []
     for s in seeds:
         score, per_rule = fn(seed=int(s), **kwargs)
         scores.append(float(score))
+        per_rules.append(np.asarray(per_rule, dtype=np.float64).ravel())
     out: Dict[str, Any] = {
         "score": float(np.mean(scores)),
         "agent": agent_kind,
         "steps": kwargs["steps"],
-        "batched": bool(body.get("batched", True)),
+        "batched": batched,
         "latency_s": round(time.perf_counter() - t0, 4),
     }
     if len(seeds) > 1:
         out["per_seed"] = scores
-    if per_rule is not None:
-        out["per_ruleset"] = [float(x) for x in np.asarray(per_rule).ravel()]
+    if per_rules:
+        pr = np.mean(per_rules, axis=0)  # seed-averaged
+        if not batched:
+            # the sequential path returns a per-STEP reward trace
+            # [len(rules)*steps]; reduce to per-ruleset mean reward/step so
+            # both paths report the same contract
+            pr = pr.reshape(len(DEFAULT_RULES), -1).mean(axis=1)
+        out["per_ruleset"] = [float(x) for x in pr]
     return out
+
+
+@functools.lru_cache(maxsize=1)
+def _packed_engine():
+    """steps-as-DATA packed multi-step: one compiled program serves every
+    request regardless of its ``steps`` value.  On TPU that is the Pallas
+    kernel (scalar-prefetched step count, the measured ~2e12 cells/s
+    engine); elsewhere a jitted XLA scan keyed on the static step count
+    (jax.jit caches per distinct value, so repeats stay warm)."""
+    from .ops.ca import is_tpu_platform
+
+    if is_tpu_platform():
+        from .ops.pallas_bitpack import bit_multi_step_pallas
+
+        return bit_multi_step_pallas
+    import jax
+
+    from .ops.bitpack import bit_multi_step
+
+    return jax.jit(bit_multi_step, static_argnums=2)
 
 
 def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
@@ -97,7 +146,6 @@ def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
 
     from . import rules as rules_mod
     from .ops.bitpack import pack_grid, unpack_grid
-    from .ops.bitpack import bit_multi_step
     from .rle import encode_grid, parse_rle_text
 
     size = int(body.get("size", 256))
@@ -123,7 +171,7 @@ def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
 
     t0 = time.perf_counter()
     packed = pack_grid(grid)
-    out = bit_multi_step(packed, jnp.asarray(bits), jnp.asarray(steps))
+    out = _packed_engine()(packed, jnp.asarray(bits), steps)
     final = np.asarray(unpack_grid(out, grid.shape[2]))[0]
     latency = time.perf_counter() - t0
     resp = {

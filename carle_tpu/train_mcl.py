@@ -56,6 +56,11 @@ def _find_checkpoint(directory: str, name: str) -> str:
     canonical = os.path.join(directory, f"{name}.npz")
     if os.path.exists(canonical):
         return canonical
+    if not os.path.isdir(directory):
+        raise FileNotFoundError(
+            f"--resume-from directory {directory!r} does not exist "
+            f"(expected {name}.npz or {name}_*.npz checkpoints in it)"
+        )
     candidates = [
         os.path.join(directory, f)
         for f in os.listdir(directory)

@@ -53,11 +53,23 @@ def main() -> int:
                         help="TESTING: SIGKILL the first child once progress "
                              "reaches N segments")
     parser.add_argument("--poll-seconds", type=float, default=0.5)
+    parser.add_argument("--resume", action="store_true",
+                        help="honor an existing progress.json in --log-dir "
+                             "and continue that run; without this flag a "
+                             "leftover progress file from a PREVIOUS run is "
+                             "cleared so the new run trains from segment 0 "
+                             "(otherwise it would silently fast-forward "
+                             "past every segment and 'succeed' untrained)")
     args, train_args = parser.parse_known_args()
 
     progress_file = os.path.join(args.log_dir, "progress.json")
     models_dir = os.path.join(args.log_dir, "models")
     os.makedirs(args.log_dir, exist_ok=True)
+    if not args.resume and os.path.exists(progress_file):
+        stale = read_progress(progress_file)
+        os.remove(progress_file)
+        print(json.dumps({"supervisor": "cleared_stale_progress",
+                          "completed_segments": stale}), flush=True)
 
     restarts = 0
     injected = False

@@ -28,13 +28,9 @@ def _sync(x):
 
 def main():
     print("device:", jax.devices()[0])
-    battery = [
-        rules.pack_rule_bits([3], [2, 3]),
-        rules.pack_rule_bits([3, 6, 8], [2, 4, 5]),
-        rules.pack_rule_bits([3, 6, 7, 8], [3, 4, 6, 7, 8]),
-        rules.pack_rule_bits([3], [0, 2, 3]),
-        rules.pack_rule_bits([2], [0]),
-    ]
+    from carle_tpu.evaluation.eval import DEFAULT_RULES
+
+    battery = [rules.pack_rule_bits(b, s) for b, s in DEFAULT_RULES]
 
     # ---- parity: packed kernel, small shape ----
     from carle_tpu.ops.bitpack import bit_multi_step, pack_grid, unpack_grid

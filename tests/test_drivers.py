@@ -492,3 +492,49 @@ def test_supervisor_recovers_from_injected_crash(tmp_path):
     assert done["completed_segments"] == 8
     relaunch = [e for e in events if e["supervisor"] == "launch"][-1]
     assert relaunch["skip_segments"] >= 2
+
+
+def test_supervisor_clears_stale_progress(tmp_path):
+    """A leftover progress.json from a PREVIOUS run must not fast-forward a
+    new run past its segments: without --resume the supervisor clears it and
+    trains from segment 0; with --resume it honors the file."""
+    import json
+    import subprocess
+    import sys
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    log_dir = tmp_path / "logs"
+    log_dir.mkdir()
+    # stale file claiming everything is already done (1 epoch x 4 rules = 4)
+    (log_dir / "progress.json").write_text(
+        json.dumps({"completed_segments": 4})
+    )
+    tiny = ["--platform", "cpu", "--instances", "2", "--epochs", "1",
+            "--steps-per-rule", "4", "--batch-size", "4", "--size", "64",
+            "--mesh", "off"]
+    proc = subprocess.run(
+        [sys.executable, "scripts/train_supervisor.py",
+         "--log-dir", str(log_dir), "--max-restarts", "0"] + tiny,
+        cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    events = [json.loads(line) for line in proc.stdout.splitlines()
+              if line.startswith('{"supervisor"')]
+    kinds = [e["supervisor"] for e in events]
+    assert "cleared_stale_progress" in kinds
+    launch = [e for e in events if e["supervisor"] == "launch"][0]
+    assert launch["skip_segments"] == 0  # trained from scratch
+    assert events[-1]["completed_segments"] == 4
+
+    # --resume honors the (now complete) progress file: the child skips all
+    # segments and exits immediately
+    proc2 = subprocess.run(
+        [sys.executable, "scripts/train_supervisor.py",
+         "--log-dir", str(log_dir), "--max-restarts", "0", "--resume"] + tiny,
+        cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc2.returncode == 0, proc2.stdout + proc2.stderr
+    events2 = [json.loads(line) for line in proc2.stdout.splitlines()
+               if line.startswith('{"supervisor"')]
+    assert events2[0]["supervisor"] == "launch"
+    assert events2[0]["skip_segments"] == 4

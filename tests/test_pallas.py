@@ -195,6 +195,44 @@ def test_cm_kernel_parity(rules_bs):
                                   np.asarray(ref))
 
 
+def test_cm_kernel_vector_rules_parity():
+    """Per-instance rule VECTORS through the column-major data kernel: each
+    instance must evolve under its own rule, matching per-instance runs of
+    the row-major XLA packed engine."""
+    import numpy as np
+
+    from carle_tpu.ops.bitpack import (
+        bit_multi_step, pack_grid, pack_grid_cm, unpack_grid, unpack_grid_cm,
+    )
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_cm
+    from carle_tpu import rules as rules_mod
+
+    battery = [([3], [2, 3]), ([3, 6, 8], [2, 4, 5]), ([2], [0])]
+    rng = np.random.RandomState(7)
+    grid = (rng.rand(3, 128, 256) < 0.33).astype(np.uint8)
+    bits_vec = jnp.asarray(
+        [rules_mod.pack_rule_bits(b, s) for b, s in battery], jnp.int32
+    )
+
+    refs = [
+        np.asarray(unpack_grid(
+            bit_multi_step(
+                pack_grid(jnp.asarray(grid[i:i + 1])),
+                jnp.asarray(rules_mod.pack_rule_bits(b, s)), 5,
+            ),
+            256,
+        ))[0]
+        for i, (b, s) in enumerate(battery)
+    ]
+    with pltpu.force_tpu_interpret_mode():
+        out = bit_multi_step_pallas_cm(
+            pack_grid_cm(jnp.asarray(grid)), bits_vec, jnp.asarray(5)
+        )
+    np.testing.assert_array_equal(
+        np.asarray(unpack_grid_cm(out, 128)), np.stack(refs)
+    )
+
+
 def test_step_kernel_vector_rules_parity():
     """Per-instance rule vectors run through the fused per-step kernel
     (vector rules used to fall back to the XLA roll-sum path)."""

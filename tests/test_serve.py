@@ -67,6 +67,27 @@ def test_score_multi_seed(server):
     assert status == 200, body
     assert len(body["per_seed"]) == 2
     assert body["score"] == pytest.approx(float(np.mean(body["per_seed"])))
+    # per_ruleset is seed-AVERAGED: its mean must reproduce the multi-seed
+    # score, not the last seed's battery
+    assert len(body["per_ruleset"]) == 5
+    assert float(np.mean(body["per_ruleset"])) == pytest.approx(
+        body["score"], rel=1e-6
+    )
+
+
+def test_score_sequential_per_ruleset(server):
+    # the non-batched path returns a per-STEP trace internally; the daemon
+    # must still report the documented contract — 5 per-ruleset means whose
+    # average is the score
+    status, body = _post(
+        server + "/score",
+        {"agent": "random", "steps": 8, "batched": False},
+    )
+    assert status == 200, body
+    assert len(body["per_ruleset"]) == 5
+    assert float(np.mean(body["per_ruleset"])) == pytest.approx(
+        body["score"], rel=1e-6
+    )
 
 
 def test_rollout_soup_and_rle(server):

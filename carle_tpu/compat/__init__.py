@@ -1,0 +1,55 @@
+"""Drop-in facade for the reference ``carle`` package.
+
+A user of riveSunder/carle can point their existing code — including the
+reference repo's own unittest suite — at this framework without touching a
+line of it: the facade classes return **torch tensors** from ``reset``/
+``step``/``forward`` (the reference's wire types) while every computation
+runs on the TPU-native JAX engines underneath.
+
+Usage::
+
+    import carle_tpu.compat as compat
+    compat.install()                 # registers the "carle" module aliases
+
+    from carle.env import CARLE      # now served by carle_tpu
+    from carle.mcl import PredictionBonus, get_glider
+
+``install()`` takes precedence over any real ``carle`` package on sys.path
+(the alias is a sys.modules entry); ``uninstall()`` removes the aliases so
+the genuine reference can be imported again (used by the parity tests).
+
+Proof of fidelity: tests/test_compat.py runs the REFERENCE repo's own
+``tests/test_env.py`` + ``tests/test_mcl.py`` against this facade in a
+fresh process — they pass unmodified (reference tests/test_env.py:8-67,
+tests/test_mcl.py:10-101).
+"""
+
+from __future__ import annotations
+
+import sys
+
+from . import agents, env, mcl  # noqa: F401  (exposed as carle.* submodules)
+
+
+def _aliases() -> dict:
+    return {
+        "carle": sys.modules[__name__],
+        "carle.env": env,
+        "carle.mcl": mcl,
+        "carle.agents": agents,
+    }
+
+
+def install() -> "object":
+    """Register this package as the ``carle`` module (and submodules)."""
+    for name, mod in _aliases().items():
+        sys.modules[name] = mod
+    return sys.modules[__name__]
+
+
+def uninstall() -> None:
+    """Remove the aliases installed by :func:`install` (only entries that
+    still point at this facade are touched)."""
+    for name, mod in _aliases().items():
+        if sys.modules.get(name) is mod:
+            sys.modules.pop(name, None)

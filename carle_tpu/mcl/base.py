@@ -274,6 +274,13 @@ class Motivator:
             patch = self.inner_env._coerce_action(action)
             self._key, sub = jax.random.split(self._key)
             ctx = self._make_ctx(prev_grid, obs, patch, sub)
+            # the inner env may be a torch-returning compat facade
+            # (carle_tpu/compat): coerce its reward before the jitted apply
+            # (jax arrays pass through untouched — no host sync)
+            if hasattr(reward, "detach"):
+                reward = jnp.asarray(
+                    reward.detach().cpu().numpy(), jnp.float32
+                )
             self._wstate, reward = self._jit_apply(self._wstate, ctx, reward)
         return obs, reward, done, info
 

@@ -1,0 +1,75 @@
+"""The REFERENCE repo's own unittest suite must pass against the facade.
+
+carle_tpu.compat registers this framework under the ``carle`` module name
+with torch-tensor returns; the strongest drop-in proof is running the
+reference's unmodified test files (reference tests/test_env.py:8-67,
+tests/test_mcl.py:10-101) against it.  A fresh subprocess keeps the
+sys.modules aliases away from this process's parity tests (which import
+the GENUINE reference package).
+"""
+
+import os
+import subprocess
+import sys
+
+REFERENCE_TESTS = "/root/reference/tests"
+
+_RUNNER = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import carle_tpu.compat as compat
+compat.install()
+
+import importlib.util
+import sys
+import unittest
+
+suite = unittest.TestSuite()
+loader = unittest.TestLoader()
+for name in ("test_env", "test_mcl"):
+    path = "%s/" + name + ".py"
+    spec = importlib.util.spec_from_file_location("ref_" + name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    suite.addTests(loader.loadTestsFromModule(mod))
+
+result = unittest.TextTestRunner(verbosity=2).run(suite)
+assert result.testsRun == 4, result.testsRun
+sys.exit(0 if result.wasSuccessful() else 1)
+""" % (REFERENCE_TESTS,)
+
+
+def test_reference_suite_passes_against_facade(tmp_path):
+    if not os.path.isdir(REFERENCE_TESTS):
+        import pytest
+
+        pytest.skip("reference checkout not present")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "-c", _RUNNER],
+        cwd=repo, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    # all four reference cases, none skipped
+    assert "Ran 4 tests" in proc.stderr, proc.stderr
+
+
+def test_install_uninstall_roundtrip():
+    """install() aliases carle -> carle_tpu.compat; uninstall() restores the
+    ability to import the genuine reference package."""
+    import carle_tpu.compat as compat
+
+    compat.install()
+    try:
+        import carle
+
+        assert carle is compat
+        from carle.env import CARLE as FacadeCARLE
+
+        from carle_tpu.compat.env import CARLE as DirectCARLE
+
+        assert FacadeCARLE is DirectCARLE
+    finally:
+        compat.uninstall()
+    assert "carle" not in sys.modules or sys.modules["carle"] is not compat

@@ -28,7 +28,7 @@ from __future__ import annotations
 
 import sys
 
-from . import agents, env, mcl  # noqa: F401  (exposed as carle.* submodules)
+from . import agents, env, mcl, train_mcl  # noqa: F401  (carle.* submodules)
 
 
 def _aliases() -> dict:
@@ -37,6 +37,7 @@ def _aliases() -> dict:
         "carle.env": env,
         "carle.mcl": mcl,
         "carle.agents": agents,
+        "carle.train_mcl": train_mcl,
     }
 
 

@@ -174,12 +174,20 @@ def train(
         rnd2d_def(config, batch_size=batch_size, fused_head=fused_arg),
         ae2d_def(config, batch_size=batch_size, fused_head=fused_arg),
     ]
-    agent = (agent_fn or make_random_agent)(
-        action_width=config.eff_action_width,
-        action_height=config.eff_action_height,
-    ) if agent_fn else make_random_agent(
-        config.eff_action_width, config.eff_action_height
-    )
+    if agent_fn is None:
+        agent = make_random_agent(
+            config.eff_action_width, config.eff_action_height
+        )
+    else:
+        built = agent_fn(
+            action_width=config.eff_action_width,
+            action_height=config.eff_action_height,
+        )
+        # reference-style class agents (shells, incl. the compat facades)
+        # carry their functional policy as ._agent; functional Agents pass
+        # through — so train(agent_fn=RandomAgent) works like the
+        # reference's train(agent_fn, ...) contract (train_mcl.py:41-45)
+        agent = getattr(built, "_agent", built)
 
     ro = Rollout(config, wrapper_defs, agent)
     carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE)

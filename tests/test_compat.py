@@ -73,3 +73,24 @@ def test_install_uninstall_roundtrip():
     finally:
         compat.uninstall()
     assert "carle" not in sys.modules or sys.modules["carle"] is not compat
+
+
+def test_train_facade_accepts_reference_agent_class(tmp_path):
+    """``carle.train_mcl.train(RandomAgent, ...)`` — the reference driver
+    contract (reference train_mcl.py:15-45) — runs on the native trainer."""
+    import numpy as np
+
+    import carle_tpu.compat as compat
+
+    compat.install()
+    try:
+        from carle.train_mcl import train
+        from carle.agents import RandomAgent
+
+        hist = train(RandomAgent, instances=2, steps=[1, 4],
+                     rules=[[[3], [2, 3]]], height=64, width=64,
+                     batch_size=4, log_dir=str(tmp_path), mesh=False)
+        assert np.asarray(hist).shape == (4,)
+        assert np.all(np.isfinite(np.asarray(hist)))
+    finally:
+        compat.uninstall()

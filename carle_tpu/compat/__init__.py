@@ -41,16 +41,36 @@ def _aliases() -> dict:
     }
 
 
+# genuine modules displaced by install(), restored by uninstall() — a
+# process that imported the real reference first (e.g. the parity tests)
+# must get ITS module objects back, not re-executed copies with new class
+# identities
+_DISPLACED: dict = {}
+
+
 def install() -> "object":
-    """Register this package as the ``carle`` module (and submodules)."""
+    """Register this package as the ``carle`` module (and submodules),
+    stashing any genuine ``carle*`` modules already imported so
+    :func:`uninstall` can restore them."""
     for name, mod in _aliases().items():
+        existing = sys.modules.get(name)
+        if existing is not None and existing is not mod \
+                and name not in _DISPLACED:
+            _DISPLACED[name] = existing
         sys.modules[name] = mod
     return sys.modules[__name__]
 
 
 def uninstall() -> None:
-    """Remove the aliases installed by :func:`install` (only entries that
-    still point at this facade are touched)."""
+    """Undo :func:`install`: restore any displaced genuine modules, else
+    drop the alias (only entries still pointing at this facade are
+    touched)."""
     for name, mod in _aliases().items():
         if sys.modules.get(name) is mod:
-            sys.modules.pop(name, None)
+            displaced = _DISPLACED.pop(name, None)
+            if displaced is not None:
+                sys.modules[name] = displaced
+            else:
+                sys.modules.pop(name, None)
+        else:
+            _DISPLACED.pop(name, None)

@@ -27,6 +27,7 @@ import time
 from typing import Any, Callable, Dict, List, Optional, Sequence
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from . import rules as rules_mod
@@ -178,19 +179,27 @@ def train(
         agent = make_random_agent(
             config.eff_action_width, config.eff_action_height
         )
+        agent_params = None
     else:
-        built = agent_fn(
-            action_width=config.eff_action_width,
-            action_height=config.eff_action_height,
+        # reference-style class agents (shells, incl. the compat facades),
+        # instances, functional Agents, and (Agent, params) pairs all
+        # resolve through the eval harness's resolver — which passes ALL
+        # four dims (the reference contract, train_mcl.py:41-45) and keeps
+        # the built instance's own params (a seeded RandomNetworkAgent's
+        # identity IS its frozen weights)
+        from .evaluation.eval import _resolve_fused_agent
+
+        agent, agent_params = _resolve_fused_agent(
+            agent_fn, None, None, config, 0.1, seed
         )
-        # reference-style class agents (shells, incl. the compat facades)
-        # carry their functional policy as ._agent; functional Agents pass
-        # through — so train(agent_fn=RandomAgent) works like the
-        # reference's train(agent_fn, ...) contract (train_mcl.py:41-45)
-        agent = getattr(built, "_agent", built)
+        if agent_params is not None:
+            # Rollout donates its carry; don't let the scan consume the
+            # shell instance's own param buffers
+            agent_params = jax.tree.map(jnp.copy, agent_params)
 
     ro = Rollout(config, wrapper_defs, agent)
-    carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE)
+    carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE,
+                    agent_params=agent_params)
 
     if resume_from:
         wstates = tuple(

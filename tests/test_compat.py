@@ -94,3 +94,91 @@ def test_train_facade_accepts_reference_agent_class(tmp_path):
         assert np.all(np.isfinite(np.asarray(hist)))
     finally:
         compat.uninstall()
+
+
+def test_train_facade_network_agent_non_default_size(tmp_path):
+    """The class-agent path must pass ALL four dims (the reference contract
+    train_mcl.py:41-45): a RandomNetworkAgent sizes its dense layer from the
+    observation dims, so a 64x64 universe crashes if they are defaulted."""
+    import numpy as np
+
+    from carle_tpu.agents import RandomNetworkAgent
+    from carle_tpu.train_mcl import train
+
+    hist = train(RandomNetworkAgent, instances=2, steps=[1, 4],
+                 rules=[[[3], [2, 3]]], height=64, width=64,
+                 batch_size=4, log_dir=str(tmp_path), mesh=False)
+    assert np.asarray(hist).shape == (4,)
+    assert np.all(np.isfinite(np.asarray(hist)))
+
+
+def test_train_uses_provided_agent_params(tmp_path):
+    """train() must drive the agent spec's OWN params (resolver + explicit
+    ``agent_params`` into the rollout carry), not re-drawn ones: a
+    params-dependent policy run with two different param payloads must
+    produce different reward histories.  (A seeded RandomNetworkAgent can't
+    discriminate here: bias-free nets act identically — not at all — on the
+    empty post-reset universe, in the reference too.)"""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from carle_tpu.agents import Agent
+    from carle_tpu.train_mcl import train
+
+    def apply(params, key, obs):
+        del key
+        return jnp.broadcast_to(
+            params["patch"][None, None], (obs.shape[0], 1, 64, 64)
+        ).astype(jnp.float32)
+
+    agent = Agent(
+        init=lambda k: {"patch": jnp.zeros((64, 64), jnp.float32)},
+        apply=apply,
+    )
+    glider = jnp.zeros((64, 64), jnp.float32)
+    glider = glider.at[30, 31].set(1).at[31, 32].set(1).at[32, 30:33].set(1)
+
+    def run(tag, patch):
+        return np.asarray(train(
+            (agent, {"patch": patch}), instances=2, steps=[1, 4],
+            rules=[[[3], [2, 3]]], height=64, width=64,
+            batch_size=4, log_dir=str(tmp_path / tag), mesh=False, seed=0,
+        ))
+
+    h0 = run("empty", jnp.zeros((64, 64), jnp.float32))
+    h1 = run("glider", glider)
+    assert not np.allclose(h0, h1)
+
+
+def test_install_restores_displaced_genuine_modules():
+    """If the genuine reference was imported first, uninstall() must restore
+    the SAME module objects (class identities survive the roundtrip)."""
+    import types
+
+    if "skimage" not in sys.modules:  # reference frame export needs it
+        _sk = types.ModuleType("skimage")
+        _sk_io = types.ModuleType("skimage.io")
+        _sk_io.imsave = lambda *a, **k: None
+        _sk.io = _sk_io
+        sys.modules["skimage"] = _sk
+        sys.modules["skimage.io"] = _sk_io
+    sys.path.insert(0, "/root/reference")
+    try:
+        import carle as genuine_carle
+        import carle.env as genuine_env
+
+        assert "carle_tpu" not in getattr(genuine_carle, "__file__", "")
+
+        import carle_tpu.compat as compat
+
+        compat.install()
+        import carle
+
+        assert carle is compat
+        compat.uninstall()
+        import carle
+
+        assert carle is genuine_carle
+        assert sys.modules["carle.env"] is genuine_env
+    finally:
+        sys.path.remove("/root/reference")

@@ -205,6 +205,8 @@ class Motivator:
     def batch_size(self) -> int:
         if self._wstate is not None and hasattr(self._wstate, "batch_size"):
             return int(self._wstate.batch_size)
+        if hasattr(self, "_batch_size_attr"):
+            return self._batch_size_attr
         raise AttributeError(f"{type(self).__name__} has no batch_size")
 
     @batch_size.setter
@@ -214,7 +216,11 @@ class Motivator:
                 batch_size=jnp.asarray(value, dtype=jnp.int32)
             )
         else:
-            raise AttributeError(f"{type(self).__name__} has no batch_size")
+            # non-learning wrappers have no batch_size in their state; keep
+            # the assignment as an inert attribute — torch modules accept
+            # arbitrary attributes, and the reference eval harness sets
+            # batch_size on EVERY wrapper in the stack (eval.py:45)
+            self._batch_size_attr = int(value)
 
     # -- rule proxies (mcl.py:49-64) --------------------------------------
     @property

@@ -150,6 +150,64 @@ def test_train_uses_provided_agent_params(tmp_path):
     assert not np.allclose(h0, h1)
 
 
+_EVAL_RUNNER = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+
+import sys
+sys.path.insert(0, "/root/repo")        # carle_tpu
+sys.path.insert(0, "/root/reference")   # the reference's evaluation package
+
+import carle_tpu.compat as compat
+compat.install()                         # "carle" now serves carle_tpu
+
+import importlib.util
+spec = importlib.util.spec_from_file_location(
+    "ref_eval", "/root/reference/evaluation/eval.py")
+ref_eval = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(ref_eval)        # imports carle.* via the facade
+
+from carle.mcl import RND2D, SpeedDetector, PufferDetector
+
+# the shipped .pt was saved on CUDA; the reference script's bare
+# torch.load cannot read it on a CPU-only box (it fails identically
+# against the genuine reference package) — re-save a CPU copy so the
+# UNMODIFIED evaluate() can load it
+import torch
+sd = torch.load("/root/reference/evaluation/RND2D_mcl.pt",
+                weights_only=True, map_location="cpu")
+torch.save(sd, "RND2D_cpu.pt")
+
+wrappers = [
+    [RND2D, 1.0, "RND2D_cpu.pt"],
+    [SpeedDetector, 1e-2, None],
+    [PufferDetector, 1e-3, None],
+]
+rules = [[[3], [2, 3]], [[2], [0]]]
+score, trace = ref_eval.evaluate(
+    ref_eval.SubmissionAgent, rules, wrappers, params_path=None, steps=4)
+assert len(trace) == 8, len(trace)
+import numpy as np
+assert np.isfinite(float(score)), score
+print("REF_EVAL_SCORE", float(score))
+"""
+
+
+def test_reference_eval_harness_runs_on_facade(tmp_path):
+    """The reference's OWN evaluation/eval.py::evaluate — its challenge
+    scoring script, torch checkpoint loading and all (reference
+    eval.py:17-79) — runs against the facade: wrapper stacking,
+    reward_scale/batch_size assignment on every wrapper, .pt state dicts,
+    eval() mode, torch-tensor rewards."""
+    proc = subprocess.run(
+        [sys.executable, "-c", _EVAL_RUNNER],
+        cwd=str(tmp_path),  # neither repo's root: imports must self-resolve
+        capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "REF_EVAL_SCORE" in proc.stdout
+
+
 def test_install_restores_displaced_genuine_modules():
     """If the genuine reference was imported first, uninstall() must restore
     the SAME module objects (class identities survive the roundtrip)."""

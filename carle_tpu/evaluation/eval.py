@@ -446,6 +446,7 @@ def evaluate_fused_batched(
     toggle_rate: float = 0.1,
     verbose: bool = True,
     agent_params: Any = None,
+    replicas: int = 1,
 ) -> Tuple[float, np.ndarray]:
     """The whole battery as ONE batch: every ruleset becomes an env instance
     carrying its own 18-bit rule mask (per-instance rules — rules are data,
@@ -463,6 +464,12 @@ def evaluate_fused_batched(
     carry-over and the agent RNG stream — use the sequential path for
     published numbers and this one for fast scoring in training loops.
 
+    ``replicas > 1`` runs that many INDEPENDENT copies of the battery as
+    additional instances in the same scan (per-instance agent RNG makes
+    each copy an independent sample) — error bars from one compiled
+    program instead of a seeds loop.  ``per_rule`` is then averaged over
+    replicas.
+
     Returns (mean score, per-ruleset mean scores [len(rules)]).
     """
     import jax
@@ -477,7 +484,8 @@ def evaluate_fused_batched(
     if wrappers is None:
         wrappers = DEFAULT_WRAPPERS
 
-    config = EnvConfig(instances=len(rules))
+    replicas = max(1, int(replicas))
+    config = EnvConfig(instances=len(rules) * replicas)
     agent_fn, loaded_params = _resolve_fused_agent(
         Agent, params_path, agent_params, config, toggle_rate, seed
     )
@@ -510,7 +518,7 @@ def evaluate_fused_batched(
                 rs[0], rs[0] if reference_compat else rs[1]
             )
             for rs in rules
-        ],
+        ] * replicas,
         dtype=jnp.int32,
     )
     env = carry.stack.env._replace(rule_bits=bits)
@@ -518,7 +526,9 @@ def evaluate_fused_batched(
     carry, _ = ro.reset(carry)
     carry, rewards = ro.run(carry, num_steps=steps)
 
-    per_rule = np.asarray(rewards.sum(axis=(0, 2))) / steps  # [len(rules)]
+    per_inst = np.asarray(rewards.sum(axis=(0, 2))) / steps
+    # [replicas, len(rules)] -> replica-averaged battery
+    per_rule = per_inst.reshape(replicas, len(rules)).mean(axis=0)
     score = float(per_rule.mean())
     if verbose:
         for rs, v in zip(rules, per_rule):

@@ -16,7 +16,9 @@ Endpoints (JSON in/out):
   POST /score           {"agent": "random"|"network"|"policy",
                          "params_path": str|null, "steps": int,
                          "seed": int, "seeds": [int, ...],
-                         "batched": bool, "toggle_rate": float}
+                         "batched": bool, "toggle_rate": float,
+                         "replicas": int (batched only: N independent
+                          battery copies inside ONE scan)}
                         -> {"score", "per_ruleset" (seed-averaged mean
                             reward/step per battery ruleset, both paths),
                             "per_seed" (multi-seed only), "latency_s"}
@@ -94,6 +96,10 @@ def _score(body: Dict[str, Any]) -> Dict[str, Any]:
         reference_compat=bool(body.get("reference_compat", True)),
         verbose=False,
     )
+    if batched:
+        # N independent battery copies as extra instances of the SAME scan
+        # (error bars without a seeds loop)
+        kwargs["replicas"] = int(body.get("replicas", 1))
     t0 = time.perf_counter()
     scores, per_rules = [], []
     for s in seeds:

@@ -318,6 +318,26 @@ def test_evaluate_fused_batched_matches_sequential_scale():
     np.testing.assert_allclose(score_b, per_rule.mean())
 
 
+def test_evaluate_fused_batched_replicas():
+    """``replicas=N`` tiles the battery N times inside one scan.  With a
+    DETERMINISTIC agent every replica is identical, so the replica-averaged
+    per-rule scores must exactly equal the single-replica ones (checks the
+    rule-vector tiling and the [replicas, rules] reduction)."""
+    from carle_tpu.agents import RandomNetworkAgent
+    from carle_tpu.evaluation.eval import evaluate_fused_batched
+    from carle_tpu.mcl import CornerBonus, ParsimonyBonus
+
+    rules = [[[3], [2, 3]], [[3, 6, 8], [2, 4, 5]]]
+    wrappers = [[CornerBonus, 1e-3, None], [ParsimonyBonus, 1.0, None]]
+    kw = dict(Agent=RandomNetworkAgent, rules=rules, wrappers=wrappers,
+              steps=6, verbose=False, seed=3)
+    s1, pr1 = evaluate_fused_batched(replicas=1, **kw)
+    s3, pr3 = evaluate_fused_batched(replicas=3, **kw)
+    assert pr3.shape == (2,)
+    np.testing.assert_allclose(pr3, pr1, rtol=1e-6)
+    np.testing.assert_allclose(s3, s1, rtol=1e-6)
+
+
 def test_evaluate_fused_does_not_consume_caller_params():
     """Repeated evaluate_fused calls with the SAME params object must work —
     the fused runner donates its carry, so the harness copies externally

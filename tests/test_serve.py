@@ -75,6 +75,20 @@ def test_score_multi_seed(server):
     )
 
 
+def test_score_batched_replicas(server):
+    # N independent battery copies inside one scan; per_ruleset is
+    # replica-averaged and its mean still reproduces the score
+    status, body = _post(
+        server + "/score",
+        {"agent": "random", "steps": 8, "replicas": 3},
+    )
+    assert status == 200, body
+    assert len(body["per_ruleset"]) == 5
+    assert float(np.mean(body["per_ruleset"])) == pytest.approx(
+        body["score"], rel=1e-6
+    )
+
+
 def test_score_sequential_per_ruleset(server):
     # the non-batched path returns a per-STEP trace internally; the daemon
     # must still report the documented contract — 5 per-ruleset means whose

@@ -76,11 +76,15 @@ def shard_carry_spatial(
     committing with both helpers' specs; for the shipped single-axis mode
     this helper alone is sufficient.
     """
-    if config.backend not in ("xla", "auto"):
+    from ..ops.ca import resolve_backend
+
+    # resolve first: "auto" means pallas on TPU — exactly the path GSPMD
+    # cannot partition — while CPU tests would green-light it
+    if resolve_backend(config.backend) != "xla":
         raise ValueError(
             "spatial env mode requires the XLA backend (GSPMD cannot "
-            f"partition the '{config.backend}' Pallas path; see module "
-            "docstring)"
+            f"partition the '{config.backend}' Pallas path — set "
+            "EnvConfig(backend='xla'); see module docstring)"
         )
     return jax.tree.map(
         lambda leaf: jax.device_put(

@@ -195,3 +195,64 @@ def test_bitpack_pallas_vector_rules_parity():
             np.asarray(unpack_grid(out, 256)), np.asarray(ref),
             err_msg=f"scheme {scheme}",
         )
+
+
+@pytest.mark.parametrize("rule_seed", [11, 22, 33, 44])
+def test_random_rule_cross_engine_fuzz(rule_seed):
+    """Random 18-bit rules (the FULL B/S space, including B0 and S8 edge
+    semantics) through every engine: uint8 XLA oracle vs packed XLA vs the
+    packed Pallas kernels (data + static, row-major and column-major), all
+    bit-exact over multi-step runs."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from carle_tpu.ops.bitpack import (
+        bit_multi_step_static, pack_grid_cm, unpack_grid_cm,
+    )
+    from carle_tpu.ops.ca import ca_step_grid
+    from carle_tpu.ops.pallas_bitpack import (
+        bit_multi_step_pallas,
+        bit_multi_step_pallas_cm,
+        bit_multi_step_pallas_static,
+        bit_multi_step_pallas_static_cm,
+    )
+
+    rng = np.random.RandomState(rule_seed)
+    bits = int(rng.randint(0, 1 << 18))
+    birth, survive = rules.unpack_rule_bits(bits)
+    grid = (rng.rand(2, 64, 128) < 0.4).astype(np.uint8)
+    steps = 4
+
+    # uint8 XLA oracle
+    g = jnp.asarray(grid)
+    for _ in range(steps):
+        g = ca_step_grid(g, bits)
+    oracle = np.asarray(g)
+
+    packed = pack_grid(jnp.asarray(grid))
+    outs = {
+        "bitpack-xla": unpack_grid(
+            bit_multi_step(packed, jnp.asarray(bits), steps), 128),
+        "bitpack-xla-static": unpack_grid(
+            bit_multi_step_static(packed, tuple(birth), tuple(survive),
+                                  steps), 128),
+    }
+    pcm = pack_grid_cm(jnp.asarray(grid))
+    with pltpu.force_tpu_interpret_mode():
+        outs["pallas-data-vc"] = unpack_grid(
+            bit_multi_step_pallas(packed, jnp.asarray(bits),
+                                  jnp.asarray(steps), scheme="vc"), 128)
+        outs["pallas-static-vc"] = unpack_grid(
+            bit_multi_step_pallas_static(packed, tuple(birth),
+                                         tuple(survive), jnp.asarray(steps),
+                                         scheme="vc"), 128)
+        outs["pallas-data-cm"] = unpack_grid_cm(
+            bit_multi_step_pallas_cm(pcm, jnp.asarray(bits),
+                                     jnp.asarray(steps)), 64)
+        outs["pallas-static-cm"] = unpack_grid_cm(
+            bit_multi_step_pallas_static_cm(pcm, tuple(birth),
+                                            tuple(survive),
+                                            jnp.asarray(steps)), 64)
+    for name, out in outs.items():
+        np.testing.assert_array_equal(
+            np.asarray(out), oracle, err_msg=f"{name} rule={bits:#x}"
+        )

@@ -1,6 +1,7 @@
 """Fused rollout + checkpoint tests."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -229,3 +230,32 @@ def test_run_logged_with_per_instance_rules(tmp_path):
     )
     pat = rle.parse_rle_text(rle.read_log(path)[-1][1])
     assert pat.birth == [3, 6, 8] and pat.survive == [2, 4, 5]
+
+
+@pytest.mark.parametrize("stack_seed", [1, 2, 3])
+def test_random_wrapper_stack_fuzz(stack_seed):
+    """Random subsets and ORDERS of all ten wrapper classes composed into
+    one fused rollout: any eval-spec stack must build, run, and produce
+    finite rewards (composition order is user-controlled in the reference
+    harness and never restricted)."""
+    from carle_tpu.evaluation.eval import _fused_wrapper_factory
+    from carle_tpu.agents import make_random_agent
+
+    config = EnvConfig(height=64, width=64, action_height=16,
+                       action_width=16, instances=2)
+    factory = _fused_wrapper_factory(config)
+    rng = np.random.RandomState(stack_seed)
+    classes = list(factory.keys())
+    k = int(rng.randint(2, len(classes) + 1))
+    picked = [classes[i] for i in rng.permutation(len(classes))[:k]]
+    defs = [factory[cls](0.1) for cls in picked]
+
+    ro = Rollout(config, defs,
+                 make_random_agent(config.eff_action_width,
+                                   config.eff_action_height))
+    carry = ro.init(jax.random.PRNGKey(stack_seed), rules.LIFE)
+    carry, _ = ro.reset(carry)
+    carry, rewards = ro.run(carry, num_steps=6)
+    r = np.asarray(rewards)
+    assert r.shape == (6, 2, 1)
+    assert np.all(np.isfinite(r)), [c.__name__ for c in picked]

@@ -256,3 +256,23 @@ def test_random_rule_cross_engine_fuzz(rule_seed):
         np.testing.assert_array_equal(
             np.asarray(out), oracle, err_msg=f"{name} rule={bits:#x}"
         )
+
+
+def test_gosper_gun_population_golden():
+    """Gosper glider gun (shipped patterns/gosper_gun.rle): 36 cells, and
+    the population grows by EXACTLY 5 per 30-generation period (one glider
+    per period, no collisions at this placement) — an external-truth golden
+    for long-horizon dynamics, checked through the packed engine."""
+    from carle_tpu.mcl.patterns import pattern_path
+    from carle_tpu.rle import read_rle
+
+    pat = read_rle(pattern_path("gosper_gun"))
+    assert int(pat.grid.sum()) == 36
+    full = np.zeros((1, 256, 256), np.uint8)
+    full[0, 30:30 + pat.grid.shape[0], 30:30 + pat.grid.shape[1]] = pat.grid
+    packed = pack_grid(jnp.asarray(full))
+    for t in (30, 150, 300):
+        out = unpack_grid(
+            bit_multi_step(packed, jnp.asarray(rules.LIFE), t), 256
+        )
+        assert int(np.asarray(out).sum()) == 36 + 5 * (t // 30), t

@@ -287,8 +287,14 @@ class CARLE:
             action = action.detach().cpu().numpy()
         arr = np.asarray(jax.device_get(action) if isinstance(action, jax.Array) else action)
         arr = np.atleast_2d(arr)
-        while arr.ndim < 4:
-            arr = arr[None]
+        if arr.ndim == 2:
+            arr = arr[None, None]
+        elif arr.ndim == 3:
+            # [inst|1, H, W] (the functional core's layout): insert the
+            # channel axis at position 1, NOT the front — prepending would
+            # turn a batched 3-D action into [1, inst, H, W] and crash the
+            # final reshape for instances > 1.
+            arr = arr[:, None]
         ah, aw = self.action_height, self.action_width
         if arr.shape[2] > ah or arr.shape[3] > aw:
             # centre-crop from the action's own extent: identical to the
@@ -333,7 +339,7 @@ class CARLE:
         obs = self.universe
         reward = jnp.zeros((self.instances, 1), dtype=jnp.float32)
         done = jnp.zeros((self.instances, 1), dtype=jnp.float32)
-        info: List[Dict[str, Any]] = [{}] * self.instances
+        info: List[Dict[str, Any]] = [{} for _ in range(self.instances)]
         return obs, reward, done, info
 
     def render(self) -> None:
@@ -362,16 +368,21 @@ class CARLE:
     def read_rle(self, filepath: str) -> str:
         """Read an RLE file, adopt its ruleset, return the body text
         (reference read_rle, env.py:330-382 — ours parses the torus tag the
-        reference crashes on)."""
+        reference crashes on).  Returning the body keeps the reference's
+        ``rle_to_grid(env.read_rle(path))`` chain working (mcl.py:148-149);
+        the full decoded pattern is kept on ``self._last_pattern``."""
         pattern = rle_codec.read_rle(filepath)
         self.birth = pattern.birth
         self.survive = pattern.survive
         self._last_pattern = pattern
-        return pattern
+        return pattern.body
 
-    def rle_to_grid(self, rle_text: str) -> np.ndarray:
-        """Decode an RLE body/pattern string to a uint8 grid (reference
+    def rle_to_grid(self, rle_text: Any) -> np.ndarray:
+        """Decode an RLE body/pattern string (or an already-parsed
+        :class:`~carle_tpu.rle.RLEPattern`) to a uint8 grid (reference
         rle_to_grid, env.py:260-328; used by MorphoBonus via inner_env)."""
+        if isinstance(rle_text, rle_codec.RLEPattern):
+            return rle_text.grid
         pattern = rle_codec.parse_rle_text(rle_text)
         return pattern.grid
 
@@ -396,8 +407,8 @@ class CARLE:
         return [list(p) for p in rle_codec.read_log(filepath)]
 
     def load_universe(self, filepath: str, universe_index: int = 0) -> None:
-        pattern = self.read_rle(filepath)
-        g = pattern.grid
+        self.read_rle(filepath)
+        g = self._last_pattern.grid
         assert g.shape == (self.height, self.width), (
             f"tried to load the wrong size universe: {g.shape} vs "
             f"{(self.height, self.width)}"

@@ -314,6 +314,13 @@ def _resolve_fused_agent(
     from carle_tpu.agents import Agent as FnAgent, make_random_agent
 
     if Agent is None:
+        if params_path is not None:
+            raise ValueError(
+                "params_path was given but Agent=None scores the Bernoulli "
+                "random baseline, which has no parameters to load — pass the "
+                "agent class/instance the checkpoint belongs to (silently "
+                "scoring the wrong agent would be worse than this error)"
+            )
         return (
             make_random_agent(
                 config.eff_action_width, config.eff_action_height, toggle_rate
@@ -321,8 +328,21 @@ def _resolve_fused_agent(
             agent_params,
         )
     if isinstance(Agent, FnAgent):
+        if params_path is not None:
+            raise ValueError(
+                "params_path cannot be loaded into a bare functional Agent "
+                "(its param pytree structure is caller-defined) — load the "
+                "checkpoint yourself and pass agent_params, or pass an agent "
+                "class/instance with a load_state_dict"
+            )
         return Agent, agent_params
     if isinstance(Agent, tuple):
+        if params_path is not None or agent_params is not None:
+            raise ValueError(
+                "an (Agent, params) pair already carries its parameters — "
+                "params_path/agent_params would be silently ignored; pass "
+                "one source of parameters only"
+            )
         fn, p = Agent
         return fn, p
 

@@ -36,11 +36,14 @@ class SpeedState(NamedTuple):
 
 def _masked_weights(config: EnvConfig) -> Tuple[np.ndarray, np.ndarray]:
     h, w = config.height, config.width
-    # mcl.py:739-742: mass_weight_w spans columns with arange(height) and
-    # mass_weight_h spans rows with arange(width) — replicated verbatim
-    # (identical for the square universes the reference ships).
-    weight_w = np.broadcast_to(np.arange(h, dtype=np.float32)[None, :], (h, w))
-    weight_h = np.broadcast_to(np.arange(w, dtype=np.float32)[:, None], (h, w))
+    # mcl.py:739-742 builds mass_weight_w from arange(height) and
+    # mass_weight_h from arange(width) — an h/w swap that is identical for
+    # the square universes the reference ships and crashes it otherwise.
+    # Size each index vector to its own axis instead: bit-identical on
+    # square grids, and SpeedDetector works on the non-square universes the
+    # rest of this package supports.
+    weight_w = np.broadcast_to(np.arange(w, dtype=np.float32)[None, :], (h, w))
+    weight_h = np.broadcast_to(np.arange(h, dtype=np.float32)[:, None], (h, w))
 
     mask = np.ones((h, w), dtype=np.float32)
     r0, c0 = config.action_row_offset, config.action_col_offset

@@ -170,24 +170,19 @@ def _halo_multi_kernel(rule_ref, steps_ref, grid_ref, out_ref, halo_ref,
     jax.lax.fori_loop(0, steps_ref[0], one_generation, 0)
 
 
-def spatial_multi_step_pallas(
-    grid: jax.Array,
-    rule_bits: jax.Array,
-    num_steps,
-    mesh: Mesh,
-    axis_name: str = "space",
-    collective_id: int = 8,
-    interpret: bool = False,
-    detect_races: bool = False,
-) -> jax.Array:
-    """``num_steps`` generations of a row-sharded universe, one kernel launch
-    per device: per-generation halo RDMA rides ICI while interior rows
-    compute, and the local shard never leaves VMEM between generations."""
+@functools.lru_cache(maxsize=64)
+def _jitted_halo_multi(mesh: Mesh, axis_name: str, collective_id: int,
+                       interpret: bool, detect_races: bool):
+    """One jitted shard_map per (mesh, axis, kernel statics): a fresh
+    closure per call would re-trace (and re-hit the remote compiler on the
+    tunneled TPU) every invocation.  ``num_steps`` is a prefetch scalar, so
+    step-count changes don't recompile either."""
     interp = (
         pltpu.InterpretParams(detect_races=detect_races) if interpret else False
     )
 
-    def per_device(local: jax.Array, bits: jax.Array) -> jax.Array:
+    def per_device(local: jax.Array, bits: jax.Array,
+                   steps: jax.Array) -> jax.Array:
         inst, h_local, w = local.shape
         kernel = functools.partial(_halo_multi_kernel, axis_name=axis_name)
         return pl.pallas_call(
@@ -212,20 +207,35 @@ def spatial_multi_step_pallas(
                 has_side_effects=True, collective_id=collective_id
             ),
             interpret=interp,
-        )(
-            jnp.asarray(bits, jnp.int32).reshape(1),
-            jnp.asarray(num_steps, jnp.int32).reshape(1),
-            local,
-        )
+        )(bits.reshape(1), steps.reshape(1), local)
 
     fn = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(None, axis_name, None), P()),
+        in_specs=(P(None, axis_name, None), P(), P()),
         out_specs=P(None, axis_name, None),
         check_vma=False,
     )
-    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
+    return jax.jit(fn)
+
+
+def spatial_multi_step_pallas(
+    grid: jax.Array,
+    rule_bits: jax.Array,
+    num_steps,
+    mesh: Mesh,
+    axis_name: str = "space",
+    collective_id: int = 8,
+    interpret: bool = False,
+    detect_races: bool = False,
+) -> jax.Array:
+    """``num_steps`` generations of a row-sharded universe, one kernel launch
+    per device: per-generation halo RDMA rides ICI while interior rows
+    compute, and the local shard never leaves VMEM between generations."""
+    fn = _jitted_halo_multi(mesh, axis_name, collective_id, interpret,
+                            detect_races)
+    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32),
+              jnp.asarray(num_steps, dtype=jnp.int32))
 
 
 def _packed_row_update(padded: jax.Array, rule_bits: jax.Array) -> jax.Array:
@@ -336,11 +346,21 @@ def bit_spatial_multi_step_pallas(
     hardware caveat as the uint8 kernels above: interpreter-verified on this
     single-chip box; smoke on a real pod slice before relying on it.
     """
+    fn = _jitted_bit_halo_multi(mesh, axis_name, collective_id, interpret,
+                                detect_races)
+    return fn(packed, jnp.asarray(rule_bits, dtype=jnp.int32),
+              jnp.asarray(num_steps, dtype=jnp.int32))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_bit_halo_multi(mesh: Mesh, axis_name: str, collective_id: int,
+                           interpret: bool, detect_races: bool):
     interp = (
         pltpu.InterpretParams(detect_races=detect_races) if interpret else False
     )
 
-    def per_device(local: jax.Array, bits: jax.Array) -> jax.Array:
+    def per_device(local: jax.Array, bits: jax.Array,
+                   steps: jax.Array) -> jax.Array:
         inst, h_local, nwords = local.shape
         kernel = functools.partial(_bit_halo_multi_kernel, axis_name=axis_name)
         return pl.pallas_call(
@@ -365,20 +385,16 @@ def bit_spatial_multi_step_pallas(
                 has_side_effects=True, collective_id=collective_id
             ),
             interpret=interp,
-        )(
-            jnp.asarray(bits, jnp.int32).reshape(1),
-            jnp.asarray(num_steps, jnp.int32).reshape(1),
-            local,
-        )
+        )(bits.reshape(1), steps.reshape(1), local)
 
     fn = shard_map(
         per_device,
         mesh=mesh,
-        in_specs=(P(None, axis_name, None), P()),
+        in_specs=(P(None, axis_name, None), P(), P()),
         out_specs=P(None, axis_name, None),
         check_vma=False,
     )
-    return fn(packed, jnp.asarray(rule_bits, dtype=jnp.int32))
+    return jax.jit(fn)
 
 
 def spatial_ca_step_pallas(
@@ -398,6 +414,14 @@ def spatial_ca_step_pallas(
     the interpreter also checks the DMA schedule for data races (the
     auxiliary race-detection subsystem of this framework's kernel layer).
     """
+    fn = _jitted_halo_step(mesh, axis_name, collective_id, interpret,
+                           detect_races)
+    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
+
+
+@functools.lru_cache(maxsize=64)
+def _jitted_halo_step(mesh: Mesh, axis_name: str, collective_id: int,
+                      interpret: bool, detect_races: bool):
     interp = (
         pltpu.InterpretParams(detect_races=detect_races) if interpret else False
     )
@@ -427,7 +451,7 @@ def spatial_ca_step_pallas(
                 has_side_effects=True, collective_id=collective_id
             ),
             interpret=interp,
-        )(jnp.asarray(bits, jnp.int32).reshape(1), local)
+        )(bits.reshape(1), local)
 
     fn = shard_map(
         per_device,
@@ -436,4 +460,4 @@ def spatial_ca_step_pallas(
         out_specs=P(None, axis_name, None),
         check_vma=False,
     )
-    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
+    return jax.jit(fn)

@@ -14,7 +14,7 @@ math as ops/ca.py (parity-tested), different data movement.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
@@ -40,6 +40,21 @@ def _local_step(local: jax.Array, rule_bits: jax.Array, axis_name: str) -> jax.A
     return apply_rule(local, counts, rule_bits)
 
 
+@lru_cache(maxsize=64)
+def _jitted_spatial_step(mesh: Mesh, axis_name: str):
+    """One jitted shard_map instance per (mesh, axis) — a fresh shard_map
+    closure per call would re-trace (and on the tunneled TPU re-hit the
+    remote compiler) EVERY step; rules stay a traced argument so rule
+    changes don't recompile."""
+    fn = shard_map(
+        partial(_local_step, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None),
+    )
+    return jax.jit(fn)
+
+
 def spatial_ca_step(
     grid: jax.Array,
     rule_bits: jax.Array,
@@ -47,13 +62,25 @@ def spatial_ca_step(
     axis_name: str = "space",
 ) -> jax.Array:
     """One generation of a row-sharded universe [inst, H, W] (H sharded)."""
+    fn = _jitted_spatial_step(mesh, axis_name)
+    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
+
+
+@lru_cache(maxsize=64)
+def _jitted_spatial_multi(mesh: Mesh, axis_name: str, num_steps: int):
+    def local(g, rb):
+        def body(g, _):
+            return _local_step(g, rb, axis_name), None
+
+        return jax.lax.scan(body, g, length=num_steps)[0]
+
     fn = shard_map(
-        partial(_local_step, axis_name=axis_name),
+        local,
         mesh=mesh,
         in_specs=(P(None, axis_name, None), P()),
         out_specs=P(None, axis_name, None),
     )
-    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
+    return jax.jit(fn)
 
 
 def spatial_multi_step(
@@ -64,18 +91,10 @@ def spatial_multi_step(
     axis_name: str = "space",
 ) -> jax.Array:
     """``num_steps`` generations under one shard_map'd scan (halos exchanged
-    once per generation; no resharding between steps)."""
-
-    def body(g, _):
-        return _local_step(g, jnp.asarray(rule_bits, jnp.int32), axis_name), None
-
-    fn = shard_map(
-        lambda g: jax.lax.scan(body, g, length=num_steps)[0],
-        mesh=mesh,
-        in_specs=P(None, axis_name, None),
-        out_specs=P(None, axis_name, None),
-    )
-    return fn(grid)
+    once per generation; no resharding between steps).  The jitted program
+    is cached per (mesh, axis, num_steps); rules ride as data."""
+    fn = _jitted_spatial_multi(mesh, axis_name, num_steps)
+    return fn(grid, jnp.asarray(rule_bits, dtype=jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -114,6 +133,24 @@ def _bit_local_step(
     return _rule_mux(g, counts, rule_bits)
 
 
+@lru_cache(maxsize=64)
+def _jitted_bit_spatial_multi(mesh: Mesh, axis_name: str, num_steps: int,
+                              static_rules):
+    def local(g, rb):
+        def body(g, _):
+            return _bit_local_step(g, rb, axis_name, static_rules), None
+
+        return jax.lax.scan(body, g, length=num_steps)[0]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(None, axis_name, None), P()),
+        out_specs=P(None, axis_name, None),
+    )
+    return jax.jit(fn)
+
+
 def bit_spatial_multi_step(
     packed: jax.Array,
     rule_bits: jax.Array,
@@ -128,16 +165,11 @@ def bit_spatial_multi_step(
     ``static_rules=(birth, survive)`` trace-specializes the rule like
     :func:`~carle_tpu.ops.bitpack.bit_ca_step_static` (recompiles on rule
     change, ~16x fewer bitops for Life); the default keeps rules as data.
+    The jitted program is cached per (mesh, axis, num_steps, static rule).
     """
-    rb = jnp.asarray(rule_bits, dtype=jnp.int32)
-
-    def body(g, _):
-        return _bit_local_step(g, rb, axis_name, static_rules), None
-
-    fn = shard_map(
-        lambda g: jax.lax.scan(body, g, length=num_steps)[0],
-        mesh=mesh,
-        in_specs=P(None, axis_name, None),
-        out_specs=P(None, axis_name, None),
-    )
-    return fn(packed)
+    if static_rules is not None:
+        birth, survive = static_rules
+        static_rules = (tuple(int(d) for d in birth),
+                        tuple(int(d) for d in survive))
+    fn = _jitted_bit_spatial_multi(mesh, axis_name, num_steps, static_rules)
+    return fn(packed, jnp.asarray(rule_bits, dtype=jnp.int32))

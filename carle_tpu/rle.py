@@ -33,6 +33,8 @@ class RLEPattern:
     survive: List[int] = field(default_factory=lambda: [2, 3])
     torus: Optional[Tuple[int, int]] = None  # (height, width) from ':T{h}, {w}'
     comments: List[str] = field(default_factory=list)
+    body: str = ""  # raw run-length body text (what the reference's
+    #               read_rle returns, env.py:330-382)
 
 
 _HEADER_RE = re.compile(r"rule\s*=\s*([^,\n]+)", re.IGNORECASE)
@@ -174,10 +176,13 @@ def parse_rle_text(text: str) -> RLEPattern:
             if xym:
                 declared = (int(xym.group(2)), int(xym.group(1)))  # (h, w)
             continue
-        if seen_header:
-            body_lines.append(line)
-            if "!" in line:
-                break
+        # Everything after the header is body.  Headerless text (e.g. the
+        # body returned by read_rle, fed back through rle_to_grid the way
+        # the reference's MorphoBonus does, mcl.py:148-149) is ALL body —
+        # the reference's rle_to_grid likewise accepts bare run-length text.
+        body_lines.append(line)
+        if "!" in line:
+            break
 
     body = "\n".join(body_lines)
     if declared is None or declared[0] == 0 or declared[1] == 0:
@@ -187,7 +192,8 @@ def parse_rle_text(text: str) -> RLEPattern:
     if torus is not None:
         h, w = torus
     grid = decode_body(body, max(h, 1), max(w, 1))
-    return RLEPattern(grid=grid, birth=birth, survive=survive, torus=torus, comments=comments)
+    return RLEPattern(grid=grid, birth=birth, survive=survive, torus=torus,
+                      comments=comments, body=body)
 
 
 def _infer_extent(body: str) -> Tuple[int, int]:

@@ -3,10 +3,12 @@
 Config matches the driver target row: 256x256 universes, 4096-instance batch.
 The default hot path is the rule-specialized bit-packed Pallas kernel
 (ops/pallas_bitpack.py): 32 cells per uint32 word, rule constant-folded into
-the kernel, VMEM-resident for K generations per launch — measured 1.35e12
-cell-updates/s on one v5e chip (1352x the 1e9 target).  Other backends:
-bitpack-pallas (rules-as-data kernel, 1.01e12), pallas (uint8 kernel,
-1.84e11), bitpack (XLA, 1.72e11), xla (uint8 roll-sum, 3.3e10).
+the kernel, VMEM-resident for K generations per launch, vertical-first roll
+schedule with static concat lane shifts (the "vc" scheme) — measured 2.03e12
+cell-updates/s on one v5e chip (2027x the 1e9 target).  Other backends:
+bitpack-pallas (rules-as-data kernel, 1.36e12; per-instance rule vectors
+1.30e12), pallas (uint8 kernel, 1.84e11), bitpack (XLA, 1.72e11), xla
+(uint8 roll-sum, 3.3e10).
 
 Prints ONE JSON line:
   {"metric": "cell_updates_per_s", "value": N, "unit": "cells/s",
@@ -27,14 +29,7 @@ import numpy as np
 BASELINE_CELL_UPDATES_PER_S = 1e9  # BASELINE.md driver target
 
 
-def _sync(x) -> None:
-    """Synchronize with the device by forcing a host readback of a reduction.
-
-    On the tunneled 'axon' platform ``block_until_ready`` returns before the
-    computation finishes, which silently inflates throughput numbers; a
-    device->host transfer of a dependent scalar is a true barrier everywhere.
-    """
-    np.asarray(jax.device_get(x.sum()))
+from carle_tpu.utils.sync import device_sync as _sync  # true axon barrier
 
 
 def _random_grid(key, instances, h, w, p=0.5):

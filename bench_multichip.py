@@ -23,8 +23,7 @@ import jax
 import numpy as np
 
 
-def _sync(x) -> None:
-    np.asarray(jax.device_get(jax.tree.leaves(x)[0].sum()))
+from carle_tpu.utils.sync import device_sync as _sync  # true axon barrier
 
 
 def measure(n_devices: int, instances_per_device: int, size: int, steps: int,
@@ -197,8 +196,10 @@ def main() -> int:
                 "metric": "scaling_efficiency_virtual_adjusted",
                 "value": min(veff.values()),
                 "unit": "fraction_of_zero_overhead",
-                "note": "virtual CPU mesh: N devices share one host's "
-                        "cores; 1.0 = sharding adds no overhead at 8x work",
+                "note": f"virtual CPU mesh: N devices share one host's "
+                        f"cores; baseline is the {base_n}-device run; 1.0 "
+                        f"= sharding adds no overhead as device count (and "
+                        f"total work) scales",
                 "per_device_count": {str(n): round(e, 4)
                                      for n, e in veff.items()},
             }))

@@ -105,8 +105,7 @@ def run(packed, num_steps, lane_tile):
     return out.transpose(2, 1, 0)
 
 
-def _sync(x):
-    jax.device_get(x.sum())
+from carle_tpu.utils.sync import device_sync as _sync  # true axon barrier
 
 
 def main():

@@ -181,8 +181,7 @@ def run_variant(packed, num_steps, variant):
     return out.transpose(0, 2, 1)
 
 
-def _sync(x):
-    jax.device_get(x.sum())
+from carle_tpu.utils.sync import device_sync as _sync  # true axon barrier
 
 
 def main():

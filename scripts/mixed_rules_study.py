@@ -90,8 +90,13 @@ def main():
             "train_seconds": round(train_s, 1),
             "env_steps": int(epochs * args.steps_per_rule * args.instances)
             * (1 if mixed else n_rules),
-            "final_segment_mean_reward": float(
-                history[-args.steps_per_rule:].mean() / args.instances
+            # one full pass over ALL rulesets (cycled's final steps_per_rule
+            # slice would cover only the LAST ruleset while mixed's covers
+            # all four — reward scales differ per ruleset, so that pair is
+            # not comparable; this window is the same rule mix in both modes)
+            "final_pass_mean_reward": float(
+                history[-n_rules * args.steps_per_rule:].mean()
+                / args.instances
             ),
             "battery_scores": scores,
             "battery_mean": sum(scores) / len(scores),

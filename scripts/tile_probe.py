@@ -55,8 +55,7 @@ def run(packed, num_steps, tile):
     return out.transpose(0, 2, 1)
 
 
-def _sync(x):
-    jax.device_get(x.sum())
+from carle_tpu.utils.sync import device_sync as _sync  # true axon barrier
 
 
 def main():
@@ -70,15 +69,22 @@ def main():
     cells = inst * size * size * steps_per_launch * launches
 
     for tile in (1, 2, 4, 8, 16, 32, 64, 128, 256):
-        _sync(run(packed, steps, tile))
-        t0 = time.perf_counter()
-        p = packed
-        for _ in range(launches):
-            p = run(p, steps, tile)
-        _sync(p)
-        dt = time.perf_counter() - t0
-        print(json.dumps({"tile": tile, "cells_per_s": cells / dt,
-                          "dt": dt}), flush=True)
+        # tile=256 is a known scoped-VMEM OOM (17.9M > 16M: in+out blocks
+        # plus the live-plane stack must fit) — report the failure as data
+        # instead of crashing the sweep on its last config
+        try:
+            _sync(run(packed, steps, tile))
+            t0 = time.perf_counter()
+            p = packed
+            for _ in range(launches):
+                p = run(p, steps, tile)
+            _sync(p)
+            dt = time.perf_counter() - t0
+            print(json.dumps({"tile": tile, "cells_per_s": cells / dt,
+                              "dt": dt}), flush=True)
+        except Exception as e:  # Mosaic compile errors (VMEM budget etc.)
+            print(json.dumps({"tile": tile, "error":
+                              str(e).splitlines()[0][:200]}), flush=True)
 
 
 if __name__ == "__main__":

@@ -34,6 +34,7 @@ import numpy as np  # noqa: E402
 
 from carle_tpu.config import EnvConfig  # noqa: E402
 from carle_tpu import nets  # noqa: E402
+from carle_tpu import rules as _rules  # noqa: E402
 from carle_tpu.mcl import ae as ae_mod  # noqa: E402
 from carle_tpu.mcl import rnd as rnd_mod  # noqa: E402
 
@@ -41,8 +42,7 @@ STEPS = 64
 INST = 32
 
 
-def _sync(x):
-    return float(jax.device_get(jnp.asarray(x).sum()))
+from carle_tpu.utils.sync import device_sync as _sync  # true axon barrier
 
 
 def _time(fn, *args, reps=3):
@@ -283,7 +283,7 @@ def main():
                 (INST, cfg.eff_action_height, cfg.eff_action_width),
             ).astype(jnp.uint8)
             g = ca_step_with_action(
-                g, action, jnp.asarray(4104, jnp.int32), config=cfg)
+                g, action, jnp.asarray(_rules.LIFE, jnp.int32), config=cfg)
             return (g, kk), g[0, 0, 0]
 
         (_, _), vals = jax.lax.scan(body, (grid, k), length=STEPS)

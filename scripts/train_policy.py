@@ -135,11 +135,15 @@ def main() -> int:
                 state, trace = trainer.run(state, num_steps=args.steps)
                 trace = np.asarray(trace)
             history.append(trace)
+            # len(trace) is the step count actually run — the PPO branch
+            # rounds args.steps to whole horizons, so dividing by args.steps
+            # would misstate throughput whenever they differ
             print(json.dumps({
                 "epoch": epoch, "ruleset": ruleset,
                 "mean_reward_first100": float(trace[:100].mean()),
                 "mean_reward_last100": float(trace[-100:].mean()),
-                "steps_per_s": args.steps / (time.time() - t0),
+                "segment_steps": int(len(trace)),
+                "steps_per_s": len(trace) / (time.time() - t0),
             }), flush=True)
 
     params_path = os.path.join(args.out_dir, "policy_params.npz")

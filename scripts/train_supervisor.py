@@ -62,6 +62,18 @@ def main() -> int:
                              "past every segment and 'succeed' untrained)")
     args, train_args = parser.parse_known_args()
 
+    # These flags are the supervisor's own recovery machinery: a user copy in
+    # the pass-through args would win in the child (argparse last-wins) and
+    # silently disable crash recovery — the child would write progress where
+    # the supervisor never looks, so every restart would begin at segment 0.
+    owned = {"--progress-file", "--skip-segments", "--resume-from"}
+    clash = sorted(owned & {a.split("=", 1)[0] for a in train_args})
+    if clash:
+        parser.error(
+            f"{', '.join(clash)} are managed by the supervisor (they are how "
+            "crash recovery works) and cannot be passed through; set "
+            "--log-dir instead")
+
     progress_file = os.path.join(args.log_dir, "progress.json")
     models_dir = os.path.join(args.log_dir, "models")
     os.makedirs(args.log_dir, exist_ok=True)

@@ -22,8 +22,7 @@ from carle_tpu.utils.cache import enable_compilation_cache
 enable_compilation_cache()
 
 
-def _sync(x):
-    return jax.device_get(jnp.asarray(x).sum())
+from carle_tpu.utils.sync import device_sync as _sync  # true axon barrier
 
 
 def main():

@@ -108,6 +108,8 @@ def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches,
     from carle_tpu.ops.bitpack import pack_grid, unpack_grid
     from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_static
 
+    if scheme == "vd":  # data-only fold experiment; nearest static is vc
+        scheme = "vc"
     packed = pack_grid(grid)
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
     birth, survive = (3,), (2, 3)
@@ -206,7 +208,8 @@ def main() -> int:
     parser.add_argument("--launches", type=int, default=8)
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
-    parser.add_argument("--scheme", choices=("h", "v", "v3", "vc", "vcc"),
+    parser.add_argument("--scheme", choices=("h", "v", "v3", "vc", "vcc",
+                                             "vd"),
                         default="vc",
                         help="kernel step scheme: vc = vertical-first with "
                              "slice+concat lane shifts (default; static "

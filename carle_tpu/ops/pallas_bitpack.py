@@ -196,12 +196,56 @@ def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array,
     return (dead & ~g) | (alive & g)
 
 
+def _bit_step_block_vd(g: jax.Array, rule_bits: jax.Array,
+                       masks=None) -> jax.Array:
+    """Experimental "vd" rules-as-data step: vc's roll schedule with an
+    n3-first XOR-mux rule fold.
+
+    The vc fold is ~9 select-muxes + 2 masked ANDs per branch, each select
+    spending 3 ops plus a shared ``~sel`` per level (~33 ops/branch).  Two
+    structural savings: (a) ``mux(sel,a,b) = a ^ (sel & (a^b))`` is 3 ops
+    with NO inverted selector since every leaf is an all-0s/all-1s plane;
+    (b) count9 >= 8 iff n3 is set (counts stop at 9), so splitting on n3
+    FIRST leaves a dense 8-leaf/3-bit tree (7 muxes) plus a 1-mux high
+    branch instead of a ragged 10-leaf tree — ~24-27 ops/branch.  Count9
+    semantics: dead branch indexes birth bits at count9 (centre
+    contributes 0, count9 == 9 unreachable), alive branch survive bits at
+    count9-1 (count9 == 0 unreachable, don't-care leaves reuse s0)."""
+    n0, n1, n2, n3 = _count9_planes(g, concat_lane_shift=True)
+
+    def rule_plane(k):
+        if masks is not None:
+            return masks[k]
+        bit = (rule_bits >> k) & 1
+        return jnp.broadcast_to(
+            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
+        )
+
+    def mux(sel, a, b):  # sel=0 -> a, sel=1 -> b
+        return a ^ (sel & (a ^ b))
+
+    def tree8(leaves):
+        l = [mux(n0, leaves[0], leaves[1]), mux(n0, leaves[2], leaves[3]),
+             mux(n0, leaves[4], leaves[5]), mux(n0, leaves[6], leaves[7])]
+        l = [mux(n1, l[0], l[1]), mux(n1, l[2], l[3])]
+        return mux(n2, l[0], l[1])
+
+    d = [rule_plane(v) for v in range(9)]
+    s = [rule_plane(9 + v) for v in range(9)]
+
+    dead = mux(n3, tree8(d[0:8]), d[8])  # count9==9 is a dead-branch dont-care
+    alive_low = tree8([s[0], s[0], s[1], s[2], s[3], s[4], s[5], s[6]])
+    alive = mux(n3, alive_low, mux(n0, s[7], s[8]))
+    return (dead & ~g) | (alive & g)
+
+
 _DATA_STEPS = {
     "h": _bit_step_block,
     "v": _bit_step_block_v2,
     "vc": functools.partial(_bit_step_block_v2, concat_lane=True),
     "vcc": functools.partial(_bit_step_block_v2, concat_lane=True,
                              concat_word=True),
+    "vd": _bit_step_block_vd,
 }
 
 

@@ -187,7 +187,7 @@ def test_bitpack_pallas_vector_rules_parity():
         ref = ca_step_grid(ref, bits)
 
     packed = pack_grid(jnp.asarray(grid))
-    for scheme in ("h", "v", "vc", "vcc"):
+    for scheme in ("h", "v", "vc", "vcc", "vd"):
         with pltpu.force_tpu_interpret_mode():
             out = bit_multi_step_pallas(packed, bits, jnp.asarray(4),
                                         scheme=scheme)
@@ -241,6 +241,9 @@ def test_random_rule_cross_engine_fuzz(rule_seed):
         outs["pallas-data-vc"] = unpack_grid(
             bit_multi_step_pallas(packed, jnp.asarray(bits),
                                   jnp.asarray(steps), scheme="vc"), 128)
+        outs["pallas-data-vd"] = unpack_grid(
+            bit_multi_step_pallas(packed, jnp.asarray(bits),
+                                  jnp.asarray(steps), scheme="vd"), 128)
         outs["pallas-static-vc"] = unpack_grid(
             bit_multi_step_pallas_static(packed, tuple(birth),
                                          tuple(survive), jnp.asarray(steps),

@@ -68,3 +68,43 @@ def decode_body(body: str, height: int, width: int) -> Optional[np.ndarray]:
         height, width,
     )
     return grid
+
+
+# --- GIF LZW (libgif.so) ---------------------------------------------------
+
+_GIF_LIB_PATH = os.path.join(os.path.dirname(__file__), "libgif.so")
+_gif_lib: Optional[ctypes.CDLL] = None
+
+if os.path.exists(_GIF_LIB_PATH):
+    try:
+        _gif_lib = ctypes.CDLL(_GIF_LIB_PATH)
+        _gif_lib.gif_lzw_encode.restype = ctypes.c_long
+        _gif_lib.gif_lzw_encode.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_uint8), ctypes.c_long,
+        ]
+    except OSError:
+        _gif_lib = None
+
+
+def gif_available() -> bool:
+    return _gif_lib is not None
+
+
+def lzw_encode(indices: np.ndarray, min_code_size: int) -> Optional[bytes]:
+    """GIF-variant LZW compression of a flat uint8 index stream —
+    byte-identical to utils/gif.py:_lzw_encode — or None if libgif.so is
+    unavailable (build with ``make -C carle_tpu/native``)."""
+    if _gif_lib is None:
+        return None
+    arr = np.ascontiguousarray(indices, dtype=np.uint8).reshape(-1)
+    # worst case: one 12-bit code per pixel plus CLEAR/END and slack
+    cap = 2 * max(arr.size, 1) + 1024
+    buf = (ctypes.c_uint8 * cap)()
+    n = _gif_lib.gif_lzw_encode(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arr.size, min_code_size, buf, cap,
+    )
+    if n < 0:
+        return None
+    return bytes(bytearray(buf[:n]))

@@ -27,7 +27,21 @@ DEFAULT_PALETTE: Palette = ((10, 10, 14), (72, 220, 130), (220, 80, 80),
 
 def _lzw_encode(indices: np.ndarray, min_code_size: int) -> bytes:
     """LZW-compress a flat uint8 index stream (GIF variant: variable code
-    width, CLEAR/END codes, table reset at 4096)."""
+    width, CLEAR/END codes, table reset at 4096).
+
+    Uses the native encoder (native/gif_lzw.cpp, measured 13x) when built,
+    with
+    :func:`_lzw_encode_py` as the always-available byte-identical fallback
+    (parity-tested in tests/test_native.py)."""
+    from .. import native
+
+    native_out = native.lzw_encode(indices, min_code_size)
+    if native_out is not None:
+        return native_out
+    return _lzw_encode_py(indices, min_code_size)
+
+
+def _lzw_encode_py(indices: np.ndarray, min_code_size: int) -> bytes:
     clear = 1 << min_code_size
     end = clear + 1
 

@@ -69,3 +69,57 @@ def test_python_fallback_works_without_native():
         text = rle.encode_grid(grid, [3], [2, 3])
         decoded = rle.parse_rle_text(text)
     np.testing.assert_array_equal(decoded.grid, grid)
+
+
+# --- native GIF LZW encoder (libgif.so) ------------------------------------
+
+needs_gif_native = pytest.mark.skipif(
+    not native.gif_available(), reason="libgif.so not built"
+)
+
+
+@needs_gif_native
+@pytest.mark.parametrize("seed,n,nsym,mcs", [
+    (0, 1000, 2, 2),       # binary CA frames, the common case
+    (1, 65536, 2, 2),      # one 256x256 frame
+    (2, 200000, 4, 2),     # long stream: forces 4096-code table resets
+    (3, 50000, 16, 4),     # wider palette / code size
+    (4, 1, 2, 2),          # single pixel
+    (5, 0, 2, 2),          # empty stream
+])
+def test_gif_lzw_native_byte_parity(seed, n, nsym, mcs):
+    """The C++ encoder must be byte-identical to the Python loop across
+    stream lengths that exercise width growth and table resets."""
+    from carle_tpu.utils.gif import _lzw_encode_py
+
+    rng = np.random.RandomState(seed)
+    idx = rng.randint(0, nsym, size=n).astype(np.uint8)
+    assert native.lzw_encode(idx, mcs) == _lzw_encode_py(idx, mcs)
+
+
+@needs_gif_native
+def test_gif_lzw_native_roundtrip_and_writer():
+    """Native-encoded frames decode back exactly, and write_gif emits a
+    valid GIF89a through the native path."""
+    import os
+    import tempfile
+
+    from carle_tpu.utils.gif import _lzw_decode, write_gif
+
+    rng = np.random.RandomState(7)
+    frames = (rng.rand(5, 32, 48) < 0.35).astype(np.uint8)
+    enc = native.lzw_encode(frames[0].reshape(-1), 2)
+    dec = _lzw_decode(enc, 2, frames[0].size)
+    np.testing.assert_array_equal(dec, frames[0].reshape(-1))
+
+    with tempfile.TemporaryDirectory() as tmp:
+        path = write_gif(os.path.join(tmp, "ep.gif"), frames, fps=10)
+        with open(path, "rb") as f:
+            data = f.read()
+    assert data.startswith(b"GIF89a") and data.endswith(b"\x3b")
+
+
+@needs_gif_native
+def test_gif_lzw_native_rejects_out_of_palette():
+    idx = np.asarray([0, 1, 7], dtype=np.uint8)  # 7 >= 1<<2
+    assert native.lzw_encode(idx, 2) is None

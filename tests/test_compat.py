@@ -155,7 +155,7 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 import sys
-sys.path.insert(0, "/root/repo")        # carle_tpu
+sys.path.insert(0, {repo_root!r})       # carle_tpu
 sys.path.insert(0, "/root/reference")   # the reference's evaluation package
 
 import carle_tpu.compat as compat
@@ -199,8 +199,9 @@ def test_reference_eval_harness_runs_on_facade(tmp_path):
     eval.py:17-79) — runs against the facade: wrapper stacking,
     reward_scale/batch_size assignment on every wrapper, .pt state dicts,
     eval() mode, torch-tensor rewards."""
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     proc = subprocess.run(
-        [sys.executable, "-c", _EVAL_RUNNER],
+        [sys.executable, "-c", _EVAL_RUNNER.format(repo_root=repo_root)],
         cwd=str(tmp_path),  # neither repo's root: imports must self-resolve
         capture_output=True, text=True, timeout=600,
     )

@@ -393,15 +393,10 @@ def test_shipped_policy_checkpoint_loads_and_acts():
     """The shipped trained-PPO policy artifact loads into the f32 template
     and emits valid toggle actions (the battery score it carries — ~1.1 vs
     0.65 random — is recorded in assets/scores.txt and reproduced on TPU)."""
-    import os
-
     import jax
     import jax.numpy as jnp
 
     from carle_tpu import EnvConfig
-    from carle_tpu.checkpoint import load_pytree
-    from carle_tpu.policy import PolicyTrainer, init_policy_params
-
     from carle_tpu.evaluation.eval import load_shipped_policy
 
     cfg = EnvConfig()

@@ -44,29 +44,29 @@ def _decode_frames(path):
             return np.stack(frames)
 
 
-def test_write_gif_decodes_with_pil():
+def test_write_gif_decodes_with_pil(tmp_path):
     rng = np.random.RandomState(3)
     frames = (rng.rand(5, 24, 36) * 3).astype(np.uint8)
-    path = write_gif("/tmp/carle_gif_test.gif", frames, fps=12)
+    path = write_gif(str(tmp_path / "gif_test.gif"), frames, fps=12)
     decoded = _decode_frames(path)
     assert decoded.shape == frames.shape
     np.testing.assert_array_equal(decoded, frames)
 
 
-def test_write_gif_scale_and_2d_input():
+def test_write_gif_scale_and_2d_input(tmp_path):
     frame = np.eye(8, dtype=np.uint8)
-    path = write_gif("/tmp/carle_gif_scale.gif", frame, scale=3)
+    path = write_gif(str(tmp_path / "gif_scale.gif"), frame, scale=3)
     decoded = _decode_frames(path)
     assert decoded.shape == (1, 24, 24)
     np.testing.assert_array_equal(decoded[0], np.repeat(np.repeat(frame, 3, 0), 3, 1))
 
 
-def test_run_gif_episode_artifact():
+def test_run_gif_episode_artifact(tmp_path):
     ro = Rollout(CFG, wrappers=[], agent=make_random_agent(16, 16))
     carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
     carry, obs = ro.reset(carry)
     carry, rewards, path = ro.run_gif(
-        carry, num_steps=8, path="/tmp/carle_episode.gif", every=2, chunk=4
+        carry, num_steps=8, path=str(tmp_path / "episode.gif"), every=2, chunk=4
     )
     assert rewards.shape[0] == 8
     decoded = _decode_frames(path)
@@ -79,12 +79,12 @@ def test_run_gif_episode_artifact():
     assert decoded[-1].sum() > 0  # random toggles keep the universe non-empty
 
 
-def test_run_gif_last_frame_matches_env_grid_when_unmarked():
+def test_run_gif_last_frame_matches_env_grid_when_unmarked(tmp_path):
     ro = Rollout(CFG, wrappers=[], agent=make_random_agent(16, 16))
     carry = ro.init(jax.random.PRNGKey(1), rules.LIFE)
     carry, obs = ro.reset(carry)
     carry, rewards, path = ro.run_gif(
-        carry, num_steps=4, path="/tmp/carle_episode2.gif", every=1, chunk=4,
+        carry, num_steps=4, path=str(tmp_path / "episode2.gif"), every=1, chunk=4,
         mark_actions=False,
     )
     decoded = _decode_frames(path)

@@ -7,7 +7,6 @@ freezing, and checkpoint conversion from reference .pt files.
 """
 
 import numpy as np
-import pytest
 import jax
 import jax.numpy as jnp
 
@@ -53,25 +52,37 @@ def _glider_action(h=16, w=16):
 
 
 def test_parsimony_rescales_reward():
-    """~2048 toggles must earn far less than 0 toggles for the same inner
-    reward (reference tests/test_mcl.py:63-100 contract)."""
-    env = CornerBonus(CARLE())
-    env = ParsimonyBonus(env)
-    env.reset()
-
+    """reward *= 100/max(sum(action), 100) (mcl.py:86-105): verified
+    exactly by running the SAME seeded universe + action through
+    CornerBonus with and without the parsimony wrapper — the inner reward
+    is identical, so the ratio isolates the scaling factor."""
     rng = np.random.RandomState(42)
+    seed_universe = np.zeros((1, 256, 256), dtype=np.uint8)
+    seed_universe[0, 2:14, 2:14] = (rng.rand(12, 12) < 0.5)  # in the +mask
     busy = (rng.rand(1, 1, 64, 64) < 0.5).astype(np.float32)
     n_busy = busy.sum()
-    _, r_busy, _, _ = env.step(busy)
+    assert n_busy > 100  # the clamp must not kick in for the busy action
 
-    env.reset()
-    _, r_idle, _, _ = env.step(np.zeros((1, 1, 64, 64), dtype=np.float32))
+    def corner_reward(wrap_parsimony, action):
+        env = CornerBonus(CARLE())
+        if wrap_parsimony:
+            env = ParsimonyBonus(env)
+        env.reset()
+        env.inner_env.universe = seed_universe
+        _, r, _, _ = env.step(action)
+        return _f(r)
 
-    # CornerBonus on the post-step universe differs between the two runs, but
-    # the parsimony scaling (100/2048 vs 100/100) dominates by >10x.
-    assert abs(_f(r_busy)) < abs(_f(r_idle)) / 10 or _f(r_idle) == 0.0
-    # direct math check on the scaling factor
-    assert np.isclose(100.0 / max(n_busy, 100.0), 100.0 / n_busy)
+    r_plain = corner_reward(False, busy)
+    r_scaled = corner_reward(True, busy)
+    assert r_plain != 0.0  # the seeded corner pattern must actually score
+    assert np.isclose(r_scaled, r_plain * 100.0 / n_busy, rtol=1e-5)
+
+    # <=100 toggles: factor clamps to exactly 1
+    idle = np.zeros((1, 1, 64, 64), dtype=np.float32)
+    assert np.isclose(corner_reward(True, idle), corner_reward(False, idle),
+                      rtol=1e-6)
+    # and the reference contract: busy earns <1/10 of idle at equal inner reward
+    assert abs(r_scaled) < abs(corner_reward(True, idle)) / 10
 
 
 def test_corner_masks_match_reference_construction():

@@ -16,7 +16,6 @@ needs_native = pytest.mark.skipif(
 
 def _python_encode(grid, **kw):
     """Force the pure-Python encoder by bypassing the native hook."""
-    import importlib
     import unittest.mock as mock
 
     with mock.patch.object(native, "encode_body", lambda *a, **k: None):

@@ -41,7 +41,7 @@ def test_packed_master_reset():
     s_pk = init_packed_state(CFG, rules.LIFE)
     act = (np.random.RandomState(1).rand(2, 16, 16) < 0.4).astype(np.uint8)
     s_pk, _ = packed_env_step(s_pk, jnp.asarray(act), config=CFG)
-    assert int(jnp.sum(s_pk.grid)) > 0 or True  # may die out; proceed
+    # (population may legitimately be zero here — no liveness assert)
     s_pk, _ = packed_env_step(
         s_pk, jnp.ones((2, 16, 16), np.uint8), config=CFG
     )

@@ -51,7 +51,13 @@ def test_rle_native_python_byte_parity(grid):
         py = rle.encode_grid(grid, [3], [2, 3])
     assert rle.encode_grid(grid, [3], [2, 3]) == py
 
-    body = py.split("\n", 2)[-1]
+    # body = everything after the 'x = ..., y = ...' header line (a wrong
+    # split leaks header digits into the first run count and corrupts BOTH
+    # decoders identically, making the parity assert vacuous)
+    lines = py.split("\n")
+    start = next(i for i, l in enumerate(lines)
+                 if l.lstrip().lower().startswith("x")) + 1
+    body = "\n".join(lines[start:])
     with mock.patch.object(native, "decode_body", lambda *a, **k: None):
         py_grid = rle.decode_body(body, *grid.shape)
     np.testing.assert_array_equal(

@@ -57,14 +57,15 @@ def test_coerce_action_3d_batched():
                 height=64, width=64)
     env.reset()
     act = np.zeros((4, 16, 16), dtype=np.float32)
-    act[2, 0, 0] = 1.0
+    act[2, 0:2, 0:2] = 1.0  # 2x2 block: a still life that survives the step
     obs, *_ = env.step(act)
     grid = np.asarray(env.state.grid)
-    assert grid[2].sum() >= 0  # stepped without raising
-    # the toggle landed in instance 2 only (window is centred at 24..40)
+    # the block landed in instance 2 only, at the window origin (24, 24)
+    assert grid[2].sum() == 4 and grid[2, 24:26, 24:26].all()
+    assert grid[[0, 1, 3]].sum() == 0
     patch = env._coerce_action(act)
     assert patch.shape == (4, 16, 16)
-    assert patch[2, 0, 0] == 1 and patch.sum() == 1
+    assert patch[2, 0, 0] == 1 and patch.sum() == 4
 
 
 def test_coerce_action_3d_single_instance_broadcast():

@@ -47,9 +47,17 @@ def test_throughput_counter():
     assert "steps / second" in t.report()
 
 
-def test_compilation_cache_helper(tmp_path, monkeypatch):
+def test_compilation_cache_helper(tmp_path):
+    import jax
+
     from carle_tpu.utils.cache import enable_compilation_cache
 
-    target = str(tmp_path / "cache")
-    enable_compilation_cache(target)
-    assert os.path.isdir(target)
+    # jax.config.update is process-global: restore the previous cache dir so
+    # the rest of the suite doesn't silently compile into this tmp dir
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        target = str(tmp_path / "cache")
+        enable_compilation_cache(target)
+        assert os.path.isdir(target)
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)

@@ -226,7 +226,13 @@ def main() -> int:
                              "launch, the evaluate_fused_batched path; "
                              "1.30e12 cells/s on v5e — 95%% of the scalar "
                              "rules-as-data rate)")
+    parser.add_argument("--platform", default=None,
+                        help="override the JAX platform (e.g. cpu); the "
+                             "JAX_PLATFORMS env var is overridden by the "
+                             "axon plugin, only the config knob works")
     args = parser.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     from carle_tpu import rules
 

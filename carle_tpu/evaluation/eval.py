@@ -591,7 +591,15 @@ if __name__ == "__main__":
                              "--agent policy this must be a native .npz "
                              "params file")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--platform", default=None,
+                        help="override the JAX platform (e.g. cpu); the "
+                             "JAX_PLATFORMS env var is overridden by the "
+                             "axon plugin, only the config knob works")
     args = parser.parse_args()
+    if args.platform:
+        import jax
+
+        jax.config.update("jax_platforms", args.platform)
 
     from carle_tpu.agents import RandomNetworkAgent
 

@@ -18,7 +18,8 @@ modules are the TPU-native replacement for "scale = bigger instances count"
 
 from .mesh import env_sharding, make_mesh, shard_carry, replicate
 from .spatial import bit_spatial_multi_step, spatial_ca_step, spatial_multi_step
-from .spatial_env import shard_carry_spatial, spatial_sharding
+from .spatial_env import (shard_carry_2d, shard_carry_spatial,
+                          spatial_sharding)
 from .pallas_halo import (
     bit_spatial_multi_step_pallas,
     spatial_ca_step_pallas,
@@ -29,6 +30,7 @@ __all__ = [
     "env_sharding",
     "make_mesh",
     "shard_carry",
+    "shard_carry_2d",
     "shard_carry_spatial",
     "spatial_sharding",
     "replicate",

@@ -50,7 +50,9 @@ def env_sharding(
     resharding on the wrong axis.
     """
     shape = np.shape(leaf)
-    n = mesh.devices.size
+    # the ENV AXIS extent, not the total device count — they differ on a
+    # 2-D env x space mesh (spatial_env.shard_carry_2d)
+    n = mesh.shape[axis_name]
     spec: Any = P()
     if instances % n == 0 and len(shape) >= 1 and shape[0] == instances:
         spec = P(*([axis_name] + [None] * (len(shape) - 1)))

@@ -44,15 +44,33 @@ from ..config import EnvConfig
 
 
 def spatial_sharding(
-    mesh: Mesh, leaf: Any, config: EnvConfig, axis_name: str = "space"
+    mesh: Mesh, leaf: Any, config: EnvConfig, axis_name: str = "space",
+    env_axis: str = None,
 ) -> NamedSharding:
     """Sharding for one state leaf in spatial mode: any leaf whose trailing
     two dimensions are the universe extent (H, W) — grids [inst, H, W],
     observations/frame rings [..., 1, H, W] — shards its row dimension over
     the space axis; everything else (params, optimizer moments, scalars,
-    action patches) replicates."""
+    action patches) replicates.
+
+    Divisibility is checked against the SPACE AXIS extent
+    (``mesh.shape[axis_name]``), not the total device count — they differ
+    on a 2-D env x space mesh.  With ``env_axis`` set (2-D mode), leaves
+    whose dim 0 is the instance batch additionally shard that dimension
+    over the env axis — including the grids themselves, which then shard
+    on BOTH axes ([inst@env, H@space, W])."""
     shape = np.shape(leaf)
-    n = mesh.devices.size
+    n = mesh.shape[axis_name]
+
+    def env_lead() -> bool:
+        return (
+            env_axis is not None
+            and env_axis in mesh.shape
+            and len(shape) >= 1
+            and shape[0] == config.instances
+            and config.instances % mesh.shape[env_axis] == 0
+        )
+
     if (
         len(shape) >= 2
         and shape[-2] == config.height
@@ -61,21 +79,17 @@ def spatial_sharding(
     ):
         axes = [None] * len(shape)
         axes[-2] = axis_name
+        if len(shape) >= 3 and env_lead():
+            axes[0] = env_axis
         return NamedSharding(mesh, P(*axes))
+    if env_lead():
+        return NamedSharding(
+            mesh, P(*([env_axis] + [None] * (len(shape) - 1)))
+        )
     return NamedSharding(mesh, P())
 
 
-def shard_carry_spatial(
-    carry: Any, mesh: Mesh, config: EnvConfig, axis_name: str = "space"
-) -> Any:
-    """Commit a rollout carry (or any state pytree) for spatial execution:
-    universe-extent leaves row-sharded, the rest replicated.
-
-    Composes with the env-batch mesh (`mesh.py`) by building a 2-D
-    ``Mesh(devices.reshape(n_env, n_space), ("env", "space"))`` and
-    committing with both helpers' specs; for the shipped single-axis mode
-    this helper alone is sufficient.
-    """
+def _check_xla_backend(config: EnvConfig) -> None:
     from ..ops.ca import resolve_backend
 
     # resolve first: "auto" means pallas on TPU — exactly the path GSPMD
@@ -86,9 +100,54 @@ def shard_carry_spatial(
             f"partition the '{config.backend}' Pallas path — set "
             "EnvConfig(backend='xla'); see module docstring)"
         )
+
+
+def shard_carry_spatial(
+    carry: Any, mesh: Mesh, config: EnvConfig, axis_name: str = "space"
+) -> Any:
+    """Commit a rollout carry (or any state pytree) for spatial execution:
+    universe-extent leaves row-sharded, the rest replicated.
+
+    For the combined env-batch x spatial layout use :func:`shard_carry_2d`
+    with a 2-D ``Mesh(devices.reshape(n_env, n_space), ("env", "space"))``.
+    """
+    _check_xla_backend(config)
     return jax.tree.map(
         lambda leaf: jax.device_put(
             leaf, spatial_sharding(mesh, leaf, config, axis_name)
+        ),
+        carry,
+    )
+
+
+def shard_carry_2d(
+    carry: Any, mesh: Mesh, config: EnvConfig,
+    env_axis: str = "env", space_axis: str = "space",
+) -> Any:
+    """Commit a rollout carry onto a 2-D env x space mesh: universes shard
+    instances over ``env_axis`` AND rows over ``space_axis`` simultaneously,
+    other instance-batched leaves (per-instance statistics, action streams)
+    shard dim 0 over ``env_axis``, wrapper params/optimizer state replicate.
+
+    Use when BOTH scale axes bind at once — more universes than one chip's
+    batch and universes too large for one chip's HBM (SCALING.md §1 row 3):
+
+        devs = np.asarray(jax.devices()).reshape(n_env, n_space)
+        mesh = Mesh(devs, ("env", "space"))
+        carry = shard_carry_2d(carry, mesh, config)
+
+    Requires ``instances % n_env == 0`` and ``height % n_space == 0``
+    (leaves failing either check replicate on that axis), and the XLA
+    backend like every GSPMD spatial mode.  Parity-tested against the
+    single-device rollout on a 2x4 virtual mesh
+    (tests/test_parallel.py::test_shard_carry_2d_rollout_parity).
+    """
+    _check_xla_backend(config)
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf,
+            spatial_sharding(mesh, leaf, config, space_axis,
+                             env_axis=env_axis),
         ),
         carry,
     )

@@ -284,3 +284,53 @@ def test_bit_pallas_halo_multi_step_kernel():
     np.testing.assert_array_equal(
         np.asarray(unpack_grid(out, 128)), np.asarray(unpack_grid(ref, 128))
     )
+
+
+def test_shard_carry_2d_rollout_parity():
+    """2-D env x space mesh: instances shard over "env" while universe rows
+    shard over "space" IN THE SAME program — a wrapped rollout must match
+    the single-device run exactly (SCALING.md §1 "both" row)."""
+    from jax.sharding import Mesh
+
+    from carle_tpu.mcl.speed import speed_def
+    from carle_tpu.parallel import shard_carry_2d
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=4)
+    rng = np.random.RandomState(3)
+    actions = (rng.rand(5, 4, 16, 16) < 0.2).astype(np.uint8)
+
+    def run(two_d):
+        ro = Rollout(cfg, [speed_def(cfg, per_instance=True,
+                                     reward_scale=1e-2)])
+        carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
+        if two_d:
+            devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+            mesh = Mesh(devs, ("env", "space"))
+            carry = shard_carry_2d(carry, mesh, cfg)
+            grid = carry.stack.env.grid
+            # the universes really are sharded on BOTH axes
+            spec = grid.sharding.spec
+            assert tuple(spec) == ("env", "space", None), spec
+        carry, rewards = ro.run_actions(carry, actions)
+        return np.asarray(carry.stack.env.grid), np.asarray(rewards)
+
+    grid_1, rewards_1 = run(two_d=False)
+    grid_2d, rewards_2d = run(two_d=True)
+    np.testing.assert_array_equal(grid_2d, grid_1)
+    np.testing.assert_allclose(rewards_2d, rewards_1, rtol=1e-5, atol=1e-7)
+
+
+def test_shard_carry_2d_indivisible_axes_replicate():
+    """Leaves failing a divisibility check replicate on that axis instead of
+    erroring (documented contract)."""
+    from jax.sharding import Mesh
+
+    from carle_tpu.parallel import shard_carry_2d
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=3)  # 3 % 2 != 0 -> no env sharding
+    devs = np.asarray(jax.devices()[:8]).reshape(2, 4)
+    mesh = Mesh(devs, ("env", "space"))
+    out = shard_carry_2d({"g": np.zeros((3, 64, 64), np.uint8)}, mesh, cfg)
+    assert tuple(out["g"].sharding.spec) == (None, "space", None)

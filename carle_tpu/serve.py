@@ -25,6 +25,10 @@ Endpoints (JSON in/out):
   POST /rollout         {"rule": "B3/S23", "steps": int, "size": int,
                          "seed": int, "density": float, "rle": str|null}
                         -> {"population", "generations", "rle", "latency_s"}
+  POST /gif             same inputs as /rollout plus "every" (frame
+                        stride), "fps", "scale"
+                        -> {"gif_base64" (GIF89a episode animation),
+                            "frames", "population", "latency_s"}
 
 Single-threaded by design: one TPU chip, one request at a time (queueing is
 the correct backpressure — a second in-flight TPU program would wedge on
@@ -146,16 +150,16 @@ def _packed_engine():
     return jax.jit(bit_multi_step, static_argnums=2)
 
 
-def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
-    import jax.numpy as jnp
+def _initial_grid(body: Dict[str, Any]):
+    """Shared /rollout + /gif setup: (grid [1,H,W], rule bits, birth,
+    survive) from a request body (explicit RLE or Bernoulli soup)."""
     import jax
+    import jax.numpy as jnp
 
     from . import rules as rules_mod
-    from .ops.bitpack import pack_grid, unpack_grid
-    from .rle import encode_grid, parse_rle_text
+    from .rle import parse_rle_text
 
     size = int(body.get("size", 256))
-    steps = int(body.get("steps", 256))
     rule = body.get("rule", "B3/S23")
     birth, survive = rules_mod.parse_rulestring(rule)
     bits = rules_mod.pack_rule_bits(birth, survive)
@@ -174,6 +178,18 @@ def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
         grid = jax.random.bernoulli(
             key, float(body.get("density", 0.3)), (1, size, size)
         ).astype(jnp.uint8)
+    return grid, bits, birth, survive
+
+
+def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
+    import jax.numpy as jnp
+
+    from . import rules as rules_mod
+    from .ops.bitpack import pack_grid, unpack_grid
+    from .rle import encode_grid
+
+    steps = int(body.get("steps", 256))
+    grid, bits, birth, survive = _initial_grid(body)
 
     t0 = time.perf_counter()
     packed = pack_grid(grid)
@@ -189,6 +205,49 @@ def _rollout(body: Dict[str, Any]) -> Dict[str, Any]:
     if body.get("return_rle", True):
         resp["rle"] = encode_grid(final, birth, survive)
     return resp
+
+
+def _gif(body: Dict[str, Any]) -> Dict[str, Any]:
+    """Episode animation on demand: run a packed rollout, capture a frame
+    every ``every`` generations, return the GIF89a bytes base64-encoded
+    (the native LZW path when built).
+
+    Body: rule/size/seed/density/rle as /rollout, plus steps (default 256),
+    every (frame stride, default 4), fps, scale.
+    """
+    import base64
+
+    import jax.numpy as jnp
+
+    from . import rules as rules_mod
+    from .ops.bitpack import pack_grid, unpack_grid
+    from .utils.gif import encode_gif
+
+    steps = int(body.get("steps", 256))
+    every = max(1, int(body.get("every", 4)))
+    grid, bits, _, _ = _initial_grid(body)
+
+    t0 = time.perf_counter()
+    engine = _packed_engine()
+    packed = pack_grid(grid)
+    frames = [np.asarray(unpack_grid(packed, grid.shape[2]))[0]]
+    for _ in range(steps // every):
+        packed = engine(packed, jnp.asarray(bits), every)
+        frames.append(np.asarray(unpack_grid(packed, grid.shape[2]))[0])
+    data = encode_gif(
+        np.stack(frames),
+        fps=float(body.get("fps", 20.0)),
+        scale=int(body.get("scale", 1)),
+    )
+    latency = time.perf_counter() - t0
+    return {
+        "rule": rules_mod.rulestring(*rules_mod.unpack_rule_bits(int(bits))),
+        "generations": (steps // every) * every,
+        "frames": len(frames),
+        "population": int(frames[-1].sum()),
+        "gif_base64": base64.b64encode(data).decode("ascii"),
+        "latency_s": round(latency, 4),
+    }
 
 
 class _Handler(BaseHTTPRequestHandler):
@@ -221,7 +280,7 @@ class _Handler(BaseHTTPRequestHandler):
         })
 
     def do_POST(self):
-        routes = {"/score": _score, "/rollout": _rollout}
+        routes = {"/score": _score, "/rollout": _rollout, "/gif": _gif}
         handler = routes.get(self.path)
         if handler is None:
             return self._reply(404, {"error": "unknown path"})

@@ -109,6 +109,21 @@ def write_gif(
     """Write ``frames`` ([T, H, W] palette indices, uint8/bool) as an
     animated GIF.  ``scale`` integer-upscales via pixel repetition.
     Returns ``path``."""
+    with open(path, "wb") as f:
+        f.write(encode_gif(frames, fps=fps, palette=palette, scale=scale,
+                           loop=loop))
+    return path
+
+
+def encode_gif(
+    frames: np.ndarray,
+    fps: float = 20.0,
+    palette: Palette = DEFAULT_PALETTE,
+    scale: int = 1,
+    loop: bool = True,
+) -> bytes:
+    """Encode ``frames`` to GIF89a bytes (the in-memory core of
+    :func:`write_gif`; used by the serving daemon's /gif endpoint)."""
     arr = np.asarray(frames)
     if arr.ndim == 2:
         arr = arr[None]
@@ -145,10 +160,7 @@ def write_gif(
             out += block
         out.append(0)  # block terminator
     out += b"\x3b"  # trailer
-
-    with open(path, "wb") as f:
-        f.write(bytes(out))
-    return path
+    return bytes(out)
 
 
 def _lzw_decode(data: bytes, min_code_size: int, count: int) -> np.ndarray:

@@ -132,3 +132,31 @@ def test_error_handling(server):
     assert status == 400 and "error" in body
     status, body = _post(server + "/bogus", {})
     assert status == 404
+
+
+def test_gif_endpoint(server):
+    """/gif returns a decodable GIF89a episode animation."""
+    import base64
+
+    status, body = _post(server + "/gif",
+                         {"rule": "B3/S23", "size": 64, "steps": 8,
+                          "every": 2, "seed": 5, "density": 0.3})
+    assert status == 200, body
+    data = base64.b64decode(body["gif_base64"])
+    assert data.startswith(b"GIF89a") and data.endswith(b"\x3b")
+    assert body["frames"] == 5  # initial + 8/2 captures
+    assert body["generations"] == 8
+    assert body["population"] >= 0
+
+
+def test_gif_endpoint_from_rle(server):
+    """Seeding /gif from an explicit RLE pattern works like /rollout."""
+    import base64
+
+    glider = "x = 3, y = 3, rule = B3/S23\nbob$2bo$3o!"
+    status, body = _post(server + "/gif",
+                         {"rle": glider, "size": 64, "steps": 4,
+                          "every": 4})
+    assert status == 200, body
+    assert body["population"] == 5  # a glider stays a glider
+    assert base64.b64decode(body["gif_base64"]).startswith(b"GIF89a")

@@ -1,8 +1,8 @@
 """Packaging (reference setup.py:1-15 packages carle/tests/evaluation).
 
-The native RLE codec extension (carle_tpu/native) is built separately via
-``make -C carle_tpu/native`` (ctypes, no build-time Python dependency); the
-package works without it (pure-Python fallback in rle.py).
+The native codecs (carle_tpu/native: RLE + GIF LZW) are built separately
+via ``make -C carle_tpu/native`` (ctypes, no build-time Python dependency);
+the package works without them (pure-Python fallbacks in rle.py/utils/gif.py).
 """
 
 from setuptools import find_packages, setup

@@ -260,8 +260,16 @@ def main() -> int:
         backend = (backend.replace("-static", "") if "pallas" in backend
                    else "bitpack")
 
+    # normalize scheme aliases HERE so the JSON records what actually ran
+    # (the bench fns alias internally too, but reporting args.scheme for an
+    # aliased run would fabricate e.g. an exact vd-vs-vc static tie)
+    scheme = args.scheme
+    if "static" in backend and scheme == "vd":
+        scheme = "vc"  # vd is a data-only fold experiment
+    if "static" not in backend and scheme == "v3":
+        scheme = "v"   # v3 is a static-only probe
     bench_kwargs = (
-        {"scheme": args.scheme}
+        {"scheme": scheme}
         if backend in ("bitpack-pallas-static", "bitpack-pallas") else {}
     )
     try:
@@ -291,7 +299,7 @@ def main() -> int:
             "instances": args.instances, "size": args.size,
             "steps_per_launch": args.steps_per_launch,
             "launches": args.launches, "backend": backend,
-            **({"scheme": args.scheme}
+            **({"scheme": scheme}
                if backend in ("bitpack-pallas-static", "bitpack-pallas")
                else {}),
             **({"rules": "per-instance-vector"}

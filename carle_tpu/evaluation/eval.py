@@ -314,18 +314,18 @@ def _resolve_fused_agent(
     from carle_tpu.agents import Agent as FnAgent, make_random_agent
 
     if Agent is None:
-        if params_path is not None:
+        if params_path is not None or agent_params is not None:
             raise ValueError(
-                "params_path was given but Agent=None scores the Bernoulli "
-                "random baseline, which has no parameters to load — pass the "
-                "agent class/instance the checkpoint belongs to (silently "
-                "scoring the wrong agent would be worse than this error)"
+                "params_path/agent_params were given but Agent=None scores "
+                "the Bernoulli random baseline, which has no parameters — "
+                "pass the agent the parameters belong to (silently scoring "
+                "the wrong agent would be worse than this error)"
             )
         return (
             make_random_agent(
                 config.eff_action_width, config.eff_action_height, toggle_rate
             ),
-            agent_params,
+            None,
         )
     if isinstance(Agent, FnAgent):
         if params_path is not None:

@@ -143,13 +143,26 @@ def encode_grid(
 
 
 def parse_rle_text(text: str) -> RLEPattern:
-    """Parse a full RLE file's text (header + body) into an :class:`RLEPattern`."""
+    """Parse a full RLE file's text (header + body) into an :class:`RLEPattern`.
+
+    Headerless text (a bare run-length body, e.g. what ``read_rle`` returns
+    — fed back through ``rle_to_grid`` the way the reference's MorphoBonus
+    does, mcl.py:148-149) is accepted too: with no header line anywhere,
+    every non-comment line is body."""
     birth, survive = [3], [2, 3]
     torus = None
     comments: List[str] = []
     declared: Optional[Tuple[int, int]] = None
     body_lines: List[str] = []
     seen_header = False
+    # pre-scan: if a header exists, pre-header junk lines are SKIPPED (the
+    # old behaviour — 'Generated by x' preambles must not decode as body:
+    # their 'b'/'o' letters would corrupt row 0)
+    has_header = any(
+        not l.strip().startswith("#")
+        and (_HEADER_RE.search(l) or _XY_RE.search(l))
+        for l in text.splitlines()
+    )
 
     for line in text.splitlines():
         stripped = line.strip()
@@ -176,10 +189,8 @@ def parse_rle_text(text: str) -> RLEPattern:
             if xym:
                 declared = (int(xym.group(2)), int(xym.group(1)))  # (h, w)
             continue
-        # Everything after the header is body.  Headerless text (e.g. the
-        # body returned by read_rle, fed back through rle_to_grid the way
-        # the reference's MorphoBonus does, mcl.py:148-149) is ALL body —
-        # the reference's rle_to_grid likewise accepts bare run-length text.
+        if has_header and not seen_header:
+            continue  # pre-header preamble: not body
         body_lines.append(line)
         if "!" in line:
             break

@@ -234,6 +234,9 @@ def _gif(body: Dict[str, Any]) -> Dict[str, Any]:
     for _ in range(steps // every):
         packed = engine(packed, jnp.asarray(bits), every)
         frames.append(np.asarray(unpack_grid(packed, grid.shape[2]))[0])
+    if steps % every:  # run the remainder so /gif ends where /rollout would
+        packed = engine(packed, jnp.asarray(bits), steps % every)
+        frames.append(np.asarray(unpack_grid(packed, grid.shape[2]))[0])
     data = encode_gif(
         np.stack(frames),
         fps=float(body.get("fps", 20.0)),
@@ -242,7 +245,7 @@ def _gif(body: Dict[str, Any]) -> Dict[str, Any]:
     latency = time.perf_counter() - t0
     return {
         "rule": rules_mod.rulestring(*rules_mod.unpack_rule_bits(int(bits))),
-        "generations": (steps // every) * every,
+        "generations": steps,
         "frames": len(frames),
         "population": int(frames[-1].sum()),
         "gif_base64": base64.b64encode(data).decode("ascii"),

@@ -83,8 +83,8 @@ def main():
             print(json.dumps({"tile": tile, "cells_per_s": cells / dt,
                               "dt": dt}), flush=True)
         except Exception as e:  # Mosaic compile errors (VMEM budget etc.)
-            print(json.dumps({"tile": tile, "error":
-                              str(e).splitlines()[0][:200]}), flush=True)
+            msg = (str(e).splitlines() or [type(e).__name__])[0][:200]
+            print(json.dumps({"tile": tile, "error": msg}), flush=True)
 
 
 if __name__ == "__main__":

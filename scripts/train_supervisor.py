@@ -67,7 +67,11 @@ def main() -> int:
     # silently disable crash recovery — the child would write progress where
     # the supervisor never looks, so every restart would begin at segment 0.
     owned = {"--progress-file", "--skip-segments", "--resume-from"}
-    clash = sorted(owned & {a.split("=", 1)[0] for a in train_args})
+    # prefix match, not equality: argparse abbreviation would resolve
+    # e.g. '--progress' to --progress-file in the child and still win
+    names = {a.split("=", 1)[0] for a in train_args if a.startswith("--")}
+    clash = sorted(n for n in names
+                   if any(o.startswith(n) or n == o for o in owned))
     if clash:
         parser.error(
             f"{', '.join(clash)} are managed by the supervisor (they are how "

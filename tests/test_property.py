@@ -8,7 +8,10 @@ junk, and bitpack pack/unpack round trips.
 """
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+import pytest
+
+pytest.importorskip("hypothesis")  # optional test dep — skip, don't error
+from hypothesis import given, settings, strategies as st  # noqa: E402
 
 from carle_tpu import native, rle
 from carle_tpu.rules import (

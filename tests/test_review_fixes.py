@@ -7,6 +7,8 @@ per-instance info dicts, and shard_map program caching in the spatial
 layer.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -180,3 +182,40 @@ def test_spatial_rule_change_does_not_grow_cache():
     spatial.spatial_multi_step(g, rules_mod.pack_rule_bits([3, 6, 8],
                                                            [2, 4, 5]), 2, mesh)
     assert spatial._jitted_spatial_multi.cache_info().currsize == size
+
+
+def test_parse_rle_text_skips_preamble_before_header():
+    """Non-comment preamble lines before the header must not decode as body
+    (their 'b'/'o' letters would corrupt row 0); headerless body-only text
+    still parses entirely as body."""
+    from carle_tpu import rle
+
+    headered = "Generated by tool\nx = 3, y = 3, rule = B3/S23\nbob$2bo$3o!"
+    pat = rle.parse_rle_text(headered)
+    assert pat.grid.sum() == 5
+    np.testing.assert_array_equal(
+        pat.grid, rle.parse_rle_text("bob$2bo$3o!").grid)
+
+
+def test_evaluate_fused_rejects_agent_params_for_none_agent():
+    from carle_tpu.evaluation.eval import evaluate_fused
+
+    with pytest.raises(ValueError, match="random baseline"):
+        evaluate_fused(Agent=None, agent_params={"w": 1}, steps=1)
+
+
+def test_supervisor_rejects_abbreviated_owned_flags(tmp_path):
+    """argparse prefix abbreviation must not smuggle an owned flag past the
+    supervisor's guard (--progress resolves to --progress-file in the
+    child and silently disables crash recovery)."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "scripts/train_supervisor.py",
+         "--log-dir", str(tmp_path), "--progress", "/tmp/x"],
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        capture_output=True, text=True,
+    )
+    assert proc.returncode != 0
+    assert "managed by the supervisor" in proc.stderr

@@ -160,3 +160,19 @@ def test_gif_endpoint_from_rle(server):
     assert status == 200, body
     assert body["population"] == 5  # a glider stays a glider
     assert base64.b64decode(body["gif_base64"]).startswith(b"GIF89a")
+
+
+def test_gif_endpoint_runs_remainder_steps(server):
+    """steps not divisible by every: the remainder generations still run, so
+    /gif ends at the same trajectory point /rollout would."""
+    status, body = _post(server + "/gif",
+                         {"rule": "B3/S23", "size": 64, "steps": 10,
+                          "every": 4, "seed": 2, "density": 0.3})
+    assert status == 200, body
+    assert body["generations"] == 10
+    assert body["frames"] == 4  # initial + 2 full strides + remainder
+    status2, roll = _post(server + "/rollout",
+                          {"rule": "B3/S23", "size": 64, "steps": 10,
+                           "seed": 2, "density": 0.3})
+    assert status2 == 200
+    assert body["population"] == roll["population"]

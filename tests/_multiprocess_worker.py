@@ -60,7 +60,38 @@ def main() -> int:
     assert abs(total - expected) < 1e-4 * max(1.0, abs(expected)), (
         f"process {proc_id}: sharded total {total} != local {expected}"
     )
-    print(f"proc {proc_id}/{num_procs}: OK total={total:.6f}")
+
+    # --- spatial leg: ppermute halos CROSS the process boundary ------------
+    # A row-sharded universe over the global "space" mesh: rows 0-15 live on
+    # process 0's devices, 16-31 on process 1's, so the ring halo exchange
+    # includes inter-process edges.  Verified against each worker's local
+    # full-grid oracle via a position-weighted checksum (a replicated
+    # scalar — full grids are not addressable across processes), which any
+    # misrouted or stale ghost row would shift.
+    from carle_tpu.ops.ca import ca_step_grid
+    from carle_tpu.parallel import spatial_multi_step
+
+    smesh = make_mesh(jax.devices(), axis_name="space")
+    rows, cols = 4 * n_global, 64
+    grid = jax.random.bernoulli(
+        jax.random.PRNGKey(7), 0.3, (1, rows, cols)
+    ).astype(jnp.uint8)
+    ref = grid
+    for _ in range(5):
+        ref = ca_step_grid(ref, rules.LIFE)
+    weights = (
+        jnp.arange(rows, dtype=jnp.int32)[None, :, None] * 131
+        + jnp.arange(cols, dtype=jnp.int32)[None, None, :] * 7 + 1
+    )
+    want = int(jnp.sum(ref.astype(jnp.int32) * weights))
+    out = spatial_multi_step(grid, rules.LIFE, 5, smesh)
+    got = int(jnp.sum(out.astype(jnp.int32) * weights))
+    assert got == want, (
+        f"process {proc_id}: spatial checksum {got} != local {want}"
+    )
+
+    print(f"proc {proc_id}/{num_procs}: OK total={total:.6f} "
+          f"spatial_checksum={got}")
     return 0
 
 

@@ -224,8 +224,9 @@ def test_bit_spatial_multi_step_matches_single_device(static):
 def test_multiprocess_mesh_rollout(tmp_path):
     """TRUE multi-process mesh (the multi-host code path): two processes x 4
     virtual CPU devices each, glued by jax.distributed into one 8-device
-    global mesh, running the sharded fused rollout — each worker checks the
-    replicated total reward against its single-device oracle."""
+    global mesh, running the sharded fused rollout AND a row-sharded
+    spatial CA whose ppermute halos cross the process boundary — each
+    worker checks replicated scalars against its single-device oracle."""
     import os
     import socket
     import subprocess

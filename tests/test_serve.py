@@ -176,3 +176,40 @@ def test_gif_endpoint_runs_remainder_steps(server):
                            "seed": 2, "density": 0.3})
     assert status2 == 200
     assert body["population"] == roll["population"]
+
+
+def test_daemon_survives_junk_requests(server):
+    """Robustness: malformed bodies, wrong types, junk rules, and oversized
+    params on every endpoint must yield JSON errors (4xx), never kill the
+    daemon — it is a resident process by design."""
+    import random
+
+    rng = random.Random(0)
+    junk_bodies = [
+        {},  # all defaults — must succeed or 400, not crash
+        {"steps": "many"},
+        {"rule": "Z9/Q!!", "steps": 1, "size": 32},
+        {"rule": "B3/S23", "steps": -4, "size": 32},
+        {"size": 0, "steps": 1},
+        {"rle": "!!not rle at all$$", "steps": 1, "size": 32},
+        {"seeds": "zero"},
+        {"agent": {"nested": "dict"}},
+        {"every": 0, "steps": 4, "size": 32},
+        {"density": "high", "steps": 1, "size": 32},
+    ]
+    endpoints = ["/score", "/rollout", "/gif"]
+    for i in range(20):
+        ep = endpoints[i % 3]
+        body = dict(rng.choice(junk_bodies))
+        if ep == "/score":
+            body.setdefault("steps", 2)
+        try:
+            status, resp = _post(server + ep, body)
+        except Exception as exc:  # transport-level failure = daemon died
+            raise AssertionError(f"{ep} {body} killed the daemon: {exc}")
+        assert status in (200, 400), (ep, body, status, resp)
+        assert isinstance(resp, dict)
+
+    # the daemon is still alive and serving
+    status, body = _get(server + "/health")
+    assert status == 200 and body["ok"] is True

@@ -1,0 +1,143 @@
+"""Pattern analytics: period/displacement classification + population curves.
+
+The open-ended challenge this framework serves ("Carle's Game") scores
+machine *creativity* — agents are rewarded for building moving or growing
+structures (SpeedDetector/PufferDetector, mcl.py:730-853, are crude online
+proxies for exactly this).  The reference ships no way to actually ANALYZE
+what an agent built.  This module does, offline:
+
+* :func:`classify_pattern` — detect the exact (period, displacement) of a
+  pattern evolving in an empty universe, labelling it ``still-life``
+  (p=1, d=0), ``oscillator`` (p>1, d=0), ``spaceship`` (d != 0), ``died``,
+  or ``aperiodic`` within the search horizon.  A glider classifies as a
+  period-4 (1,1)-spaceship; a blinker as a period-2 oscillator.
+* :func:`population_curve` — per-generation live-cell counts as ONE jitted
+  ``lax.scan`` (dispatch-economical through the axon tunnel), the raw
+  series behind puffer/growth detection.
+
+Displacement search uses FFT cross-correlation (one O(HW log HW) pass on
+the padded torus) followed by an exact equality check, so a match is never
+heuristic.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ops.ca import ca_step_grid
+
+
+class Classification(NamedTuple):
+    kind: str                 # still-life | oscillator | spaceship | died | aperiodic
+    period: int               # 0 for died/aperiodic
+    displacement: tuple       # (dy, dx) torus shift per period, (0, 0) unless spaceship
+    population: int           # live cells at detection (0 when died)
+
+    @property
+    def speed(self) -> float:
+        """Chebyshev speed in cells/generation (gliders: 0.25 = c/4)."""
+        if self.period == 0:
+            return 0.0
+        return max(abs(self.displacement[0]), abs(self.displacement[1])) / self.period
+
+
+@jax.jit
+def _step(grid: jax.Array, rule_bits: jax.Array) -> jax.Array:
+    return ca_step_grid(grid, rule_bits)
+
+
+def _find_shift(a: np.ndarray, b: np.ndarray) -> Optional[tuple]:
+    """The torus shift (dy, dx) with roll(a, (dy, dx)) == b, or None.
+
+    FFT cross-correlation proposes the single best-aligned offset; an exact
+    comparison accepts or rejects it — correlation alone can tie for
+    symmetric patterns, so every candidate peak is verified."""
+    fa = np.fft.rfft2(a.astype(np.float32))
+    fb = np.fft.rfft2(b.astype(np.float32))
+    corr = np.fft.irfft2(np.conj(fa) * fb, s=a.shape)
+    # all offsets sharing the peak (floating-point ties within 1e-3)
+    peak = corr.max()
+    for dy, dx in zip(*np.nonzero(corr >= peak - 1e-3)):
+        if np.array_equal(np.roll(a, (dy, dx), axis=(0, 1)), b):
+            return int(dy), int(dx)
+    return None
+
+
+def _signed(d: int, n: int) -> int:
+    """Map a torus offset to the signed shift of smallest magnitude."""
+    return d - n if d > n // 2 else d
+
+
+def classify_pattern(
+    grid,
+    rule_bits,
+    max_period: int = 64,
+) -> Classification:
+    """Classify a pattern's long-run behaviour in an empty universe.
+
+    ``grid`` is a single [H, W] 0/1 array (place the pattern well clear of
+    the torus seam if displacement signs matter); ``rule_bits`` an 18-bit
+    rule bitmask or anything :func:`carle_tpu.rules.pack_rule_bits`
+    produced.  Searches generations 1..``max_period`` for the first exact
+    recurrence of the initial pattern up to translation.
+    """
+    g0 = np.asarray(jax.device_get(grid)).astype(np.uint8)
+    if g0.ndim != 2:
+        raise ValueError(f"classify_pattern wants one [H, W] grid, got {g0.shape}")
+    pop0 = int(g0.sum())
+    if pop0 == 0:
+        return Classification("died", 0, (0, 0), 0)
+
+    bits = jnp.asarray(rule_bits, dtype=jnp.int32)
+    g = jnp.asarray(g0[None])
+    h, w = g0.shape
+    for p in range(1, max_period + 1):
+        g = _step(g, bits)
+        gp = np.asarray(g[0])
+        pop = int(gp.sum())
+        if pop == 0:
+            return Classification("died", 0, (0, 0), 0)
+        if pop != pop0:
+            continue  # cannot be a translation of g0
+        shift = _find_shift(g0, gp)
+        if shift is None:
+            continue
+        dy, dx = _signed(shift[0], h), _signed(shift[1], w)
+        if (dy, dx) == (0, 0):
+            kind = "still-life" if p == 1 else "oscillator"
+        else:
+            kind = "spaceship"
+        return Classification(kind, p, (dy, dx), pop0)
+    return Classification("aperiodic", 0, (0, 0), int(np.asarray(g[0]).sum()))
+
+
+import functools
+
+
+@functools.partial(jax.jit, static_argnames=("num_steps",))
+def _pop_scan(g: jax.Array, rb: jax.Array, num_steps: int) -> jax.Array:
+    def body(g, _):
+        g = ca_step_grid(g, rb)
+        return g, jnp.sum(g, axis=(1, 2), dtype=jnp.int32)
+
+    _, pops = jax.lax.scan(body, g, length=num_steps)
+    return pops  # [steps, inst]
+
+
+def population_curve(grid, rule_bits, num_steps: int) -> np.ndarray:
+    """Per-generation live-cell counts [num_steps] (generation 1..N) for a
+    batch [inst, H, W] or single [H, W] grid — one jitted scan (module-level
+    jit instance: repeated curves reuse the compiled program), so a
+    16k-step curve is a single device dispatch."""
+    arr = jnp.asarray(grid, dtype=jnp.uint8)
+    single = arr.ndim == 2
+    if single:
+        arr = arr[None]
+    pops = np.asarray(
+        _pop_scan(arr, jnp.asarray(rule_bits, dtype=jnp.int32), num_steps)
+    )
+    return pops[:, 0] if single else pops

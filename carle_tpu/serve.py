@@ -29,6 +29,9 @@ Endpoints (JSON in/out):
                         stride), "fps", "scale"
                         -> {"gif_base64" (GIF89a episode animation),
                             "frames", "population", "latency_s"}
+  POST /classify        same pattern inputs as /rollout plus "max_period"
+                        -> {"kind" (still-life|oscillator|spaceship|died|
+                            aperiodic), "period", "displacement", "speed"}
 
 Single-threaded by design: one TPU chip, one request at a time (queueing is
 the correct backpressure — a second in-flight TPU program would wedge on
@@ -253,6 +256,26 @@ def _gif(body: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+def _classify(body: Dict[str, Any]) -> Dict[str, Any]:
+    """Pattern analytics: exact (period, displacement) classification of a
+    pattern (same rule/size/seed/density/rle inputs as /rollout; optional
+    max_period, default 64)."""
+    from .analysis import classify_pattern
+
+    grid, bits, _, _ = _initial_grid(body)
+    t0 = time.perf_counter()
+    c = classify_pattern(np.asarray(grid)[0], int(bits),
+                         max_period=int(body.get("max_period", 64)))
+    return {
+        "kind": c.kind,
+        "period": c.period,
+        "displacement": list(c.displacement),
+        "population": c.population,
+        "speed": c.speed,
+        "latency_s": round(time.perf_counter() - t0, 4),
+    }
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "carle_tpu_serve/1.0"
     stats = {"requests": 0, "errors": 0, "started": time.time()}
@@ -283,7 +306,8 @@ class _Handler(BaseHTTPRequestHandler):
         })
 
     def do_POST(self):
-        routes = {"/score": _score, "/rollout": _rollout, "/gif": _gif}
+        routes = {"/score": _score, "/rollout": _rollout, "/gif": _gif,
+                  "/classify": _classify}
         handler = routes.get(self.path)
         if handler is None:
             return self._reply(404, {"error": "unknown path"})

@@ -213,3 +213,12 @@ def test_daemon_survives_junk_requests(server):
     # the daemon is still alive and serving
     status, body = _get(server + "/health")
     assert status == 200 and body["ok"] is True
+
+
+def test_classify_endpoint(server):
+    glider = "x = 3, y = 3, rule = B3/S23\nbob$2bo$3o!"
+    status, body = _post(server + "/classify",
+                         {"rle": glider, "size": 48})
+    assert status == 200, body
+    assert body["kind"] == "spaceship"
+    assert body["period"] == 4 and body["speed"] == 0.25

@@ -141,3 +141,47 @@ def population_curve(grid, rule_bits, num_steps: int) -> np.ndarray:
         _pop_scan(arr, jnp.asarray(rule_bits, dtype=jnp.int32), num_steps)
     )
     return pops[:, 0] if single else pops
+
+
+def episode_report(log_path: str, rule_bits=None, max_period: int = 32) -> dict:
+    """Creativity report for a logged episode (the reference CSV format of
+    (action_rle, universe_rle) pairs — CARLE.save_log / Rollout.run_logged).
+
+    Returns step count, action budget (total/mean toggles — the quantity
+    ParsimonyBonus taxes), the population curve with a least-squares growth
+    slope (the quantity PufferDetector thresholds), and — when
+    ``rule_bits`` is given — the exact classification of the final
+    universe's evolution."""
+    from .rle import parse_rle_text, read_log
+
+    pairs = read_log(log_path)
+    if not pairs:
+        return {"steps": 0}
+    toggles, pops = [], []
+    final = None
+    for action_rle, universe_rle in pairs:
+        toggles.append(int(parse_rle_text(action_rle).grid.sum()))
+        final = parse_rle_text(universe_rle).grid
+        pops.append(int(final.sum()))
+    steps = len(pairs)
+    slope = (
+        float(np.polyfit(np.arange(steps), np.asarray(pops, np.float64), 1)[0])
+        if steps >= 2 else 0.0
+    )
+    report = {
+        "steps": steps,
+        "total_toggles": int(np.sum(toggles)),
+        "mean_toggles_per_step": float(np.mean(toggles)),
+        "population": {
+            "first": pops[0], "last": pops[-1],
+            "mean": float(np.mean(pops)), "max": int(np.max(pops)),
+            "growth_slope": slope,  # cells/step; PufferDetector fires > 0.01
+        },
+    }
+    if rule_bits is not None and final is not None:
+        c = classify_pattern(final, rule_bits, max_period=max_period)
+        report["final_pattern"] = {
+            "kind": c.kind, "period": c.period,
+            "displacement": list(c.displacement), "speed": c.speed,
+        }
+    return report

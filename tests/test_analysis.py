@@ -85,3 +85,34 @@ def test_population_curve_matches_classification():
     curves = population_curve(batch, rules.LIFE, 4)
     assert curves.shape == (4, 2)
     assert curves[-1, 1] == 0
+
+
+def test_episode_report_from_logged_env(tmp_path):
+    """The report consumes the reference CSV episode format end to end."""
+    import os
+
+    from carle_tpu import CARLE
+
+    env = CARLE(instances=1, height=48, width=48, action_height=16,
+                action_width=16, logging=True)
+    env.reset()
+    a = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    a[0, 0, 4, 5] = 1
+    a[0, 0, 5, 5:7] = 1
+    a[0, 0, 6, 4] = 1
+    a[0, 0, 6, 6] = 1
+    env.step(a)  # glider placed (5 toggles)
+    zeros = np.zeros_like(a)
+    for _ in range(7):
+        env.step(zeros)
+    path = env.save_log(str(tmp_path))
+
+    from carle_tpu.analysis import episode_report
+    from carle_tpu import rules
+
+    rep = episode_report(path, rules.LIFE)
+    assert rep["steps"] == 8
+    assert rep["total_toggles"] == 5
+    assert rep["population"]["last"] == 5
+    assert rep["final_pattern"]["kind"] == "spaceship"
+    assert rep["final_pattern"]["speed"] == 0.25

@@ -22,6 +22,7 @@ heuristic.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional
 
 import jax
@@ -115,9 +116,6 @@ def classify_pattern(
     return Classification("aperiodic", 0, (0, 0), int(np.asarray(g[0]).sum()))
 
 
-import functools
-
-
 @functools.partial(jax.jit, static_argnames=("num_steps",))
 def _pop_scan(g: jax.Array, rb: jax.Array, num_steps: int) -> jax.Array:
     def body(g, _):
@@ -185,3 +183,64 @@ def episode_report(log_path: str, rule_bits=None, max_period: int = 32) -> dict:
             "displacement": list(c.displacement), "speed": c.speed,
         }
     return report
+
+
+def extract_objects(grid) -> list:
+    """8-connected components of a 0/1 grid, torus-aware (an object
+    crossing the wraparound seam is ONE object).  Returns a list of
+    [n_cells, 2] arrays of (row, col) coordinates UNWRAPPED relative to
+    each object's bounding box (origin at its top-left), so seam-crossing
+    objects come out contiguous."""
+    g = np.asarray(grid) != 0
+    if g.ndim != 2:
+        raise ValueError(f"extract_objects wants one [H, W] grid, got {g.shape}")
+    h, w = g.shape
+    seen = np.zeros_like(g, dtype=bool)
+    objects = []
+    for r, c in zip(*np.nonzero(g)):
+        if seen[r, c]:
+            continue
+        seen[r, c] = True
+        stack = [(r, c, 0, 0)]  # (torus row/col, unwrapped row/col)
+        cells = []
+        while stack:
+            y, x, uy, ux = stack.pop()
+            cells.append((uy, ux))
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    if dy == 0 and dx == 0:
+                        continue
+                    ny, nx = (y + dy) % h, (x + dx) % w
+                    if g[ny, nx] and not seen[ny, nx]:
+                        seen[ny, nx] = True
+                        stack.append((ny, nx, uy + dy, ux + dx))
+        arr = np.asarray(cells, dtype=np.int64)
+        arr -= arr.min(axis=0)  # origin at the bounding-box corner
+        objects.append(arr)
+    return objects
+
+
+def census(grid, rule_bits, max_period: int = 32, pad: int = 8) -> dict:
+    """Object census of a universe: extract every 8-connected object and
+    classify each IN ISOLATION (standard soup-census methodology — nearby
+    objects that would interact are still reported individually).
+
+    Returns {"objects": [{kind, period, displacement, speed, population}],
+    "counts": {kind: n}} sorted largest-object first."""
+    objs = extract_objects(grid)
+    results = []
+    for cells in objs:
+        hh, ww = cells.max(axis=0) + 1 if len(cells) else (0, 0)
+        box = np.zeros((int(hh) + 2 * pad, int(ww) + 2 * pad), dtype=np.uint8)
+        box[cells[:, 0] + pad, cells[:, 1] + pad] = 1
+        c = classify_pattern(box, rule_bits, max_period=max_period)
+        results.append({
+            "kind": c.kind, "period": c.period,
+            "displacement": list(c.displacement), "speed": c.speed,
+            "population": int(len(cells)),
+        })
+    results.sort(key=lambda o: -o["population"])
+    counts: dict = {}
+    for o in results:
+        counts[o["kind"]] = counts.get(o["kind"], 0) + 1
+    return {"objects": results, "counts": counts}

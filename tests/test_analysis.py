@@ -116,3 +116,34 @@ def test_episode_report_from_logged_env(tmp_path):
     assert rep["population"]["last"] == 5
     assert rep["final_pattern"]["kind"] == "spaceship"
     assert rep["final_pattern"]["speed"] == 0.25
+
+
+def test_census_mixed_soup():
+    """Block + blinker + glider placed far apart: three objects, each
+    correctly classified in isolation."""
+    from carle_tpu.analysis import census
+
+    g = np.zeros((64, 64), dtype=np.uint8)
+    g[4:6, 4:6] = 1                        # block
+    g[20, 30:33] = 1                       # blinker
+    glider = rle.read_rle(pattern_path("glider_1")).grid
+    g[44:44 + glider.shape[0], 10:10 + glider.shape[1]] = glider
+
+    rep = census(g, rules.LIFE)
+    assert rep["counts"] == {"still-life": 1, "oscillator": 1, "spaceship": 1}
+    kinds = {o["kind"]: o for o in rep["objects"]}
+    assert kinds["spaceship"]["speed"] == 0.25
+    assert kinds["oscillator"]["period"] == 2
+    assert kinds["still-life"]["population"] == 4
+
+
+def test_census_object_across_torus_seam():
+    """A block wrapping the corner is ONE object and still a still life."""
+    from carle_tpu.analysis import census, extract_objects
+
+    g = np.zeros((32, 32), dtype=np.uint8)
+    g[[0, 0, -1, -1], [0, -1, 0, -1]] = 1  # 2x2 block split across the seam
+    objs = extract_objects(g)
+    assert len(objs) == 1 and len(objs[0]) == 4
+    rep = census(g, rules.LIFE)
+    assert rep["counts"] == {"still-life": 1}

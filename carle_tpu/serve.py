@@ -260,10 +260,15 @@ def _classify(body: Dict[str, Any]) -> Dict[str, Any]:
     """Pattern analytics: exact (period, displacement) classification of a
     pattern (same rule/size/seed/density/rle inputs as /rollout; optional
     max_period, default 64)."""
-    from .analysis import classify_pattern
+    from .analysis import census, classify_pattern
 
     grid, bits, _, _ = _initial_grid(body)
     t0 = time.perf_counter()
+    if body.get("census"):
+        rep = census(np.asarray(grid)[0], int(bits),
+                     max_period=int(body.get("max_period", 32)))
+        rep["latency_s"] = round(time.perf_counter() - t0, 4)
+        return rep
     c = classify_pattern(np.asarray(grid)[0], int(bits),
                          max_period=int(body.get("max_period", 64)))
     return {

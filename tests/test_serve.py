@@ -222,3 +222,12 @@ def test_classify_endpoint(server):
     assert status == 200, body
     assert body["kind"] == "spaceship"
     assert body["period"] == 4 and body["speed"] == 0.25
+
+
+def test_classify_endpoint_census_mode(server):
+    glider = "x = 3, y = 3, rule = B3/S23\nbob$2bo$3o!"
+    status, body = _post(server + "/classify",
+                         {"rle": glider, "size": 48, "census": True})
+    assert status == 200, body
+    assert body["counts"] == {"spaceship": 1}
+    assert body["objects"][0]["speed"] == 0.25

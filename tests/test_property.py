@@ -21,8 +21,12 @@ from carle_tpu.rules import (
     unpack_rule_bits,
 )
 
-# jit-free host code: keep hypothesis deadlines off anyway (CI boxes vary)
-_SETTINGS = dict(deadline=None, max_examples=60)
+# jit-free host code: keep hypothesis deadlines off anyway (CI boxes vary).
+# HYP_EXAMPLES=1000 turns this into a soak run (default stays CI-fast).
+import os
+
+_SETTINGS = dict(deadline=None,
+                 max_examples=int(os.environ.get("HYP_EXAMPLES", "60")))
 
 
 grids = st.tuples(
@@ -137,3 +141,45 @@ def test_bitpack_roundtrip(inst, h, wwords, seed):
     grid = (np.random.RandomState(seed).rand(inst, h, w) < 0.4).astype(np.uint8)
     out = np.asarray(unpack_grid(pack_grid(jnp.asarray(grid)), w))
     np.testing.assert_array_equal(out, grid)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=8, max_value=40),
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.floats(min_value=0.0, max_value=0.5),
+)
+def test_extract_objects_partition_invariants(h, w, seed, density):
+    """Objects partition the live cells: per-object counts sum to the grid
+    population, every returned coordinate set is non-empty and 0-anchored."""
+    from carle_tpu.analysis import extract_objects
+
+    grid = (np.random.RandomState(seed).rand(h, w) < density).astype(np.uint8)
+    objs = extract_objects(grid)
+    assert sum(len(o) for o in objs) == int(grid.sum())
+    for o in objs:
+        assert len(o) > 0
+        assert o.min(axis=0).tolist() == [0, 0]  # bbox-anchored
+
+
+@settings(**_SETTINGS)
+@given(
+    st.integers(min_value=0, max_value=2**31 - 1),
+    st.integers(min_value=1, max_value=10),
+)
+def test_population_curve_matches_stepped_oracle(seed, steps):
+    from carle_tpu.analysis import population_curve
+    from carle_tpu.ops.ca import ca_step_grid
+    import jax.numpy as jnp
+
+    from carle_tpu.rules import LIFE
+
+    grid = (np.random.RandomState(seed).rand(1, 32, 32) < 0.3).astype(np.uint8)
+    curve = population_curve(grid, LIFE, steps)
+    g = jnp.asarray(grid)
+    expect = []
+    for _ in range(steps):
+        g = ca_step_grid(g, LIFE)
+        expect.append(int(np.asarray(g).sum()))
+    assert curve[:, 0].tolist() == expect

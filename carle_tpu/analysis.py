@@ -220,6 +220,18 @@ def extract_objects(grid) -> list:
     return objects
 
 
+def _canonical_box(n: int) -> int:
+    """Round a box extent up to a power of two (>= 16): classification
+    boxes get data-dependent bounding-box shapes, and every distinct shape
+    jit-compiles a fresh step program — minutes each through the tunneled
+    TPU's remote compiler.  A canonical size set bounds the compile count
+    and lets every same-bucket object reuse one program."""
+    size = 16
+    while size < n:
+        size *= 2
+    return size
+
+
 def census(grid, rule_bits, max_period: int = 32, pad: int = 8) -> dict:
     """Object census of a universe: extract every 8-connected object and
     classify each IN ISOLATION (standard soup-census methodology — nearby
@@ -231,7 +243,8 @@ def census(grid, rule_bits, max_period: int = 32, pad: int = 8) -> dict:
     results = []
     for cells in objs:
         hh, ww = cells.max(axis=0) + 1 if len(cells) else (0, 0)
-        box = np.zeros((int(hh) + 2 * pad, int(ww) + 2 * pad), dtype=np.uint8)
+        box = np.zeros((_canonical_box(int(hh) + 2 * pad),
+                        _canonical_box(int(ww) + 2 * pad)), dtype=np.uint8)
         box[cells[:, 0] + pad, cells[:, 1] + pad] = 1
         c = classify_pattern(box, rule_bits, max_period=max_period)
         results.append({

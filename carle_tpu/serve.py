@@ -30,8 +30,11 @@ Endpoints (JSON in/out):
                         -> {"gif_base64" (GIF89a episode animation),
                             "frames", "population", "latency_s"}
   POST /classify        same pattern inputs as /rollout plus "max_period"
+                        (default 64)
                         -> {"kind" (still-life|oscillator|spaceship|died|
-                            aperiodic), "period", "displacement", "speed"}
+                            aperiodic), "period", "displacement", "speed"};
+                        with "census": true instead -> {"objects": [per-
+                        object classifications], "counts": {kind: n}}
 
 Single-threaded by design: one TPU chip, one request at a time (queueing is
 the correct backpressure — a second in-flight TPU program would wedge on
@@ -266,7 +269,7 @@ def _classify(body: Dict[str, Any]) -> Dict[str, Any]:
     t0 = time.perf_counter()
     if body.get("census"):
         rep = census(np.asarray(grid)[0], int(bits),
-                     max_period=int(body.get("max_period", 32)))
+                     max_period=int(body.get("max_period", 64)))
         rep["latency_s"] = round(time.perf_counter() - t0, 4)
         return rep
     c = classify_pattern(np.asarray(grid)[0], int(bits),

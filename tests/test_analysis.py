@@ -60,12 +60,10 @@ def test_classify_aperiodic_within_horizon():
 
 
 def test_classify_respects_rule():
-    # a 1x3 bar under B3/S023 (eval "Live Free or Die" battery member):
-    # different dynamics than Life must yield a different classification
-    # than assuming B3/S23 — here the centre cell SURVIVES with 2 neighbours
-    # plus births make it period-2 oscillating cross? just assert it is not
-    # misclassified as the Life blinker's bare period-2 oscillation with
-    # equal population.
+    # the same 1x3 bar under B2/S0 (the eval battery's held-out "Live Free
+    # or Die" outgroup, eval.py:94) evolves differently than under Life —
+    # assert the classifier's output depends on the rule, not just the
+    # pattern.
     bar = classify_pattern(_place(np.ones((1, 3), np.uint8)),
                            rules.pack_rule_bits([2], [0]))
     assert bar.kind in ("oscillator", "spaceship", "aperiodic", "died",

@@ -196,10 +196,12 @@ def test_daemon_survives_junk_requests(server):
         {"agent": {"nested": "dict"}},
         {"every": 0, "steps": 4, "size": 32},
         {"density": "high", "steps": 1, "size": 32},
+        {"max_period": "many", "size": 32},
+        {"census": True, "rle": "!!junk", "size": 32},
     ]
-    endpoints = ["/score", "/rollout", "/gif"]
-    for i in range(20):
-        ep = endpoints[i % 3]
+    endpoints = ["/score", "/rollout", "/gif", "/classify"]
+    for i in range(24):
+        ep = endpoints[i % 4]
         body = dict(rng.choice(junk_bodies))
         if ep == "/score":
             body.setdefault("steps", 2)

@@ -257,3 +257,69 @@ def census(grid, rule_bits, max_period: int = 32, pad: int = 8) -> dict:
     for o in results:
         counts[o["kind"]] = counts.get(o["kind"], 0) + 1
     return {"objects": results, "counts": counts}
+
+
+def _main() -> int:
+    """CLI: classify a pattern file, census a universe, or report an episode.
+
+        python -m carle_tpu.analysis pattern.rle [--rule B3/S23]
+        python -m carle_tpu.analysis universe.rle --census
+        python -m carle_tpu.analysis episode_log.csv --report
+    """
+    import argparse
+    import json
+
+    from . import rules as rules_mod
+    from .rle import read_rle
+
+    parser = argparse.ArgumentParser(description=_main.__doc__)
+    parser.add_argument("path", help=".rle pattern/universe or episode CSV")
+    parser.add_argument("--rule", default=None,
+                        help="B/S rulestring (default: the file's header "
+                             "rule, or B3/S23)")
+    parser.add_argument("--census", action="store_true",
+                        help="per-object census instead of whole-pattern "
+                             "classification")
+    parser.add_argument("--report", action="store_true",
+                        help="treat path as an episode-log CSV")
+    parser.add_argument("--max-period", type=int, default=64)
+    parser.add_argument("--platform", default=None,
+                        help="override the JAX platform (e.g. cpu)")
+    args = parser.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+
+    if args.report:
+        bits = (rules_mod.pack_rule_bits(*rules_mod.parse_rulestring(args.rule))
+                if args.rule else rules_mod.LIFE)
+        print(json.dumps(episode_report(args.path, bits,
+                                        max_period=args.max_period)))
+        return 0
+
+    pat = read_rle(args.path)
+    birth, survive = ((pat.birth, pat.survive) if args.rule is None
+                      else rules_mod.parse_rulestring(args.rule))
+    bits = rules_mod.pack_rule_bits(birth, survive)
+    if args.census:
+        print(json.dumps({"rule": rules_mod.rulestring(birth, survive),
+                          **census(pat.grid, bits,
+                                   max_period=args.max_period)}))
+        return 0
+    pad = 8
+    box = np.zeros((_canonical_box(pat.grid.shape[0] + 2 * pad),
+                    _canonical_box(pat.grid.shape[1] + 2 * pad)), np.uint8)
+    box[pad:pad + pat.grid.shape[0], pad:pad + pat.grid.shape[1]] = pat.grid
+    c = classify_pattern(box, bits, max_period=args.max_period)
+    print(json.dumps({
+        "rule": rules_mod.rulestring(birth, survive),
+        "kind": c.kind, "period": c.period,
+        "displacement": list(c.displacement), "speed": c.speed,
+        "population": c.population,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    import sys
+
+    sys.exit(_main())

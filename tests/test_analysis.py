@@ -145,3 +145,19 @@ def test_census_object_across_torus_seam():
     assert len(objs) == 1 and len(objs[0]) == 4
     rep = census(g, rules.LIFE)
     assert rep["counts"] == {"still-life": 1}
+
+
+def test_analysis_cli(tmp_path):
+    import json
+    import subprocess
+    import sys
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    out = subprocess.run(
+        [sys.executable, "-m", "carle_tpu.analysis",
+         "carle_tpu/patterns/glider_1.rle", "--platform", "cpu"],
+        cwd=repo, capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["kind"] == "spaceship" and rep["speed"] == 0.25

@@ -161,3 +161,23 @@ def test_analysis_cli(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     rep = json.loads(out.stdout.strip().splitlines()[-1])
     assert rep["kind"] == "spaceship" and rep["speed"] == 0.25
+
+
+def test_soup_search_script_quick():
+    import json
+    import subprocess
+    import sys
+
+    repo = __file__.rsplit("/tests/", 1)[0]
+    out = subprocess.run(
+        [sys.executable, "scripts/soup_search.py", "--quick",
+         "--platform", "cpu"],
+        cwd=repo, capture_output=True, text=True,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [json.loads(l) for l in out.stdout.splitlines()
+             if l.startswith("{")]
+    assert len(lines) == 9  # 8 soups + aggregate
+    agg = lines[-1]["soup_search"]
+    assert agg["soups"] == 8
+    assert sum(agg["object_counts"].values()) > 0

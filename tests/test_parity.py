@@ -136,8 +136,11 @@ def test_trajectory_parity_fuzz():
     """Randomized geometry/rule/action fuzz vs the reference: odd universe
     sizes (exercises the shrink-by-parity action window, env.py:124-125),
     random rulesets, sparse/dense actions, interleaved action-free steps."""
+    import os
+
     rng = np.random.RandomState(1234)
-    for trial in range(6):
+    # PARITY_TRIALS=200 turns this into a soak sweep (default stays CI-fast)
+    for trial in range(int(os.environ.get("PARITY_TRIALS", "6"))):
         # EVEN sizes only: the reference's padding arithmetic does not sum
         # back to the universe size for odd dimensions (set_action_padding,
         # env.py:119-132 — the ZeroPad2d mixes height/width terms), so odd

@@ -61,3 +61,37 @@ def test_compilation_cache_helper(tmp_path):
         assert os.path.isdir(target)
     finally:
         jax.config.update("jax_compilation_cache_dir", prev)
+
+
+def test_profiler_trace_writes_artifacts(tmp_path):
+    """The trace context manager produces a TensorBoard-loadable trace dir
+    (op-level timeline — SURVEY §5's tracing subsystem)."""
+    import jax.numpy as jnp
+
+    from carle_tpu.utils.profiling import trace
+
+    d = str(tmp_path / "trace")
+    with trace(d):
+        jnp.ones((8, 8)).sum().block_until_ready()
+    files = [p for p in __import__("pathlib").Path(d).rglob("*") if p.is_file()]
+    assert files, "no trace artifacts written"
+
+
+def test_ascii_render(monkeypatch, capsys):
+    """render() draws instance 0 ('o' = alive) without clearing the test
+    terminal or sleeping."""
+    import carle_tpu.env as env_mod
+    from carle_tpu import CARLE
+
+    monkeypatch.setattr(env_mod.os, "system", lambda *_: 0)
+    monkeypatch.setattr(env_mod.time, "sleep", lambda *_: None)
+    env = CARLE(instances=1, height=8, width=8, action_height=4,
+                action_width=4)
+    env.reset()
+    g = np.zeros((1, 8, 8), dtype=np.uint8)
+    g[0, 3, 2:5] = 1
+    env.universe = g
+    env.render()
+    out = capsys.readouterr().out
+    assert "CA Universe" in out
+    assert "ooo" in out

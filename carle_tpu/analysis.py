@@ -51,13 +51,16 @@ def _step(grid: jax.Array, rule_bits: jax.Array) -> jax.Array:
     return ca_step_grid(grid, rule_bits)
 
 
-def _find_shift(a: np.ndarray, b: np.ndarray) -> Optional[tuple]:
+def _find_shift(a: np.ndarray, b: np.ndarray,
+                fa: Optional[np.ndarray] = None) -> Optional[tuple]:
     """The torus shift (dy, dx) with roll(a, (dy, dx)) == b, or None.
 
     FFT cross-correlation proposes the single best-aligned offset; an exact
     comparison accepts or rejects it — correlation alone can tie for
-    symmetric patterns, so every candidate peak is verified."""
-    fa = np.fft.rfft2(a.astype(np.float32))
+    symmetric patterns, so every candidate peak is verified.  ``fa`` lets
+    callers precompute ``rfft2(a)`` once across repeated probes."""
+    if fa is None:
+        fa = np.fft.rfft2(a.astype(np.float32))
     fb = np.fft.rfft2(b.astype(np.float32))
     corr = np.fft.irfft2(np.conj(fa) * fb, s=a.shape)
     # all offsets sharing the peak (floating-point ties within 1e-3)
@@ -96,6 +99,7 @@ def classify_pattern(
     bits = jnp.asarray(rule_bits, dtype=jnp.int32)
     g = jnp.asarray(g0[None])
     h, w = g0.shape
+    fa = np.fft.rfft2(g0.astype(np.float32))  # shared across period probes
     for p in range(1, max_period + 1):
         g = _step(g, bits)
         gp = np.asarray(g[0])
@@ -104,7 +108,7 @@ def classify_pattern(
             return Classification("died", 0, (0, 0), 0)
         if pop != pop0:
             continue  # cannot be a translation of g0
-        shift = _find_shift(g0, gp)
+        shift = _find_shift(g0, gp, fa=fa)
         if shift is None:
             continue
         dy, dx = _signed(shift[0], h), _signed(shift[1], w)

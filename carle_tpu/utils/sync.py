@@ -17,13 +17,15 @@ import numpy as np
 
 def device_sync(x) -> float:
     """Force completion of the computation producing ``x`` (an array or any
-    pytree of arrays) and return the total sum as a host float."""
-    total = 0.0
+    pytree of arrays) and return the total sum as a host float.
+
+    The per-leaf scalar reductions batch into ONE device->host transfer —
+    the barrier is the transfer's data dependence, not its count."""
+    sums = []
     for leaf in jax.tree.leaves(x):
         try:
-            total += float(np.asarray(jax.device_get(jax.numpy.sum(leaf))))
+            sums.append(jax.numpy.sum(leaf))
         except TypeError:
             # typed PRNG key arrays have no sum; reduce their raw bits
-            total += float(np.asarray(jax.device_get(
-                jax.numpy.sum(jax.random.key_data(leaf)))))
-    return total
+            sums.append(jax.numpy.sum(jax.random.key_data(leaf)))
+    return float(sum(float(np.asarray(s)) for s in jax.device_get(sums)))

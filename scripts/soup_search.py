@@ -54,8 +54,8 @@ def main() -> int:
 
     from carle_tpu import rules as rules_mod
     from carle_tpu.analysis import census
-    from carle_tpu.ops.bitpack import bit_multi_step, pack_grid, unpack_grid
-    from carle_tpu.ops.ca import is_tpu_platform
+    from carle_tpu.ops.bitpack import pack_grid, unpack_grid
+    from carle_tpu.serve import _packed_engine
     from carle_tpu.utils.sync import device_sync as _sync
 
     birth, survive = rules_mod.parse_rulestring(args.rule)
@@ -67,13 +67,9 @@ def main() -> int:
     ).astype(jnp.uint8)
     packed = pack_grid(grids)
 
-    if is_tpu_platform():
-        from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas
-
-        out = bit_multi_step_pallas(packed, jnp.asarray(bits),
-                                    jnp.asarray(args.steps))
-    else:
-        out = bit_multi_step(packed, jnp.asarray(bits), args.steps)
+    # the serving daemon's engine dispatch: Pallas steps-as-data on TPU,
+    # jitted XLA scan elsewhere — one compiled program either way
+    out = _packed_engine()(packed, jnp.asarray(bits), args.steps)
     _sync(out)
     finals = np.asarray(unpack_grid(out, args.size))
 

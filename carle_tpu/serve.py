@@ -284,6 +284,40 @@ def _classify(body: Dict[str, Any]) -> Dict[str, Any]:
     }
 
 
+# Minimal browser demo served at GET /: drives the JSON endpoints from a
+# form — evolve a soup (or pasted RLE) to an animation, census the ash.
+_DEMO_PAGE = """<!doctype html><html><head><meta charset="utf-8">
+<title>carle_tpu</title><style>
+body{font-family:monospace;background:#0a0a0e;color:#48dc82;margin:2em}
+input,textarea,button{background:#14141c;color:#48dc82;border:1px solid #2a4;
+padding:4px;font-family:monospace}img{image-rendering:pixelated;border:1px
+solid #2a4;margin-top:1em}pre{color:#9ad}</style></head><body>
+<h2>carle_tpu</h2>
+<form onsubmit="go(event)">
+rule <input id=rule value="B3/S23" size=10>
+size <input id=size value=128 size=4>
+steps <input id=steps value=256 size=5>
+density <input id=density value=0.3 size=4>
+seed <input id=seed value=0 size=4>
+<button>evolve</button></form>
+<p>or paste RLE:</p><textarea id=rle rows=4 cols=60></textarea>
+<div id=out></div>
+<script>
+async function go(e){e.preventDefault();
+const body={rule:rule.value,size:+size.value,steps:+steps.value,
+density:+density.value,seed:+seed.value,every:4,scale:2};
+if(rle.value.trim())body.rle=rle.value;
+out.innerHTML="evolving...";
+const g=await(await fetch("/gif",{method:"POST",
+body:JSON.stringify(body)})).json();
+const c=await(await fetch("/classify",{method:"POST",
+body:JSON.stringify({...body,census:true})})).json();
+out.innerHTML='<img src="data:image/gif;base64,'+g.gif_base64+'">'+
+'<pre>population '+g.population+' after '+g.generations+
+' generations\\ncensus: '+JSON.stringify(c.counts)+'</pre>';}
+</script></body></html>"""
+
+
 class _Handler(BaseHTTPRequestHandler):
     server_version = "carle_tpu_serve/1.0"
     stats = {"requests": 0, "errors": 0, "started": time.time()}
@@ -301,6 +335,14 @@ class _Handler(BaseHTTPRequestHandler):
         self.wfile.write(data)
 
     def do_GET(self):
+        if self.path in ("/", "/index.html"):
+            data = _DEMO_PAGE.encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "text/html; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+            return
         if self.path != "/health":
             return self._reply(404, {"error": "unknown path"})
         import jax

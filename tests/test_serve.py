@@ -233,3 +233,14 @@ def test_classify_endpoint_census_mode(server):
     assert status == 200, body
     assert body["counts"] == {"spaceship": 1}
     assert body["objects"][0]["speed"] == 0.25
+
+
+def test_demo_page(server):
+    """GET / serves the built-in browser demo driving /gif and /classify."""
+    import urllib.request
+
+    with urllib.request.urlopen(server + "/", timeout=60) as r:
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/html")
+        html = r.read().decode()
+    assert "carle_tpu" in html and "/gif" in html and "/classify" in html

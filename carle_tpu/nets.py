@@ -163,6 +163,11 @@ def linear(x: jax.Array, p: Params, compute_dtype=None) -> jax.Array:
         x, w.T,
         preferred_element_type=None if compute_dtype is not None
         else jnp.float32,
+        # exact f32 on TPU needs HIGHEST (the default does ONE bf16 pass,
+        # ~3e-3 relative per product — CLAUDE.md); mixed-precision opt-in
+        # (compute_dtype) keeps the fast default on purpose
+        precision=None if compute_dtype is not None
+        else jax.lax.Precision.HIGHEST,
     ).astype(jnp.float32)
     if "b" in p:
         out = out + p["b"]
@@ -275,15 +280,22 @@ def conv_head(
         # tests (tests/test_pallas_head.py)
         z = conv2d(x, p, padding=1)
         z = jax.nn.relu(dropout(z, key, drop_p, train))
-        steps = {2: 1, 4: 2}[pool]
-        for _ in range(steps):
+        if pool < 2 or pool & (pool - 1):
+            raise ValueError(f"pool must be a power of two >= 2, got {pool}")
+        for _ in range(pool.bit_length() - 1):
             z = max_pool2(z)
         return z
     head = make_fused_head(pool, drop_p, train, interpret=not on_tpu,
                            need_dx=need_dx)
     if mesh is not None:
         head = _shard_fused(head, mesh)
-    if key is not None and train and drop_p > 0.0:
+    if train and drop_p > 0.0:
+        if key is None:
+            # the unfused path would raise inside jax.random — a silent
+            # fixed seed here would correlate every step's dropout masks
+            raise ValueError(
+                "train=True with drop_p > 0 requires a PRNG key"
+            )
         seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
     else:
         seed = jnp.int32(0)
@@ -317,7 +329,13 @@ def conv_tail(
     tail = make_fused_tail(act, drop_p, train, interpret=not on_tpu)
     if mesh is not None:
         tail = _shard_fused(tail, mesh)
-    if key is not None and train and drop_p > 0.0:
+    if train and drop_p > 0.0:
+        if key is None:
+            # the unfused path would raise inside jax.random — a silent
+            # fixed seed here would correlate every step's dropout masks
+            raise ValueError(
+                "train=True with drop_p > 0 requires a PRNG key"
+            )
         seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
     else:
         seed = jnp.int32(0)

@@ -136,6 +136,12 @@ def _broadcast_rule_bit(rule_bits: jax.Array, k: int, like: jax.Array) -> jax.Ar
     bits = jnp.asarray(rule_bits).astype(jnp.uint32)
     bit = (bits >> k) & jnp.uint32(1)
     if bit.ndim == 1:
+        if bit.shape[0] != like.shape[0]:
+            raise ValueError(
+                f"per-instance rule vector of length {bit.shape[0]} must "
+                f"match grid dimension 0 ({like.shape[0]}) — the vector "
+                "applies along dim 0"
+            )
         bit = bit.reshape(bit.shape[0], *([1] * (like.ndim - 1)))
     return jnp.broadcast_to(jnp.uint32(0) - bit, like.shape)
 

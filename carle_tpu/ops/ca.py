@@ -49,6 +49,15 @@ def apply_rule(grid: jax.Array, counts: jax.Array, rule_bits: jax.Array) -> jax.
     idx = counts.astype(jnp.int32) + 9 * grid.astype(jnp.int32)
     bits = jnp.asarray(rule_bits, dtype=jnp.int32)
     if bits.ndim == 1:
+        # the vector applies along DIMENSION 0 of the grid — check it, or a
+        # [T, inst, H, W] trajectory with T == inst would silently apply
+        # rule[t] to all instances at step t
+        if bits.shape[0] != grid.shape[0]:
+            raise ValueError(
+                f"per-instance rule vector of length {bits.shape[0]} must "
+                f"match grid dimension 0 ({grid.shape[0]}) — the vector "
+                "applies along dim 0"
+            )
         bits = bits.reshape(bits.shape[0], *([1] * (grid.ndim - 1)))
     return ((bits >> idx) & 1).astype(jnp.uint8)
 

@@ -21,9 +21,39 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _csa(a, b, c):
-    ab = a ^ b
-    return ab ^ c, (a & b) | (ab & c)
+from .bitpack import _csa  # carry-save adder shared with the XLA engine
+from .tiling import largest_divisor_tile
+
+
+def _make_rule_plane(rule_bits, g, masks):
+    """Leaf factory for the rules-as-data mux folds: the pre-broadcast
+    ``masks`` (loop-invariant hoisting for per-instance rule vectors) or an
+    on-the-fly all-0s/all-1s plane from bit k of the mask."""
+    def rule_plane(k):
+        if masks is not None:
+            return masks[k]
+        bit = (rule_bits >> k) & 1
+        return jnp.broadcast_to(
+            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
+        )
+
+    return rule_plane
+
+
+def _mux_select(planes, sel):
+    out = []
+    for i in range(0, len(planes) - 1, 2):
+        out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
+    if len(planes) % 2:
+        out.append(planes[-1] & ~sel)
+    return out
+
+
+def _mux_fold(leaves, n0, n1, n2, n3):
+    planes = _mux_select(leaves, n0)
+    planes = _mux_select(planes, n1)
+    planes = _mux_select(planes, n2)
+    return _mux_select(planes, n3)[0]
 
 
 def _bit_step_block(g: jax.Array, rule_bits: jax.Array,
@@ -56,31 +86,9 @@ def _bit_step_block(g: jax.Array, rule_bits: jax.Array,
     n2 = c3 ^ c4
     n3 = c3 & c4
 
-    def rule_plane(k):
-        if masks is not None:
-            return masks[k]
-        bit = (rule_bits >> k) & 1
-        return jnp.broadcast_to(
-            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
-        )
-
-    def select(planes, sel):
-        out = []
-        for i in range(0, len(planes) - 1, 2):
-            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
-        if len(planes) % 2:
-            out.append(planes[-1] & ~sel)
-        return out
-
-    def fold(leaves):
-        planes = select(leaves, n0)
-        planes = select(planes, n1)
-        planes = select(planes, n2)
-        planes = select(planes, n3)
-        return planes[0]
-
-    dead = fold([rule_plane(v) for v in range(9)])
-    alive = fold([rule_plane(9 + v) for v in range(9)])
+    rule_plane = _make_rule_plane(rule_bits, g, masks)
+    dead = _mux_fold([rule_plane(v) for v in range(9)], n0, n1, n2, n3)
+    alive = _mux_fold([rule_plane(9 + v) for v in range(9)], n0, n1, n2, n3)
     return (dead & ~g) | (alive & g)
 
 
@@ -165,34 +173,13 @@ def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array,
     lowering, ~8% on the static kernel — see _make_static_step_vertical)."""
     n0, n1, n2, n3 = _count9_planes(g, concat_lane, concat_word)
 
-    def rule_plane(k):
-        if masks is not None:
-            return masks[k]
-        bit = (rule_bits >> k) & 1
-        return jnp.broadcast_to(
-            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
-        )
-
+    rule_plane = _make_rule_plane(rule_bits, g, masks)
     zero = jnp.zeros_like(g)
-
-    def select(planes, sel):
-        out = []
-        for i in range(0, len(planes) - 1, 2):
-            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
-        if len(planes) % 2:
-            out.append(planes[-1] & ~sel)
-        return out
-
-    def fold(leaves):
-        planes = select(leaves, n0)   # 10 -> 5
-        planes = select(planes, n1)   # 5 -> 3
-        planes = select(planes, n2)   # 3 -> 2
-        planes = select(planes, n3)   # 2 -> 1
-        return planes[0]
-
     # count9 == 9 unreachable on the dead branch; count9 == 0 on the alive
-    dead = fold([rule_plane(v) for v in range(9)] + [zero])
-    alive = fold([zero] + [rule_plane(9 + v) for v in range(9)])
+    dead = _mux_fold([rule_plane(v) for v in range(9)] + [zero],
+                     n0, n1, n2, n3)
+    alive = _mux_fold([zero] + [rule_plane(9 + v) for v in range(9)],
+                      n0, n1, n2, n3)
     return (dead & ~g) | (alive & g)
 
 
@@ -212,14 +199,7 @@ def _bit_step_block_vd(g: jax.Array, rule_bits: jax.Array,
     contributes 0, count9 == 9 unreachable), alive branch survive bits at
     count9-1 (count9 == 0 unreachable, don't-care leaves reuse s0)."""
     n0, n1, n2, n3 = _count9_planes(g, concat_lane_shift=True)
-
-    def rule_plane(k):
-        if masks is not None:
-            return masks[k]
-        bit = (rule_bits >> k) & 1
-        return jnp.broadcast_to(
-            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
-        )
+    rule_plane = _make_rule_plane(rule_bits, g, masks)
 
     def mux(sel, a, b):  # sel=0 -> a, sel=1 -> b
         return a ^ (sel & (a ^ b))
@@ -503,33 +483,12 @@ def _bit_step_block_cm(g: jax.Array, rule_bits: jax.Array,
     hoisting for per-instance rule vectors, as in _multi_step_kernel_vec)."""
     n0, n1, n2, n3 = _count9_planes_cm(g)
 
-    def rule_plane(k):
-        if masks is not None:
-            return masks[k]
-        bit = (rule_bits >> k) & 1
-        return jnp.broadcast_to(
-            (jnp.uint32(0) - bit.astype(jnp.uint32)), g.shape
-        )
-
+    rule_plane = _make_rule_plane(rule_bits, g, masks)
     zero = jnp.zeros_like(g)
-
-    def select(planes, sel):
-        out = []
-        for i in range(0, len(planes) - 1, 2):
-            out.append((planes[i] & ~sel) | (planes[i + 1] & sel))
-        if len(planes) % 2:
-            out.append(planes[-1] & ~sel)
-        return out
-
-    def fold(leaves):
-        planes = select(leaves, n0)
-        planes = select(planes, n1)
-        planes = select(planes, n2)
-        planes = select(planes, n3)
-        return planes[0]
-
-    dead = fold([rule_plane(v) for v in range(9)] + [zero])
-    alive = fold([zero] + [rule_plane(9 + v) for v in range(9)])
+    dead = _mux_fold([rule_plane(v) for v in range(9)] + [zero],
+                     n0, n1, n2, n3)
+    alive = _mux_fold([zero] + [rule_plane(9 + v) for v in range(9)],
+                      n0, n1, n2, n3)
     return (dead & ~g) | (alive & g)
 
 
@@ -554,11 +513,8 @@ def _static_multi_step_kernel(steps_ref, grid_ref, out_ref, *, birth, survive,
 
 def _tile(instances: int, nwords: int, h: int,
           budget_bytes: int = 8 * 2**20) -> int:
-    per_instance = nwords * h * 4 * 10  # ~10 live uint32 planes
-    tile = max(1, budget_bytes // per_instance)
-    while instances % tile:
-        tile -= 1
-    return tile
+    # ~10 live uint32 planes per instance
+    return largest_divisor_tile(instances, nwords * h * 4 * 10, budget_bytes)
 
 
 @functools.partial(jax.jit, static_argnames=("scheme",))
@@ -622,7 +578,7 @@ def bit_multi_step_pallas(
                                    memory_space=pltpu.VMEM),
         ),
     )(
-        jnp.asarray(rule_bits, jnp.int32).reshape(1),
+        rb.reshape(1),
         jnp.asarray(num_steps, jnp.int32).reshape(1),
         t,
     )

@@ -91,11 +91,9 @@ def _instance_tile(instances: int, h: int, w: int, budget_bytes: int = 6 * 2**20
 
     Arithmetic runs in int32 (Mosaic lane constraint): ~4 int32 live buffers
     (gi, rows, counts/idx, shifted temp) + uint8 in/out per cell."""
-    per_instance = h * w * (4 * 4 + 2)
-    tile = max(1, budget_bytes // per_instance)
-    while instances % tile:
-        tile -= 1
-    return tile
+    from .tiling import largest_divisor_tile
+
+    return largest_divisor_tile(instances, h * w * (4 * 4 + 2), budget_bytes)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))

@@ -305,17 +305,15 @@ def _tile(instances: int, cin: int, cout: int, h: int, w: int,
     input-cotangent working set (gx out block + cin accumulator planes +
     3 shifted grad planes) — without it the RND conv2 bwd at [32,4,64,64]
     compiled to a 19.3 M scoped-vmem stack vs the 16 M v5e limit."""
+    from .tiling import largest_divisor_tile
+
     del cout  # channels are processed one at a time; temps are reused
     if budget_bytes is None:
         budget_bytes = TILE_BUDGET_BYTES
     planes = cin + 8
     if need_dx:
         planes += 2 * cin + 3
-    per_inst = planes * h * w * 4
-    tile = max(1, budget_bytes // max(per_inst, 1))
-    while instances % tile:
-        tile -= 1
-    return tile
+    return largest_divisor_tile(instances, planes * h * w * 4, budget_bytes)
 
 
 def _head_fwd_call(x, w, b, seed, *, pool: int, drop_p: float,
@@ -592,11 +590,10 @@ def _tail_bwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref, g_ref,
 
 
 def _tail_tile(instances: int, cin: int, h2: int, w2: int) -> int:
-    per_inst = (2 * cin + 6) * h2 * w2 * 4
-    tile = max(1, TILE_BUDGET_BYTES // max(per_inst, 1))
-    while instances % tile:
-        tile -= 1
-    return tile
+    from .tiling import largest_divisor_tile
+
+    return largest_divisor_tile(instances, (2 * cin + 6) * h2 * w2 * 4,
+                                TILE_BUDGET_BYTES)
 
 
 def _tail_call(x, wt, b, seed, g, *, drop_p: float, act: str,

@@ -219,3 +219,50 @@ def test_supervisor_rejects_abbreviated_owned_flags(tmp_path):
     )
     assert proc.returncode != 0
     assert "managed by the supervisor" in proc.stderr
+
+
+def test_rule_vector_dim0_mismatch_raises():
+    """A per-instance rule vector must match grid dim 0 — a [T, inst, H, W]
+    stack with T == inst would otherwise silently apply rule[t] to all
+    instances at step t."""
+    import jax.numpy as jnp
+
+    from carle_tpu import rules as rules_mod
+    from carle_tpu.ops.bitpack import bit_ca_step, pack_grid
+    from carle_tpu.ops.ca import ca_step_grid
+
+    grid = jnp.zeros((3, 16, 32), jnp.uint8)
+    bad = jnp.asarray([rules_mod.LIFE] * 4, jnp.int32)
+    with pytest.raises(ValueError, match="dimension 0"):
+        ca_step_grid(grid, bad)
+    with pytest.raises(ValueError, match="dimension 0"):
+        bit_ca_step(pack_grid(grid), bad)
+
+
+def test_conv_head_requires_key_when_training_with_dropout():
+    """The fused path must raise like the unfused one instead of silently
+    seeding the hardware PRNG with 0 (fixed, cross-step-correlated masks)."""
+    import jax.numpy as jnp
+
+    from carle_tpu import nets
+
+    x = jnp.zeros((2, 1, 16, 16), jnp.float32)
+    p = nets.conv_init(jax.random.PRNGKey(0), 4, 1, 3)
+    with pytest.raises(ValueError, match="PRNG key"):
+        nets.conv_head(x, p, None, pool=2, drop_p=0.1, train=True,
+                       force_kernel=True)
+
+
+def test_conv_head_fallback_supports_pow2_pools():
+    """The off-TPU fallback previously hardcoded pools {2, 4} while the
+    kernel path accepts any power of two."""
+    import jax.numpy as jnp
+
+    from carle_tpu import nets
+
+    x = jnp.ones((1, 1, 16, 16), jnp.float32)
+    p = nets.conv_init(jax.random.PRNGKey(0), 4, 1, 3)
+    out = nets.conv_head(x, p, None, pool=8, drop_p=0.0, train=False)
+    assert out.shape == (1, 4, 2, 2)
+    with pytest.raises(ValueError, match="power of two"):
+        nets.conv_head(x, p, None, pool=3, drop_p=0.0, train=False)

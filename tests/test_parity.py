@@ -188,3 +188,40 @@ def test_oversized_action_crop_parity():
     rng = np.random.RandomState(5)
     acts = [(rng.rand(1, 1, 64, 64) < 0.1).astype(np.float32) for _ in range(4)]
     _run_pair([3], [2, 3], acts, h=64, w=64, ah=16, aw=16)
+
+
+def test_episode_report_reads_reference_log(tmp_path, monkeypatch):
+    """Artifact interop: a CSV episode log written by the REFERENCE's own
+    torch env (save_log, env.py:479-491) parses through carle_tpu's
+    read_log/episode_report — byte-level episode-format compatibility in
+    the reference -> carle_tpu direction."""
+    import os
+
+    # the reference writes to a hardcoded ./logs/ relative path
+    monkeypatch.chdir(tmp_path)
+    os.makedirs("logs", exist_ok=True)
+    ref = _make_ref(instances=1, height=48, width=48, action_width=16,
+                    action_height=16, logging=True)
+    ref.reset()
+    a = torch.zeros(1, 1, 16, 16)
+    a[0, 0, 4, 5] = 1
+    a[0, 0, 5, 5:7] = 1
+    a[0, 0, 6, 4] = 1
+    a[0, 0, 6, 6] = 1
+    with torch.no_grad():
+        ref.step(a)  # glider placed (5 toggles)
+        for _ in range(7):
+            ref.step(torch.zeros(1, 1, 16, 16))
+    ref.save_log()
+
+    logs = [f for f in os.listdir("logs") if f.endswith(".csv")]
+    assert len(logs) == 1
+
+    from carle_tpu import rules
+    from carle_tpu.analysis import episode_report
+
+    rep = episode_report(os.path.join("logs", logs[0]), rules.LIFE)
+    assert rep["steps"] == 8
+    assert rep["total_toggles"] == 5
+    assert rep["population"]["last"] == 5
+    assert rep["final_pattern"]["kind"] == "spaceship"

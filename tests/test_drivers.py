@@ -490,9 +490,13 @@ def test_supervisor_recovers_from_injected_crash(tmp_path):
          "--backoff-seconds", "0.1",
          "--poll-seconds", "0.1",
          "--inject-kill-after-segments", "2",
-         # pass-through train_mcl flags (tiny CPU config)
+         # pass-through train_mcl flags (tiny CPU config).  steps-per-rule
+         # is deliberately NOT minimal: segments must outlast the
+         # supervisor's poll interval even when the test box is loaded, or
+         # the child can finish all 8 segments before the injected kill
+         # fires (observed flake under a full parallel suite run)
          "--platform", "cpu", "--instances", "2", "--epochs", "2",
-         "--steps-per-rule", "8", "--batch-size", "8", "--size", "64",
+         "--steps-per-rule", "48", "--batch-size", "8", "--size", "64",
          "--mesh", "off"],
         cwd=repo, capture_output=True, text=True, timeout=600,
     )

@@ -185,8 +185,9 @@ def _bit_step_block_v2(g: jax.Array, rule_bits: jax.Array,
 
 def _bit_step_block_vd(g: jax.Array, rule_bits: jax.Array,
                        masks=None) -> jax.Array:
-    """Experimental "vd" rules-as-data step: vc's roll schedule with an
-    n3-first XOR-mux rule fold.
+    """"vd" rules-as-data step (the measured default): vc's roll schedule
+    with an n3-first XOR-mux rule fold — 1.52-1.58e12 cells/s on v5e vs
+    vc's 1.34-1.36e12 (+14%, matching the traced-op count prediction).
 
     The vc fold is ~9 select-muxes + 2 masked ANDs per branch, each select
     spending 3 ops plus a shared ``~sel`` per level (~33 ops/branch).  Two
@@ -520,12 +521,13 @@ def _tile(instances: int, nwords: int, h: int,
 @functools.partial(jax.jit, static_argnames=("scheme",))
 def bit_multi_step_pallas(
     packed: jax.Array, rule_bits: jax.Array, num_steps: jax.Array,
-    scheme: str = "vc",
+    scheme: str = "vd",
 ) -> jax.Array:
     """``num_steps`` generations on a packed [inst, H, W/32] grid.
 
-    Default scheme "vc" (vertical-first, slice+concat lane shifts) measured
-    1.363e12 cells/s on v5e vs 1.317e12 for "v" (dynamic lane rotates) —
+    Default scheme "vd" (vc's vertical-first roll schedule + the n3-first
+    XOR-mux rule fold) measured 1.52-1.58e12 cells/s on v5e vs 1.34-1.36e12
+    for "vc" (select-mux fold) and 1.32e12 for "v" (dynamic lane rotates) —
     the serving-path default for the env/packed engines.
 
     ``rule_bits`` scalar or [instances] vector (per-instance rulesets in one

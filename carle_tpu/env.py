@@ -110,7 +110,7 @@ def multi_step(
     Backend dispatch: "xla" scans the roll-sum step; "bitpack" scans the
     32-cells-per-word engine (ops/bitpack.py); "pallas" (and "auto" on TPU)
     uses the bit-packed Pallas kernel with the grid VMEM-resident across all
-    generations — the 1.01e12 cell-updates/s bench path
+    generations — the 1.5e12 cell-updates/s bench path
     (ops/pallas_bitpack.py)."""
     from .ops.ca import resolve_backend
 

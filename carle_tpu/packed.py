@@ -110,7 +110,7 @@ def packed_multi_step(
     """``num_steps`` action-free generations, state packed throughout.
 
     On TPU ("auto"/"pallas" backends) this is a single VMEM-resident kernel
-    launch with NO pack/unpack at all — the 1.01e12 cell-updates/s path
+    launch with NO pack/unpack at all — the 1.5e12 cell-updates/s path
     applied directly to the persistent state."""
     from .ops.ca import resolve_backend
 

@@ -306,7 +306,7 @@ class PPOTrainer:
 
     # -- phase 2: clipped-surrogate updates ---------------------------------
     def _minibatch_update(self, carry, idx, grids, actions, advantages,
-                          logp_old):
+                          logp_old, entropy_beta):
         params, opt_state = carry
 
         def loss_fn(p):
@@ -326,14 +326,15 @@ class PPOTrainer:
             entropy = jnp.mean(
                 prob * jax.nn.softplus(-lg) + (1 - prob) * jax.nn.softplus(lg)
             )
-            return pg_loss - self.entropy_beta * entropy
+            return pg_loss - entropy_beta * entropy
 
         grads = jax.grad(loss_fn)(params)
         updates, opt_state = self.opt.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return (params, opt_state), None
 
-    def _run_impl(self, state: PPOTrainState, horizon: int):
+    def _run_impl(self, state: PPOTrainState, entropy_beta: jax.Array,
+                  horizon: int):
         cfg = self.config
         (stack, params, key), (grids, actions, rewards, logp_old) = (
             jax.lax.scan(
@@ -394,7 +395,8 @@ class PPOTrainer:
             )
             return jax.lax.scan(
                 lambda c, i: self._minibatch_update(
-                    c, i, flat_grids, flat_actions, advantages, flat_logp
+                    c, i, flat_grids, flat_actions, advantages, flat_logp,
+                    entropy_beta,
                 ),
                 carry, idxs,
             )[0], None
@@ -410,12 +412,17 @@ class PPOTrainer:
         )
         return new_state, rewards.mean(axis=1)
 
-    def run(self, state: PPOTrainState, horizon: int
+    def run(self, state: PPOTrainState, horizon: int,
+            entropy_beta: Optional[float] = None,
             ) -> Tuple[PPOTrainState, jax.Array]:
         """One PPO iteration (collect ``horizon`` steps + clipped updates);
         returns (state, per-step batch-mean reward trace [horizon]).
-        Donates ``state``."""
-        return self._run(state, horizon=horizon)
+        Donates ``state``.  ``entropy_beta`` overrides the constructor value
+        for THIS iteration — it is a traced scalar, so schedules (e.g. a
+        linear exploration decay across iterations) never retrace."""
+        beta = self.entropy_beta if entropy_beta is None else entropy_beta
+        return self._run(state, jnp.asarray(beta, jnp.float32),
+                         horizon=horizon)
 
     def as_agent(self, deterministic_rate: Optional[float] = None) -> Agent:
         return _policy_agent(self.config, deterministic_rate)

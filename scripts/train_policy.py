@@ -43,6 +43,11 @@ def main() -> int:
                         default="reinforce")
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--entropy-beta", type=float, default=1e-3)
+    parser.add_argument("--entropy-beta-final", type=float, default=None,
+                        help="PPO only: linearly decay the entropy bonus "
+                             "from --entropy-beta to this value across all "
+                             "iterations (exploration schedule; beta is a "
+                             "traced scalar, so the decay never retraces)")
     parser.add_argument("--ppo-horizon", type=int, default=128,
                         help="steps collected per PPO iteration")
     parser.add_argument("--gamma", type=float, default=0.0,
@@ -115,6 +120,9 @@ def main() -> int:
 
     os.makedirs(args.out_dir, exist_ok=True)
     history = []
+    iters_per_segment = max(1, args.steps // args.ppo_horizon)
+    total_iters = args.epochs * len(TRAIN_RULES) * iters_per_segment
+    iter_idx = 0
     for epoch in range(args.epochs):
         for ruleset in TRAIN_RULES:
             bits = rules_mod.pack_rule_bits(ruleset[0], ruleset[0])
@@ -127,8 +135,17 @@ def main() -> int:
             t0 = time.time()
             if args.algo == "ppo":
                 traces = []
-                for _ in range(max(1, args.steps // args.ppo_horizon)):
-                    state, t = trainer.run(state, horizon=args.ppo_horizon)
+                for _ in range(iters_per_segment):
+                    if args.entropy_beta_final is not None:
+                        frac = iter_idx / max(1, total_iters - 1)
+                        beta = (args.entropy_beta
+                                + frac * (args.entropy_beta_final
+                                          - args.entropy_beta))
+                    else:
+                        beta = None
+                    state, t = trainer.run(state, horizon=args.ppo_horizon,
+                                           entropy_beta=beta)
+                    iter_idx += 1
                     traces.append(np.asarray(t))
                 trace = np.concatenate(traces)
             else:

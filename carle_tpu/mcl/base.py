@@ -82,6 +82,16 @@ class WrapperStack:
         self.config = config
         self.wrappers = tuple(wrappers)
 
+    # --- state accessors (overridable: the packed spatial stack stores the
+    # universe as uint32 words — parallel/packed_env.py) --------------------
+    def universe(self, state: StackState) -> jax.Array:
+        """uint8 [inst, H, W] universe view of a stack state."""
+        return state.env.grid
+
+    def observe(self, state: StackState) -> jax.Array:
+        """float32 [inst, 1, H, W] observation (the agent/net input)."""
+        return self.universe(state).astype(jnp.float32)[:, None]
+
     def init(self, key: jax.Array, rule_bits: int) -> StackState:
         from ..env import init_state
 

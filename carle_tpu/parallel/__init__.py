@@ -17,6 +17,8 @@ modules are the TPU-native replacement for "scale = bigger instances count"
 """
 
 from .mesh import env_sharding, make_mesh, shard_carry, replicate
+from .packed_env import (PackedSpatialStack, packed_spatial_sharding,
+                         shard_carry_packed)
 from .spatial import bit_spatial_multi_step, spatial_ca_step, spatial_multi_step
 from .spatial_env import (shard_carry_2d, shard_carry_spatial,
                           spatial_sharding)
@@ -27,8 +29,11 @@ from .pallas_halo import (
 )
 
 __all__ = [
+    "PackedSpatialStack",
     "env_sharding",
     "make_mesh",
+    "packed_spatial_sharding",
+    "shard_carry_packed",
     "shard_carry",
     "shard_carry_2d",
     "shard_carry_spatial",

@@ -1,0 +1,266 @@
+"""Packed spatial ENV mode — full environment semantics at packed-engine rates.
+
+The GSPMD spatial env mode (spatial_env.py) gives full ``env_step`` semantics
+on row-sharded universes but is pinned to the uint8 XLA engine (~60x under
+the packed engines: a ``pallas_call`` is opaque to the GSPMD partitioner).
+The explicit-halo packed path (spatial.py: ``bit_spatial_multi_step``) has
+the speed but is bare-CA only.  This module closes that gap — the VERDICT r2
+top item: the complete environment transition
+
+* centred action-window XOR toggle            (reference env.py:150-182)
+* batch-global master reset on all-ones       (reference env.py:208-216)
+* the CA generation                           (reference env.py:219-227)
+* every wrapper bonus incl. online learning   (reference mcl.py:398-407)
+
+on a universe stored 32 cells/word and row-sharded over a ``space`` mesh
+axis.  The hot CA update runs inside an explicit ``shard_map``: ghost rows
+ride the ring as uint32 words (8x smaller than uint8 halos) and the
+row-local update is the carry-save-adder engine (ops/bitpack.py) — on TPU
+hardware the same arithmetic the 1.5e12 cells/s kernels run.  Everything
+around it (action packing, lazy observation unpacking, wrapper networks)
+stays ordinary XLA on row-sharded operands, so GSPMD inserts the wrapper
+collectives while the stencil's halo traffic is explicit and minimal.
+
+Observations unpack lazily, shard-local: ``unpack_grid`` expands the word
+axis in place, so each device materialises only ITS rows as cells — the
+full-resolution float32 obs exists only as a row-sharded transient consumed
+by the bonus nets, never as a replicated array.
+
+Usage (drop-in for the uint8 spatial mode)::
+
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    stack = PackedSpatialStack(config, wrappers, mesh)
+    ro = Rollout(config, agent=agent, stack=stack)
+    carry = shard_carry_packed(ro.init(key, rule_bits), mesh, config)
+    carry, rewards = ro.run(carry, num_steps)      # full env, packed + sharded
+
+Trajectory parity vs the single-device uint8 env is bit-exact, including
+toggles, master resets and online-learning wrapper stacks
+(tests/test_packed_spatial.py, which also runs a >= 2048^2 universe over the
+8-device CPU mesh).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..config import EnvConfig
+from ..mcl.base import StackState, StepCtx, WrapperDef, WrapperStack
+from ..ops.bitpack import WORD, pack_grid, unpack_grid
+from ..ops.ca import pad_action
+from ..packed import PackedEnvState, init_packed_state
+from .spatial import _bit_local_step
+from .spatial_env import spatial_sharding
+
+
+def _local_env_ca(
+    grid: jax.Array,
+    action_packed: jax.Array,
+    rule_bits: jax.Array,
+    do_reset: jax.Array,
+    *,
+    axis_name: str,
+) -> jax.Array:
+    """Row-shard-local env transition core: XOR toggle, one packed CA
+    generation with ring halos, batch-global master reset.  Runs under
+    shard_map on [inst, H_local, W/32] uint32 blocks."""
+    toggled = grid ^ action_packed
+    stepped = _bit_local_step(toggled, rule_bits, axis_name)
+    return jnp.where(do_reset, jnp.zeros_like(stepped), stepped)
+
+
+class PackedSpatialStack(WrapperStack):
+    """WrapperStack whose universe is bit-packed and row-sharded.
+
+    Same public contract as :class:`~carle_tpu.mcl.base.WrapperStack`
+    (``init``/``step``/``reset``/``observe``), so :class:`Rollout`, the
+    drivers and the eval harness compose with it unchanged.  ``init`` splits
+    keys identically to the base class — a parity run can share wrapper
+    params with a single-device stack by passing the same key.
+
+    Constraints: ``width % 32 == 0`` (word packing) and
+    ``height % mesh.shape[axis_name] == 0`` (row sharding).  Wrappers must be
+    plain-XLA (the default defs are): fused Pallas heads are opaque to GSPMD
+    and cannot consume a row-sharded observation.
+    """
+
+    def __init__(
+        self,
+        config: EnvConfig,
+        wrappers: Sequence[WrapperDef] = (),
+        mesh: Mesh = None,
+        axis_name: str = "space",
+    ) -> None:
+        super().__init__(config, wrappers)
+        assert config.width % WORD == 0, (
+            f"packed spatial env needs width % {WORD} == 0, got {config.width}"
+        )
+        self.mesh = mesh
+        self.axis_name = axis_name
+        if mesh is not None:
+            n = mesh.shape[axis_name]
+            assert config.height % n == 0, (
+                f"height {config.height} not divisible by the space axis ({n})"
+            )
+            spec = P(None, axis_name, None)
+            self._ca = shard_map(
+                partial(_local_env_ca, axis_name=axis_name),
+                mesh=mesh,
+                in_specs=(spec, spec, P(), P()),
+                out_specs=spec,
+            )
+        else:
+            # single-device fallback (useful on one chip / in tests): the
+            # same packed semantics without the ring
+            from ..ops.bitpack import bit_ca_step
+
+            self._ca = lambda g, a, rb, do_reset: jnp.where(
+                do_reset, jnp.zeros_like(g), bit_ca_step(g ^ a, rb)
+            )
+
+    # --- state accessors ----------------------------------------------------
+    def universe(self, state: StackState) -> jax.Array:
+        return unpack_grid(state.env.grid, self.config.width)
+
+    def init(self, key: jax.Array, rule_bits: int) -> StackState:
+        keys = jax.random.split(key, max(len(self.wrappers), 1))
+        wstates = tuple(w.init(k) for w, k in zip(self.wrappers, keys))
+        return StackState(
+            env=init_packed_state(self.config, rule_bits), wrappers=wstates
+        )
+
+    # --- the fused transition ------------------------------------------------
+    def step(
+        self, state: StackState, action: jax.Array, key: jax.Array
+    ) -> Tuple[StackState, Tuple[jax.Array, jax.Array]]:
+        cfg = self.config
+        action_bits = (action != 0).astype(jnp.uint8)
+        do_reset = jnp.all(action_bits == 1)
+        any_action = jnp.any(action_bits != 0)
+
+        action_full = pad_action(action_bits, cfg)     # uint8 [inst, H, W]
+        action_packed = pack_grid(action_full)         # u32  [inst, H, W/32]
+
+        env = state.env
+        prev_packed = env.grid
+        new_packed = self._ca(prev_packed, action_packed, env.rule_bits,
+                              do_reset)
+
+        new_env = PackedEnvState(
+            grid=new_packed,
+            rule_bits=env.rule_bits,
+            step_num=jnp.where(do_reset, 0, env.step_num + 1).astype(
+                jnp.int32
+            ),
+            steps_since_action=jnp.where(
+                do_reset,
+                0,
+                env.steps_since_action + jnp.where(any_action, 0, 1),
+            ).astype(jnp.int32),
+        )
+
+        # lazy, shard-local unpack: cells exist only row-sharded + transient
+        obs = unpack_grid(new_packed, cfg.width).astype(jnp.float32)[:, None]
+        ctx = StepCtx(
+            prev_grid=unpack_grid(prev_packed, cfg.width),
+            obs=obs,
+            action=action_bits,
+            action_full=action_full,
+            key=key,
+        )
+        reward = jnp.zeros((cfg.instances, 1), dtype=jnp.float32)
+        new_wstates = []
+        for w, ws in zip(self.wrappers, state.wrappers):
+            ws, reward = w.apply(ws, ctx, reward)
+            new_wstates.append(ws)
+        return (
+            StackState(env=new_env, wrappers=tuple(new_wstates)),
+            (obs, reward),
+        )
+
+    def reset(
+        self, state: StackState, key: jax.Array
+    ) -> Tuple[StackState, jax.Array]:
+        cfg = self.config
+        env = PackedEnvState(
+            grid=jnp.zeros_like(state.env.grid),
+            rule_bits=state.env.rule_bits,
+            step_num=jnp.zeros_like(state.env.step_num),
+            steps_since_action=jnp.zeros_like(state.env.steps_since_action),
+        )
+        # wrapper reset hooks operate in the cell domain (MorphoBonus seeds
+        # nucleation noise — mcl.py:185-195); resets are rare, repack after
+        grid = unpack_grid(env.grid, cfg.width)
+        keys = jax.random.split(key, max(len(self.wrappers), 1))
+        new_wstates = []
+        for w, ws, k in zip(self.wrappers, state.wrappers, keys):
+            ws, grid = w.on_reset(ws, k, grid)
+            new_wstates.append(ws)
+        env = env._replace(grid=pack_grid(grid))
+        return (
+            StackState(env=env, wrappers=tuple(new_wstates)),
+            grid.astype(jnp.float32)[:, None],
+        )
+
+    # --- beyond-parity: action-free fast path --------------------------------
+    def free_steps(self, state: StackState, num_steps: int) -> StackState:
+        """``num_steps`` action-free generations at the bare packed-halo rate
+        (no unpack, no wrapper work — for burn-in / serving rollouts)."""
+        from .spatial import bit_spatial_multi_step
+
+        if self.mesh is None:
+            from ..ops.bitpack import bit_multi_step
+
+            grid = bit_multi_step(state.env.grid, state.env.rule_bits,
+                                  num_steps)
+        else:
+            grid = bit_spatial_multi_step(
+                state.env.grid, state.env.rule_bits, num_steps, self.mesh,
+                self.axis_name,
+            )
+        env = state.env._replace(
+            grid=grid, step_num=state.env.step_num + num_steps
+        )
+        return state._replace(env=env)
+
+
+def packed_spatial_sharding(
+    mesh: Mesh, leaf: Any, config: EnvConfig, axis_name: str = "space"
+) -> NamedSharding:
+    """Sharding for one packed-spatial state leaf: packed universes
+    [inst, H, W/32] shard rows; universe-extent cell leaves (wrapper frame
+    rings etc.) shard rows via :func:`spatial_sharding`; the rest replicate."""
+    shape = np.shape(leaf)
+    n = mesh.shape[axis_name]
+    if (
+        len(shape) >= 2
+        and shape[-2] == config.height
+        and shape[-1] == config.width // WORD
+        and config.height % n == 0
+    ):
+        axes = [None] * len(shape)
+        axes[-2] = axis_name
+        return NamedSharding(mesh, P(*axes))
+    return spatial_sharding(mesh, leaf, config, axis_name)
+
+
+def shard_carry_packed(
+    carry: Any, mesh: Mesh, config: EnvConfig, axis_name: str = "space"
+) -> Any:
+    """Commit a packed-spatial rollout carry: packed universes (and any
+    cell-extent wrapper buffers) row-sharded, params/opt-state replicated.
+    No backend restriction — the CA runs in an explicit shard_map, not under
+    GSPMD, so this mode is not pinned to the uint8 XLA engine."""
+    return jax.tree.map(
+        lambda leaf: jax.device_put(
+            leaf, packed_spatial_sharding(mesh, leaf, config, axis_name)
+        ),
+        carry,
+    )

@@ -44,9 +44,14 @@ class Rollout:
         config: EnvConfig,
         wrappers: Sequence[WrapperDef] = (),
         agent: Optional[Agent] = None,
+        stack: Optional[WrapperStack] = None,
     ) -> None:
         self.config = config
-        self.stack = WrapperStack(config, wrappers)
+        # ``stack`` swaps the state representation (e.g. the bit-packed
+        # row-sharded PackedSpatialStack, parallel/packed_env.py) while the
+        # rollout machinery stays unchanged — it only touches the stack
+        # through step/reset/observe.
+        self.stack = WrapperStack(config, wrappers) if stack is None else stack
         self.agent = agent
         self._run = jax.jit(self._run_impl, static_argnames=("num_steps",),
                             donate_argnames=("carry",))
@@ -93,7 +98,7 @@ class Rollout:
     # -- policy-driven segments ----------------------------------------------
     def _step(self, carry: RolloutCarry, _) -> Tuple[RolloutCarry, jax.Array]:
         key, k_act, k_step = jax.random.split(carry.key, 3)
-        obs = carry.stack.env.grid.astype(jnp.float32)[:, None]
+        obs = self.stack.observe(carry.stack)
         action = self.agent.apply(carry.agent_params, k_act, obs)
         patch = action.reshape(
             self.config.instances,
@@ -119,7 +124,7 @@ class Rollout:
     # -- logged segments: fused speed + reference episode artifacts ----------
     def _traced_step(self, carry: RolloutCarry, _, instance: int):
         key, k_act, k_step = jax.random.split(carry.key, 3)
-        obs = carry.stack.env.grid.astype(jnp.float32)[:, None]
+        obs = self.stack.observe(carry.stack)
         action = self.agent.apply(carry.agent_params, k_act, obs)
         patch = action.reshape(
             self.config.instances,
@@ -179,7 +184,9 @@ class Rollout:
                 carry, num_steps=k, instance=instance
             )
             done += k
-            grid = np.asarray(jax.device_get(carry.stack.env.grid[instance]))
+            grid = np.asarray(
+                jax.device_get(self.stack.universe(carry.stack)[instance])
+            )
             last_action = np.asarray(jax.device_get(actions[-1]))
             rb = np.asarray(jax.device_get(carry.stack.env.rule_bits))
             # per-instance rule vectors: log the logged instance's rule
@@ -219,7 +226,7 @@ class Rollout:
     # -- animated episodes ---------------------------------------------------
     def _framed_step(self, carry: RolloutCarry, _, instance: int):
         new_carry, (reward, action_bits) = self._traced_step(carry, _, instance)
-        frame = new_carry.stack.env.grid[instance].astype(jnp.uint8)
+        frame = self.stack.universe(new_carry.stack)[instance].astype(jnp.uint8)
         return new_carry, (reward, action_bits, frame)
 
     def _run_framed_impl(self, carry: RolloutCarry, num_steps: int,

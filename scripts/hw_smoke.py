@@ -70,6 +70,11 @@ def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("--quick", action="store_true",
                         help="tiny shapes (functional smoke, runs on CPU)")
+    parser.add_argument("--pod", action="store_true",
+                        help="append the pod-slice jobs (RDMA halo smoke, "
+                             "ICI scaling, packed spatial env at 8k² — "
+                             "scripts/pod_smoke.py); each no-ops gracefully "
+                             "on a single device")
     parser.add_argument("--platform", default=None,
                         help="forwarded to every job (e.g. cpu — needed for "
                              "CPU runs on the axon box, where the "
@@ -84,6 +89,11 @@ def main() -> int:
     args = parser.parse_args()
 
     jobs = _jobs(args.quick)
+    if args.pod:
+        jobs += [
+            (f"pod-{j}", [sys.executable, "scripts/pod_smoke.py", j])
+            for j in ("rdma", "scaling", "spatial8k")
+        ]
     if args.platform:
         jobs = [(name, cmd + ["--platform", args.platform])
                 for name, cmd in jobs]

@@ -1,0 +1,161 @@
+"""Pod-slice smoke jobs — everything gated on real multi-chip hardware.
+
+This dev box has ONE tunneled chip, so three measured claims stay open
+(SCALING.md §5, VERDICT r2): the RDMA halo kernels on hardware, the ICI
+weak-scaling curve, and the packed spatial env at >= 8k².  This script is
+the exact bring-up recipe for the day a pod slice exists; on a single
+device every job prints a SKIP record and exits 0 (hw_smoke --pod stays
+green on one chip).
+
+  python scripts/pod_smoke.py all            # or: rdma | scaling | spatial8k
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _skip(job: str, n: int) -> None:
+    print(json.dumps({"job": job, "skipped": True,
+                      "reason": f"needs >= 2 devices, have {n}"}))
+
+
+def job_rdma(devs) -> None:
+    """RDMA halo kernels (parallel/pallas_halo.py) on REAL chips, bit-compared
+    against the ppermute tier — the kernels are interpreter-verified only
+    until this passes (STATUS 'Known gaps')."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from carle_tpu import rules
+    from carle_tpu.ops.bitpack import pack_grid, unpack_grid
+    from carle_tpu.parallel import (
+        bit_spatial_multi_step,
+        bit_spatial_multi_step_pallas,
+        make_mesh,
+        spatial_multi_step,
+        spatial_multi_step_pallas,
+    )
+
+    n = len(devs)
+    mesh = make_mesh(devs, axis_name="space")
+    rng = np.random.RandomState(0)
+    grid = (rng.rand(1, 64 * n, 256) < 0.3).astype(np.uint8)
+
+    u8_ref = spatial_multi_step(jnp.asarray(grid), rules.LIFE, 8, mesh)
+    u8_rdma = spatial_multi_step_pallas(jnp.asarray(grid), rules.LIFE, 8, mesh)
+    np.testing.assert_array_equal(np.asarray(u8_rdma), np.asarray(u8_ref))
+
+    packed = pack_grid(jnp.asarray(grid))
+    p_ref = bit_spatial_multi_step(packed, rules.LIFE, 8, mesh)
+    p_rdma = bit_spatial_multi_step_pallas(packed, rules.LIFE, 8, mesh)
+    np.testing.assert_array_equal(
+        np.asarray(unpack_grid(p_rdma, grid.shape[-1])),
+        np.asarray(unpack_grid(p_ref, grid.shape[-1])),
+    )
+    print(json.dumps({"job": "rdma", "ok": True, "devices": n,
+                      "note": "uint8+packed RDMA halo == ppermute tier"}))
+
+
+def job_scaling(devs) -> None:
+    """ICI weak scaling (BASELINE row 2: >= 90% linear env-steps/s)."""
+    import subprocess
+
+    counts = [1]
+    while counts[-1] * 2 <= len(devs):
+        counts.append(counts[-1] * 2)
+    cmd = [sys.executable, "bench_multichip.py", "--devices",
+           *[str(c) for c in counts]]
+    rc = subprocess.run(cmd, cwd=os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__)))).returncode
+    if rc != 0:
+        raise SystemExit(rc)
+
+
+def job_spatial8k(devs) -> None:
+    """Packed spatial ENV at 8192² (SURVEY §2 '>8k² grids'): one wrapped
+    env step + a 64-generation free-running burst, with rates."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from carle_tpu import EnvConfig, rules
+    from carle_tpu.mcl.speed import speed_def
+    from carle_tpu.parallel import PackedSpatialStack, make_mesh, \
+        shard_carry_packed
+    from carle_tpu.utils.sync import device_sync
+
+    n = len(devs)
+    size = 8192
+    cfg = EnvConfig(height=size, width=size, action_height=64,
+                    action_width=64, instances=1)
+    mesh = make_mesh(devs, axis_name="space")
+    stack = PackedSpatialStack(cfg, [speed_def(cfg, reward_scale=1e-2)], mesh)
+    state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+    state = jax.tree.map(
+        lambda l: jax.device_put(
+            l, __import__("carle_tpu.parallel.packed_env",
+                          fromlist=["packed_spatial_sharding"]
+                          ).packed_spatial_sharding(mesh, l, cfg)), state)
+
+    action = (np.random.RandomState(1).rand(1, 64, 64) < 0.2).astype(np.uint8)
+    step = jax.jit(stack.step)
+    state, (_, reward) = step(state, action, jax.random.PRNGKey(1))
+    device_sync(reward)
+    t0 = time.time()
+    for i in range(4):
+        state, (_, reward) = step(state, action, jax.random.PRNGKey(2 + i))
+    device_sync(reward)
+    dt_env = (time.time() - t0) / 4
+
+    free = jax.jit(stack.free_steps, static_argnames=("num_steps",))
+    state = free(state, num_steps=64)
+    device_sync(state.env.grid)
+    t0 = time.time()
+    state = free(state, num_steps=64)
+    device_sync(state.env.grid)
+    dt_free = (time.time() - t0) / 64
+
+    cells = size * size
+    print(json.dumps({
+        "job": "spatial8k", "devices": n,
+        "wrapped_env_cells_per_s": cells / dt_env,
+        "free_packed_cells_per_s": cells / dt_free,
+    }))
+
+
+JOBS = {"rdma": job_rdma, "scaling": job_scaling, "spatial8k": job_spatial8k}
+
+
+def main() -> int:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("job", choices=sorted(JOBS) + ["all"])
+    parser.add_argument("--platform", default=None)
+    args = parser.parse_args()
+
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from carle_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+    devs = jax.devices()
+    names = sorted(JOBS) if args.job == "all" else [args.job]
+    for name in names:
+        if len(devs) < 2:
+            _skip(name, len(devs))
+            continue
+        JOBS[name](devs)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

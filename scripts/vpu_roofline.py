@@ -1,0 +1,178 @@
+"""VPU roofline for the packed CA kernels (VERDICT r2 item 2).
+
+Two parts:
+
+1. **Exact op schedules.** Each kernel step body is traced to a jaxpr and its
+   per-word-per-generation ops are counted mechanically (so the count can
+   never drift from the code) and bucketed: full-block VPU-ALU bitops,
+   ±1 LANE shifts (crossbar), word/sublane shifts.  Scalar rule arithmetic
+   and broadcasts are free (hoisted / scalar unit).
+
+2. **Cost-model fit + ceiling.** With six kernel variants measured on the
+   same v5e chip (static vc/v/h/cm, data vd/vc), the per-event costs
+   t_alu, t_lane(concat), t_lane(dynamic rotate), t_sub are over-determined:
+   least-squares fit t_word = N_alu*t_alu + N_lane*t_lane + N_sub*t_sub
+   against the measured rates.  The fitted t_alu is then compared with the
+   machine peak 1/(4096 * 1.5GHz) — v5e TensorCore: 4 MXUs of 128x128 at
+   ~1.5 GHz (197e12 bf16 flops/s back-solves the clock), VPU (8,128) x 4
+   ALUs = 4096 i32 lane-ops/cycle.  If the fitted t_alu matches the 4-issue
+   peak, the ALUs are saturated and the only headroom is removing ops —
+   the layout/schedule sweep (STATUS) already closed that.
+
+Run anywhere (counts are trace-time; measurements are pinned v5e numbers):
+
+  python scripts/vpu_roofline.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+from collections import Counter
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+ALU = {
+    "and", "or", "xor", "not", "add", "sub", "mul",
+    "shift_left", "shift_right_logical", "shift_right_arithmetic",
+    "select_n", "ne", "eq",
+}
+FREE = {"broadcast_in_dim", "convert_element_type", "reshape", "constant",
+        "squeeze", "transpose", "bitcast_convert_type", "slice", "jit",
+        "pjit"}
+
+# measured v5e rates (cells/s) per kernel variant — STATUS.md measured table
+MEASURED = {
+    "static_vc": 2.03e12,   # vertical-first, concat lane shifts
+    "static_v": 1.90e12,    # same schedule, dynamic lane rotates (1.81-2.0)
+    "static_h": 1.36e12,    # round-1 horizontal-pair schedule (8 rolls)
+    "static_cm": 1.34e12,   # column-major (4 concat lane shifts)
+    "data_vd": 1.55e12,     # n3-first XOR-mux fold (1.52-1.58)
+    "data_vc": 1.35e12,     # select-mux fold (1.34-1.36)
+}
+WORD = 32
+
+
+def count_ops(fn, *args):
+    """Count (alu, lane_moves, sub_moves) full-block ops in fn's jaxpr."""
+    jaxpr = jax.make_jaxpr(fn)(*args)
+    c: Counter = Counter()
+    lane = sub = 0
+
+    def walk(jpr):
+        nonlocal lane, sub
+        for eqn in jpr.eqns:
+            name = eqn.primitive.name
+            out_aval = next(
+                (v.aval for v in eqn.outvars if hasattr(v, "aval")), None
+            )
+            for p in eqn.params.values():
+                if hasattr(p, "jaxpr"):
+                    walk(p.jaxpr)
+            if out_aval is None or out_aval.size < 1024:
+                continue  # scalar/rule arithmetic: hoisted, not VPU issue
+            if name == "concatenate":
+                # one movement event per shift (the paired slices are free —
+                # they address the same vreg read)
+                if eqn.params["dimension"] == out_aval.ndim - 1:
+                    lane += 1
+                else:
+                    sub += 1
+            elif name in ALU:
+                c[name] += 1
+            elif name not in FREE:
+                c["?" + name] += 1
+    walk(jaxpr.jaxpr)
+    unknown = {k: v for k, v in c.items() if k.startswith("?")}
+    assert not unknown, f"unclassified full-block ops: {unknown}"
+    return sum(c.values()), lane, sub
+
+
+def main() -> int:
+    import carle_tpu.ops.pallas_bitpack as mod
+
+    # pltpu.roll cannot abstract-eval outside a kernel; patch to jnp.roll
+    # (static shift -> same single movement event, emitted as concat)
+    real_pltpu = mod.pltpu
+    mod.pltpu = type("P", (), {"roll": staticmethod(
+        lambda x, amt, axis: jnp.roll(x, -amt if False else amt, axis))})()
+
+    g = jnp.zeros((64, 8, 256), dtype=jnp.uint32)       # [tile, W/32, H]
+    g_cm = jnp.zeros((64, 8, 256), dtype=jnp.uint32)    # [tile, H/32, W]
+    life = (frozenset({3}), frozenset({2, 3}))
+
+    try:
+        schedules = {
+            # name: (alu, lane, sub, lane_kind)
+            "static_vc": count_ops(
+                lambda x: mod._static_step_block_vc(x, *life), g) + ("c",),
+            "static_v": count_ops(
+                lambda x: mod._static_step_block_v2(x, *life), g) + ("d",),
+            "static_h": count_ops(
+                lambda x: mod._static_step_block(x, *life), g) + ("d",),
+            "static_cm": count_ops(
+                lambda x: mod._static_step_block_cm(x, *life), g_cm) + ("c",),
+            "data_vd": count_ops(
+                lambda x: mod._bit_step_block_vd(x, jnp.int32(0)), g) + ("c",),
+            "data_vc": count_ops(
+                lambda x: mod._bit_step_block_v2(
+                    x, jnp.int32(0), concat_lane=True), g) + ("c",),
+        }
+    finally:
+        mod.pltpu = real_pltpu
+
+    # --- least-squares fit: t_word = alu*t_a + lane*t_lc|t_ld + sub*t_s ----
+    names = list(schedules)
+    A, b = [], []
+    for n in names:
+        alu, lane, sub, kind = schedules[n]
+        t_word_ps = 1e12 * WORD / MEASURED[n]  # ps per word-generation
+        A.append([alu,
+                  lane if kind == "c" else 0,
+                  lane if kind == "d" else 0,
+                  sub])
+        b.append(t_word_ps)
+    A, b = np.asarray(A, float), np.asarray(b, float)
+    (t_a, t_lc, t_ld, t_s), res, *_ = np.linalg.lstsq(A, b, rcond=None)
+    pred = A @ np.asarray([t_a, t_lc, t_ld, t_s])
+
+    CLOCK = 1.5e9
+    ALU_WORDS = 8 * 128 * 4
+    t_a_peak = 1e12 / (ALU_WORDS * CLOCK)  # ps/word at 4-issue peak
+
+    out = {"schedules": {}, "fit_ps": {
+        "t_alu": t_a, "t_lane_concat": t_lc, "t_lane_dynrot": t_ld,
+        "t_sublane": t_s,
+        "t_alu_peak_4issue": t_a_peak,
+        "alu_issue_utilization": t_a_peak / t_a if t_a > 0 else None,
+    }}
+    for i, n in enumerate(names):
+        alu, lane, sub, kind = schedules[n]
+        ceiling_alu_only = WORD * ALU_WORDS * CLOCK / alu
+        out["schedules"][n] = {
+            "alu_ops": alu, "lane_shifts": lane, "sublane_shifts": sub,
+            "lane_kind": {"c": "concat", "d": "dynamic-rotate"}[kind],
+            "measured_cells_per_s": MEASURED[n],
+            "alu_only_ceiling_cells_per_s": ceiling_alu_only,
+            "fraction_of_alu_only": MEASURED[n] / ceiling_alu_only,
+            "t_word_measured_ps": float(b[i]),
+            "t_word_fit_ps": float(pred[i]),
+            "fit_residual_pct": float(100 * (pred[i] - b[i]) / b[i]),
+        }
+    out["machine_model"] = {
+        "clock_hz": CLOCK, "alu_words_per_cycle": ALU_WORDS,
+        "note": "v5e: 4 MXU x 128x128 x 2 x clock = 197e12 -> clock 1.5GHz; "
+                "VPU (8,128) x 4 ALUs",
+    }
+    print(json.dumps(out, indent=1))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

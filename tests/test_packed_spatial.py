@@ -1,0 +1,215 @@
+"""Packed spatial ENV mode (parallel/packed_env.py) — parity + semantics.
+
+VERDICT r2 top item: full env_step semantics (centred action XOR,
+batch-global master reset, wrapper bonuses incl. online learning) on a
+row-sharded bit-packed universe, bit-exact against the single-device uint8
+env.  The conftest provides the 8-virtual-device CPU mesh.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+import pytest
+
+from carle_tpu import EnvConfig, rules
+from carle_tpu.mcl.puffer import puffer_def
+from carle_tpu.mcl.speed import speed_def
+from carle_tpu.ops.bitpack import pack_grid, unpack_grid
+from carle_tpu.parallel import (
+    PackedSpatialStack,
+    make_mesh,
+    shard_carry_packed,
+)
+from carle_tpu.rollout import Rollout
+
+
+def _run_pair(cfg, wrappers_fn, actions, key=0, packed_mesh=True):
+    """Run the same action stream through the single-device uint8 stack and
+    the packed (optionally row-sharded) stack; return (grid, rewards) pairs."""
+
+    def run(packed):
+        if packed:
+            mesh = (
+                make_mesh(jax.devices(), axis_name="space")
+                if packed_mesh
+                else None
+            )
+            stack = PackedSpatialStack(cfg, wrappers_fn(), mesh)
+            ro = Rollout(cfg, stack=stack)
+            carry = ro.init(jax.random.PRNGKey(key), rules.LIFE)
+            if mesh is not None:
+                carry = shard_carry_packed(carry, mesh, cfg)
+        else:
+            ro = Rollout(cfg, wrappers_fn())
+            carry = ro.init(jax.random.PRNGKey(key), rules.LIFE)
+        carry, rewards = ro.run_actions(carry, actions)
+        grid = np.asarray(ro.stack.universe(carry.stack))
+        return grid, np.asarray(rewards)
+
+    return run(packed=False), run(packed=True)
+
+
+def test_packed_spatial_wrapped_rollout_parity_2048():
+    """>= 2048^2 on the 8-device mesh (the VERDICT 'done' bar): wrapped
+    rollout with toggles must match the single-device env bit-exactly."""
+    cfg = EnvConfig(height=2048, width=2048, action_height=64,
+                    action_width=64, instances=1)
+    rng = np.random.RandomState(7)
+    actions = (rng.rand(4, 1, 64, 64) < 0.15).astype(np.uint8)
+
+    def wrappers():
+        return [speed_def(cfg, reward_scale=1e-2),
+                puffer_def(cfg, reward_scale=1e-3)]
+
+    (grid_1, rewards_1), (grid_8, rewards_8) = _run_pair(
+        cfg, wrappers, actions
+    )
+    np.testing.assert_array_equal(grid_8, grid_1)
+    np.testing.assert_allclose(rewards_8, rewards_1, rtol=1e-5, atol=1e-7)
+
+
+def test_packed_spatial_online_learning_parity():
+    """RND2D online learning (grad accumulation + Adam INSIDE the scanned
+    step) on the packed row-sharded stack matches the uint8 stack."""
+    from carle_tpu.mcl.rnd import rnd2d_def
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    rng = np.random.RandomState(3)
+    actions = (rng.rand(6, 2, 16, 16) < 0.2).astype(np.uint8)
+
+    def wrappers():
+        return [rnd2d_def(cfg, batch_size=2)]
+
+    (grid_1, rewards_1), (grid_8, rewards_8) = _run_pair(
+        cfg, wrappers, actions
+    )
+    np.testing.assert_array_equal(grid_8, grid_1)
+    np.testing.assert_allclose(rewards_8, rewards_1, rtol=2e-5, atol=1e-6)
+    assert np.any(rewards_8 != 0.0)
+
+
+def test_packed_spatial_master_reset():
+    """An all-ones action fires the batch-global master reset in-graph."""
+    cfg = EnvConfig(height=128, width=128, action_height=16, action_width=16,
+                    instances=2)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    stack = PackedSpatialStack(cfg, [], mesh)
+    ro = Rollout(cfg, stack=stack)
+    carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
+    carry = shard_carry_packed(carry, mesh, cfg)
+
+    rng = np.random.RandomState(0)
+    seed_actions = (rng.rand(3, 2, 16, 16) < 0.4).astype(np.uint8)
+    carry, _ = ro.run_actions(carry, seed_actions)
+    assert np.asarray(stack.universe(carry.stack)).sum() > 0
+    assert int(carry.stack.env.step_num) == 3
+
+    ones = np.ones((1, 2, 16, 16), dtype=np.uint8)
+    carry, _ = ro.run_actions(carry, ones)
+    assert np.asarray(stack.universe(carry.stack)).sum() == 0
+    assert int(carry.stack.env.step_num) == 0
+
+
+def test_packed_spatial_reset_hooks():
+    """reset() runs wrapper on_reset hooks in the cell domain (MorphoBonus
+    nucleation noise) and repacks — parity with the uint8 stack."""
+    from carle_tpu.mcl.morpho import morpho_def
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=1)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+
+    ro_p = Rollout(cfg, stack=PackedSpatialStack(cfg, [morpho_def(cfg)], mesh))
+    ro_u = Rollout(cfg, [morpho_def(cfg)])
+    carry_p = ro_p.init(jax.random.PRNGKey(5), rules.LIFE)
+    carry_u = ro_u.init(jax.random.PRNGKey(5), rules.LIFE)
+    carry_p, obs_p = ro_p.reset(carry_p)
+    carry_u, obs_u = ro_u.reset(carry_u)
+    np.testing.assert_array_equal(np.asarray(obs_p), np.asarray(obs_u))
+    assert np.asarray(obs_p).sum() > 0  # noise was seeded
+
+
+def test_packed_spatial_free_steps():
+    """free_steps runs bare packed generations at the halo-engine rate and
+    matches per-step env transitions with zero actions."""
+    cfg = EnvConfig(height=128, width=128, action_height=16, action_width=16,
+                    instances=1)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    stack = PackedSpatialStack(cfg, [], mesh)
+
+    rng = np.random.RandomState(11)
+    grid = (rng.rand(1, 128, 128) < 0.3).astype(np.uint8)
+
+    state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+    state = state._replace(env=state.env._replace(grid=pack_grid(grid)))
+    fast = stack.free_steps(state, 8)
+
+    slow_state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+    slow_state = slow_state._replace(
+        env=slow_state.env._replace(grid=pack_grid(grid))
+    )
+    zero = np.zeros((1, 16, 16), dtype=np.uint8)
+    for i in range(8):
+        slow_state, _ = stack.step(slow_state, zero, jax.random.PRNGKey(i))
+
+    np.testing.assert_array_equal(
+        np.asarray(unpack_grid(fast.env.grid, cfg.width)),
+        np.asarray(unpack_grid(slow_state.env.grid, cfg.width)),
+    )
+    assert int(fast.env.step_num) == 8
+
+
+def test_packed_spatial_single_device_mode():
+    """mesh=None: same packed semantics without the ring (one-chip use)."""
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    rng = np.random.RandomState(9)
+    actions = (rng.rand(4, 2, 16, 16) < 0.2).astype(np.uint8)
+
+    def wrappers():
+        return [speed_def(cfg, reward_scale=1e-2)]
+
+    (grid_1, rewards_1), (grid_p, rewards_p) = _run_pair(
+        cfg, wrappers, actions, packed_mesh=False
+    )
+    np.testing.assert_array_equal(grid_p, grid_1)
+    np.testing.assert_allclose(rewards_p, rewards_1, rtol=1e-5, atol=1e-7)
+
+
+def test_packed_spatial_per_instance_rule_vector():
+    """Per-instance rule vectors ride through the packed spatial CA."""
+    cfg = EnvConfig(height=128, width=128, action_height=16, action_width=16,
+                    instances=2)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+    stack = PackedSpatialStack(cfg, [], mesh)
+
+    rng = np.random.RandomState(2)
+    grid = (rng.rand(2, 128, 128) < 0.3).astype(np.uint8)
+    rule_vec = np.asarray(
+        [rules.LIFE, rules.pack_rule_bits([3, 6, 8], [2, 4, 5])],
+        dtype=np.int32,
+    )
+
+    state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+    state = state._replace(env=state.env._replace(
+        grid=pack_grid(grid), rule_bits=jax.numpy.asarray(rule_vec)
+    ))
+    zero = np.zeros((2, 16, 16), dtype=np.uint8)
+    state, _ = stack.step(state, zero, jax.random.PRNGKey(1))
+    got = np.asarray(unpack_grid(state.env.grid, cfg.width))
+
+    from carle_tpu.ops.ca import ca_step_grid
+
+    want0 = np.asarray(ca_step_grid(grid[:1], int(rule_vec[0])))
+    want1 = np.asarray(ca_step_grid(grid[1:], int(rule_vec[1])))
+    np.testing.assert_array_equal(got[0], want0[0])
+    np.testing.assert_array_equal(got[1], want1[0])
+
+
+def test_packed_spatial_width_must_be_word_multiple():
+    cfg = EnvConfig(height=64, width=48, action_height=16, action_width=16,
+                    instances=1)
+    with pytest.raises(AssertionError, match="width"):
+        PackedSpatialStack(cfg, [], None)

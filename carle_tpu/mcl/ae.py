@@ -91,6 +91,7 @@ def ae2d_def(
     fused_head: bool = False,
     **kwargs: Any,
 ) -> WrapperDef:
+    nets.warn_if_bf16_on_tpu(compute_dtype)
     use_dropout = train if dropout is None else dropout
     opt = make_optimizer(REFERENCE_EFFECTIVE_LR if lr is None else lr)
 

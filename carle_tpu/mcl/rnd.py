@@ -126,6 +126,7 @@ def rnd2d_def(
     # dropout defaults to the train flag; pass dropout=False with train=True
     # to match the reference's "module.eval() but updates still firing"
     # configuration (eval() only disables dropout there)
+    nets.warn_if_bf16_on_tpu(compute_dtype)
     use_dropout = train if dropout is None else dropout
     opt = make_optimizer(REFERENCE_EFFECTIVE_LR if lr is None else lr)
 

@@ -94,6 +94,38 @@ def linear_init(
 _DIMNUMS = ("NCHW", "OIHW", "NCHW")
 
 
+def warn_if_bf16_on_tpu(compute_dtype) -> None:
+    """Loud runtime guard on the measured bf16 trap (VERDICT r2 item 7).
+
+    ``compute_dtype=bfloat16`` for the tiny-channel wrapper nets measured
+    **37x SLOWER than f32 on TPU v5e** (56 vs 2096 env-steps/s at inst=32):
+    1-4 channel bf16 convs hit a pathological XLA layout path.  Nor can the
+    fused Pallas heads (``fused_head=True``) recover it: their cost is VPU
+    f32 MAC passes with channels as unrolled planes — there is no MXU matmul
+    in that path for bf16 to accelerate, and the VPU issue rate is
+    word-width-agnostic for this access pattern (same reason u16 bit-packing
+    was a mirage, CLAUDE.md).  The option stays for architectures where a
+    real MXU matmul dominates (e.g. big dense heads); anyone selecting it
+    for the shipped nets gets this warning instead of a silent 37x."""
+    import warnings
+
+    if compute_dtype is None:
+        return
+    if jnp.dtype(compute_dtype) != jnp.dtype(jnp.bfloat16):
+        return
+    from .ops.ca import is_tpu_platform
+
+    if is_tpu_platform():
+        warnings.warn(
+            "compute_dtype=bfloat16 measured ~37x SLOWER than float32 for "
+            "the tiny-channel wrapper nets on TPU v5e (XLA layout "
+            "pathology; the fused Pallas heads cannot use bf16 either — "
+            "no MXU in their path). Use the default f32, or fused_head=True "
+            "for the 4x fast path.",
+            stacklevel=3,
+        )
+
+
 def conv2d(x: jax.Array, p: Params, stride: int = 1, padding: int = 0,
            compute_dtype=None) -> jax.Array:
     """2-D convolution, NCHW x OIHW.

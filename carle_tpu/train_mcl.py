@@ -99,6 +99,7 @@ def train(
     skip_segments: int = 0,
     progress_file: Optional[str] = None,
     fused_head: bool = False,
+    packed_state: bool = False,
 ) -> np.ndarray:
     """Pre-train the RND2D + AE2D wrapper stack (reference train(),
     train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
@@ -126,6 +127,14 @@ def train(
     kernel (4.05x on v5e, nets.conv_head/conv_tail); on a multi-device mesh
     the Mesh is passed through to the defs so the kernels run under
     shard_map (pallas calls are opaque to GSPMD).
+
+    ``packed_state=True`` carries the universes bit-packed (32 cells/word,
+    parallel/packed_env.py with no space mesh): the scan carry's grid
+    shrinks 8x vs uint8 (observations unpack lazily per step for the bonus
+    nets) — the memory lever for the north-star 65k-envs-of-512² config
+    (BASELINE.md row 2; the packed 65k x 512² state is 2.1 GB vs 17 GB).
+    Trajectory/reward parity with the uint8 carry is exact
+    (tests/test_drivers.py::test_train_packed_state_matches_default).
 
     Elastic recovery (scripts/train_supervisor.py drives this; the reference
     has no failure handling at all — a crash loses the run): ``progress_file``
@@ -197,7 +206,12 @@ def train(
             # shell instance's own param buffers
             agent_params = jax.tree.map(jnp.copy, agent_params)
 
-    ro = Rollout(config, wrapper_defs, agent)
+    stack = None
+    if packed_state:
+        from .parallel.packed_env import PackedSpatialStack
+
+        stack = PackedSpatialStack(config, wrapper_defs, mesh=None)
+    ro = Rollout(config, wrapper_defs, agent, stack=stack)
     carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE,
                     agent_params=agent_params)
 
@@ -336,6 +350,11 @@ if __name__ == "__main__":
                              "hardware PRNG, pool-tie grads split equally "
                              "— measured 3x on the front-end segment; "
                              "TPU-only (the interpreter has no PRNG)")
+    parser.add_argument("--packed-state", action="store_true",
+                        help="carry the universes bit-packed (32 cells/word)"
+                             " through the training scan — 8x smaller state,"
+                             " lazy per-step obs unpack; the memory lever "
+                             "for huge env batches (BASELINE north star)")
     parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
                         default="threefry",
                         help="PRNG for in-scan randomness. Dropout masks "
@@ -365,6 +384,7 @@ if __name__ == "__main__":
         skip_segments=args.skip_segments,
         progress_file=args.progress_file,
         fused_head=args.fused_head,
+        packed_state=args.packed_state,
     )
     print(json.dumps({"total_reward": float(history.sum()),
                       "segments": len(history) // args.steps_per_rule}))

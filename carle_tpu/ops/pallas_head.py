@@ -295,6 +295,24 @@ TILE_BUDGET_BYTES = 5 * 2**20  # tile=2 at 256^2: grad 0.97 vs 1.05 ms at
                                # tile=1; tile=4 exceeds scoped vmem
 
 
+def _compiler_params(tile: int, planes: int, h: int, w: int):
+    """Scale the Mosaic scoped-VMEM limit with the kernel's working set.
+
+    The kernels were sized against v5e's 16 MB default scoped-vmem limit at
+    256² universes; bigger geometries overflow it at COMPILE time even at
+    tile=1 (measured: conv1 bwd at 512² needs 19.7 MB, conv2 bwd with
+    need_dx at [*,4,256,256] needs 18.2 MB) although v5e has 128 MB of
+    physical VMEM.  ``planes*h*w*4*tile`` is the same live-plane estimate
+    the tile chooser uses; Mosaic's real stack runs ~3x that (routing
+    temporaries), so raise the limit to 4x the estimate (100 MB cap) when
+    that exceeds the default — and keep the default (None) for the small
+    shapes the kernels were originally tuned on."""
+    est = 4 * (tile * planes * h * w * 4)
+    if est <= 16 * 2**20:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(min(100 * 2**20, est)))
+
+
 def _tile(instances: int, cin: int, cout: int, h: int, w: int,
           budget_bytes: Optional[int] = None, need_dx: bool = False) -> int:
     """Shared by fwd AND bwd: the PRNG stream is seeded per grid step, so
@@ -310,10 +328,15 @@ def _tile(instances: int, cin: int, cout: int, h: int, w: int,
     del cout  # channels are processed one at a time; temps are reused
     if budget_bytes is None:
         budget_bytes = TILE_BUDGET_BYTES
+    planes = _head_planes(cin, need_dx)
+    return largest_divisor_tile(instances, planes * h * w * 4, budget_bytes)
+
+
+def _head_planes(cin: int, need_dx: bool) -> int:
     planes = cin + 8
     if need_dx:
         planes += 2 * cin + 3
-    return largest_divisor_tile(instances, planes * h * w * 4, budget_bytes)
+    return planes
 
 
 def _head_fwd_call(x, w, b, seed, *, pool: int, drop_p: float,
@@ -350,6 +373,8 @@ def _head_fwd_call(x, w, b, seed, *, pool: int, drop_p: float,
                 (tile, cout, h // pool, wd // pool),
                 lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
         ),
+        compiler_params=_compiler_params(
+            tile, _head_planes(cin, need_dx), h, wd),
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
@@ -416,6 +441,8 @@ def _head_bwd_call(x, w, b, seed, g, *, pool: int, drop_p: float,
             ],
             out_specs=tuple(out_specs),
         ),
+        compiler_params=_compiler_params(
+            tile, _head_planes(cin, need_dx), h, wd),
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(
         jnp.asarray(seed, jnp.int32).reshape(1),
@@ -636,6 +663,8 @@ def _tail_call(x, wt, b, seed, g, *, drop_p: float, act: str,
                     (tile, cout, h2, w2), lambda i, *_: (i, 0, 0, 0),
                     memory_space=pltpu.VMEM),
             ),
+            compiler_params=_compiler_params(
+                tile, 2 * cin + 6, h2, w2),
             interpret=(pltpu.InterpretParams() if interpret else False),
         )(*args)
     dw, db, gx = pl.pallas_call(
@@ -662,6 +691,8 @@ def _tail_call(x, wt, b, seed, g, *, drop_p: float, act: str,
                              memory_space=pltpu.VMEM),
             ),
         ),
+        compiler_params=_compiler_params(
+            tile, 2 * cin + 6, h2, w2),
         interpret=(pltpu.InterpretParams() if interpret else False),
     )(*args, g.astype(jnp.float32))
     return dw, db.reshape(cout), gx

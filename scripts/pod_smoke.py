@@ -21,9 +21,9 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _skip(job: str, n: int) -> None:
+def _skip(job: str, n: int, need: int = 2) -> None:
     print(json.dumps({"job": job, "skipped": True,
-                      "reason": f"needs >= 2 devices, have {n}"}))
+                      "reason": f"needs >= {need} devices, have {n}"}))
 
 
 def job_rdma(devs) -> None:
@@ -79,31 +79,30 @@ def job_scaling(devs) -> None:
         raise SystemExit(rc)
 
 
-def job_spatial8k(devs) -> None:
+def job_spatial8k(devs, size: int = 8192) -> None:
     """Packed spatial ENV at 8192² (SURVEY §2 '>8k² grids'): one wrapped
-    env step + a 64-generation free-running burst, with rates."""
+    env step + a 64-generation free-running burst, with rates.  Runs on a
+    SINGLE chip too (mesh=None — the same packed semantics without the
+    ring), giving the per-chip rate to project pod scaling from."""
     import jax
-    import jax.numpy as jnp
     import numpy as np
 
     from carle_tpu import EnvConfig, rules
     from carle_tpu.mcl.speed import speed_def
-    from carle_tpu.parallel import PackedSpatialStack, make_mesh, \
-        shard_carry_packed
+    from carle_tpu.parallel import PackedSpatialStack, make_mesh
+    from carle_tpu.parallel.packed_env import packed_spatial_sharding
     from carle_tpu.utils.sync import device_sync
 
     n = len(devs)
-    size = 8192
     cfg = EnvConfig(height=size, width=size, action_height=64,
                     action_width=64, instances=1)
-    mesh = make_mesh(devs, axis_name="space")
+    mesh = make_mesh(devs, axis_name="space") if n > 1 else None
     stack = PackedSpatialStack(cfg, [speed_def(cfg, reward_scale=1e-2)], mesh)
     state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
-    state = jax.tree.map(
-        lambda l: jax.device_put(
-            l, __import__("carle_tpu.parallel.packed_env",
-                          fromlist=["packed_spatial_sharding"]
-                          ).packed_spatial_sharding(mesh, l, cfg)), state)
+    if mesh is not None:
+        state = jax.tree.map(
+            lambda l: jax.device_put(
+                l, packed_spatial_sharding(mesh, l, cfg)), state)
 
     action = (np.random.RandomState(1).rand(1, 64, 64) < 0.2).astype(np.uint8)
     step = jax.jit(stack.step)
@@ -132,6 +131,7 @@ def job_spatial8k(devs) -> None:
 
 
 JOBS = {"rdma": job_rdma, "scaling": job_scaling, "spatial8k": job_spatial8k}
+MIN_DEVICES = {"rdma": 2, "scaling": 2, "spatial8k": 1}
 
 
 def main() -> int:
@@ -150,8 +150,8 @@ def main() -> int:
     devs = jax.devices()
     names = sorted(JOBS) if args.job == "all" else [args.job]
     for name in names:
-        if len(devs) < 2:
-            _skip(name, len(devs))
+        if len(devs) < MIN_DEVICES[name]:
+            _skip(name, len(devs), MIN_DEVICES[name])
             continue
         JOBS[name](devs)
     return 0

@@ -97,6 +97,7 @@ class PackedSpatialStack(WrapperStack):
         wrappers: Sequence[WrapperDef] = (),
         mesh: Mesh = None,
         axis_name: str = "space",
+        env_axis: str = None,
     ) -> None:
         super().__init__(config, wrappers)
         assert config.width % WORD == 0, (
@@ -104,26 +105,46 @@ class PackedSpatialStack(WrapperStack):
         )
         self.mesh = mesh
         self.axis_name = axis_name
+        # optional 2-D env x space mesh: instances shard over ``env_axis``
+        # AND rows over ``axis_name`` in the same program (the packed
+        # counterpart of spatial_env.shard_carry_2d) — the space-axis
+        # ppermute ring then runs independently per env-slice
+        self.env_axis = env_axis
+        self._ca_cache = {}
         if mesh is not None:
             n = mesh.shape[axis_name]
             assert config.height % n == 0, (
                 f"height {config.height} not divisible by the space axis ({n})"
             )
-            spec = P(None, axis_name, None)
-            self._ca = shard_map(
-                partial(_local_env_ca, axis_name=axis_name),
-                mesh=mesh,
-                in_specs=(spec, spec, P(), P()),
-                out_specs=spec,
-            )
-        else:
-            # single-device fallback (useful on one chip / in tests): the
-            # same packed semantics without the ring
+            if env_axis is not None:
+                assert config.instances % mesh.shape[env_axis] == 0, (
+                    f"instances {config.instances} not divisible by the env "
+                    f"axis ({mesh.shape[env_axis]})"
+                )
+
+    def _ca(self, grid, action_packed, rule_bits, do_reset):
+        if self.mesh is None:
+            # single-device fallback (one chip / tests): the same packed
+            # semantics without the ring
             from ..ops.bitpack import bit_ca_step
 
-            self._ca = lambda g, a, rb, do_reset: jnp.where(
-                do_reset, jnp.zeros_like(g), bit_ca_step(g ^ a, rb)
+            return jnp.where(
+                do_reset, jnp.zeros_like(grid),
+                bit_ca_step(grid ^ action_packed, rule_bits),
             )
+        rb_ndim = jnp.ndim(rule_bits)
+        fn = self._ca_cache.get(rb_ndim)
+        if fn is None:
+            spec = P(self.env_axis, self.axis_name, None)
+            rb_spec = P(self.env_axis) if rb_ndim == 1 else P()
+            fn = shard_map(
+                partial(_local_env_ca, axis_name=self.axis_name),
+                mesh=self.mesh,
+                in_specs=(spec, spec, rb_spec, P()),
+                out_specs=spec,
+            )
+            self._ca_cache[rb_ndim] = fn
+        return fn(grid, action_packed, rule_bits, do_reset)
 
     # --- state accessors ----------------------------------------------------
     def universe(self, state: StackState) -> jax.Array:
@@ -212,7 +233,11 @@ class PackedSpatialStack(WrapperStack):
     # --- beyond-parity: action-free fast path --------------------------------
     def free_steps(self, state: StackState, num_steps: int) -> StackState:
         """``num_steps`` action-free generations at the bare packed-halo rate
-        (no unpack, no wrapper work — for burn-in / serving rollouts)."""
+        (no unpack, no wrapper work — for burn-in / serving rollouts).
+        On a 2-D env x space mesh this path's shard_map replicates the
+        instance axis (bit_spatial_multi_step is space-only), so the grid
+        is gathered over ``env_axis`` for the burst — prefer it for
+        space-dominant meshes."""
         from .spatial import bit_spatial_multi_step
 
         if self.mesh is None:
@@ -232,11 +257,13 @@ class PackedSpatialStack(WrapperStack):
 
 
 def packed_spatial_sharding(
-    mesh: Mesh, leaf: Any, config: EnvConfig, axis_name: str = "space"
+    mesh: Mesh, leaf: Any, config: EnvConfig, axis_name: str = "space",
+    env_axis: str = None,
 ) -> NamedSharding:
     """Sharding for one packed-spatial state leaf: packed universes
-    [inst, H, W/32] shard rows; universe-extent cell leaves (wrapper frame
-    rings etc.) shard rows via :func:`spatial_sharding`; the rest replicate."""
+    [inst, H, W/32] shard rows (and, with ``env_axis`` on a 2-D mesh,
+    instances too); universe-extent cell leaves (wrapper frame rings etc.)
+    shard via :func:`spatial_sharding`; the rest replicate."""
     shape = np.shape(leaf)
     n = mesh.shape[axis_name]
     if (
@@ -247,20 +274,34 @@ def packed_spatial_sharding(
     ):
         axes = [None] * len(shape)
         axes[-2] = axis_name
+        if (
+            env_axis is not None
+            and env_axis in mesh.shape
+            and len(shape) >= 3
+            and shape[0] == config.instances
+            and config.instances % mesh.shape[env_axis] == 0
+        ):
+            axes[0] = env_axis
         return NamedSharding(mesh, P(*axes))
-    return spatial_sharding(mesh, leaf, config, axis_name)
+    return spatial_sharding(mesh, leaf, config, axis_name, env_axis=env_axis)
 
 
 def shard_carry_packed(
-    carry: Any, mesh: Mesh, config: EnvConfig, axis_name: str = "space"
+    carry: Any, mesh: Mesh, config: EnvConfig, axis_name: str = "space",
+    env_axis: str = None,
 ) -> Any:
     """Commit a packed-spatial rollout carry: packed universes (and any
     cell-extent wrapper buffers) row-sharded, params/opt-state replicated.
-    No backend restriction — the CA runs in an explicit shard_map, not under
-    GSPMD, so this mode is not pinned to the uint8 XLA engine."""
+    With ``env_axis`` on a 2-D ``Mesh(devs.reshape(n_env, n_space),
+    ("env", "space"))``, instance-batched leaves additionally shard dim 0 —
+    pass the same axes to :class:`PackedSpatialStack`.  No backend
+    restriction — the CA runs in an explicit shard_map, not under GSPMD,
+    so this mode is not pinned to the uint8 XLA engine."""
     return jax.tree.map(
         lambda leaf: jax.device_put(
-            leaf, packed_spatial_sharding(mesh, leaf, config, axis_name)
+            leaf,
+            packed_spatial_sharding(mesh, leaf, config, axis_name,
+                                    env_axis=env_axis),
         ),
         carry,
     )

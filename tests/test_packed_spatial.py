@@ -213,3 +213,38 @@ def test_packed_spatial_width_must_be_word_multiple():
                     instances=1)
     with pytest.raises(AssertionError, match="width"):
         PackedSpatialStack(cfg, [], None)
+
+
+def test_packed_spatial_2d_env_space_mesh():
+    """2-D env x space mesh: instances AND rows shard in one packed program
+    (the packed counterpart of shard_carry_2d) — parity vs single device,
+    including an online-learning wrapper."""
+    from jax.sharding import Mesh
+
+    from carle_tpu.mcl.rnd import rnd2d_def
+
+    cfg = EnvConfig(height=128, width=128, action_height=16, action_width=16,
+                    instances=4)
+    rng = np.random.RandomState(13)
+    actions = (rng.rand(4, 4, 16, 16) < 0.2).astype(np.uint8)
+
+    ro_u = Rollout(cfg, [rnd2d_def(cfg, batch_size=2)])
+    carry_u = ro_u.init(jax.random.PRNGKey(1), rules.LIFE)
+    carry_u, rewards_u = ro_u.run_actions(carry_u, actions)
+    grid_u = np.asarray(ro_u.stack.universe(carry_u.stack))
+
+    devs = np.asarray(jax.devices()).reshape(2, 4)
+    mesh = Mesh(devs, ("env", "space"))
+    from carle_tpu.parallel import shard_carry_packed
+
+    stack = PackedSpatialStack(cfg, [rnd2d_def(cfg, batch_size=2)], mesh,
+                               env_axis="env")
+    ro_p = Rollout(cfg, stack=stack)
+    carry_p = ro_p.init(jax.random.PRNGKey(1), rules.LIFE)
+    carry_p = shard_carry_packed(carry_p, mesh, cfg, env_axis="env")
+    carry_p, rewards_p = ro_p.run_actions(carry_p, actions)
+    grid_p = np.asarray(stack.universe(carry_p.stack))
+
+    np.testing.assert_array_equal(grid_p, grid_u)
+    np.testing.assert_allclose(np.asarray(rewards_p), np.asarray(rewards_u),
+                               rtol=2e-5, atol=1e-6)

@@ -104,9 +104,9 @@ def main() -> int:
             msg = str(e)
             rec = {"instances": inst, "size": args.size,
                    "packed": args.packed, "ok": False,
-                   "error": msg[:300],
+                   "error": msg[:2500],
                    "oom": "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
-                          or "exceeds" in msg}
+                          or "memory space" in msg or "exceeds" in msg}
             print(json.dumps(rec), flush=True)
             break
         print(json.dumps(rec), flush=True)

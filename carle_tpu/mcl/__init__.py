@@ -20,6 +20,8 @@ from .corner import CornerBonus, corner_def
 from .morpho import MorphoBonus, morpho_def
 from .speed import SpeedDetector, speed_def
 from .puffer import PufferDetector, puffer_def
+from .packed_stats import (corner_def_packed, puffer_def_packed,
+                           speed_def_packed)
 from .rnd import RND2D, rnd2d_def
 from .ae import AE2D, ae2d_def
 from .prediction import (
@@ -51,6 +53,9 @@ __all__ = [
     "speed_def",
     "PufferDetector",
     "puffer_def",
+    "speed_def_packed",
+    "puffer_def_packed",
+    "corner_def_packed",
     "RND2D",
     "rnd2d_def",
     "AE2D",

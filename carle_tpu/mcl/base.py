@@ -45,6 +45,11 @@ class StepCtx(NamedTuple):
     action: jax.Array       # uint8 [inst, AH, AW] raw toggle patch
     action_full: jax.Array  # uint8 [inst, H, W] patch padded to universe size
     key: jax.Array          # per-step PRNG key (dropout, exploration noise)
+    packed: Any = None      # uint32 [inst, H, W/32] universe AFTER the update
+                            # (set by the packed stacks; packed-native stat
+                            # wrappers consume it via popcounts — and when NO
+                            # wrapper touches ``obs``, XLA dead-code-eliminates
+                            # the unpack entirely, mcl/packed_stats.py)
 
 
 class WrapperDef(NamedTuple):

@@ -187,7 +187,9 @@ class PackedSpatialStack(WrapperStack):
             ).astype(jnp.int32),
         )
 
-        # lazy, shard-local unpack: cells exist only row-sharded + transient
+        # lazy, shard-local unpack: cells exist only row-sharded + transient —
+        # and if every wrapper is packed-native (mcl/packed_stats.py) the
+        # unpacks below are dead code XLA removes from the compiled program
         obs = unpack_grid(new_packed, cfg.width).astype(jnp.float32)[:, None]
         ctx = StepCtx(
             prev_grid=unpack_grid(prev_packed, cfg.width),
@@ -195,6 +197,7 @@ class PackedSpatialStack(WrapperStack):
             action=action_bits,
             action_full=action_full,
             key=key,
+            packed=new_packed,
         )
         reward = jnp.zeros((cfg.instances, 1), dtype=jnp.float32)
         new_wstates = []

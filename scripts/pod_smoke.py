@@ -97,22 +97,31 @@ def job_spatial8k(devs, size: int = 8192) -> None:
     cfg = EnvConfig(height=size, width=size, action_height=64,
                     action_width=64, instances=1)
     mesh = make_mesh(devs, axis_name="space") if n > 1 else None
-    stack = PackedSpatialStack(cfg, [speed_def(cfg, reward_scale=1e-2)], mesh)
-    state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
-    if mesh is not None:
-        state = jax.tree.map(
-            lambda l: jax.device_put(
-                l, packed_spatial_sharding(mesh, l, cfg)), state)
 
-    action = (np.random.RandomState(1).rand(1, 64, 64) < 0.2).astype(np.uint8)
-    step = jax.jit(stack.step)
-    state, (_, reward) = step(state, action, jax.random.PRNGKey(1))
-    device_sync(reward)
-    t0 = time.time()
-    for i in range(4):
-        state, (_, reward) = step(state, action, jax.random.PRNGKey(2 + i))
-    device_sync(reward)
-    dt_env = (time.time() - t0) / 4
+    def wrapped_rate(defs):
+        stack = PackedSpatialStack(cfg, defs, mesh)
+        state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+        if mesh is not None:
+            state = jax.tree.map(
+                lambda l: jax.device_put(
+                    l, packed_spatial_sharding(mesh, l, cfg)), state)
+        action = (np.random.RandomState(1).rand(1, 64, 64) < 0.2
+                  ).astype(np.uint8)
+        step = jax.jit(stack.step)
+        state, (_, reward) = step(state, action, jax.random.PRNGKey(1))
+        device_sync(reward)
+        t0 = time.time()
+        for i in range(4):
+            state, (_, reward) = step(state, action, jax.random.PRNGKey(2 + i))
+        device_sync(reward)
+        return (time.time() - t0) / 4, stack, state
+
+    dt_env, _, _ = wrapped_rate([speed_def(cfg, reward_scale=1e-2)])
+    # packed-native stat wrapper: popcount reductions, obs unpack DCE'd
+    from carle_tpu.mcl import speed_def_packed
+
+    dt_env_packed, stack, state = wrapped_rate(
+        [speed_def_packed(cfg, reward_scale=1e-2)])
 
     free = jax.jit(stack.free_steps, static_argnames=("num_steps",))
     state = free(state, num_steps=64)
@@ -126,6 +135,7 @@ def job_spatial8k(devs, size: int = 8192) -> None:
     print(json.dumps({
         "job": "spatial8k", "devices": n,
         "wrapped_env_cells_per_s": cells / dt_env,
+        "wrapped_env_packed_stats_cells_per_s": cells / dt_env_packed,
         "free_packed_cells_per_s": cells / dt_free,
     }))
 

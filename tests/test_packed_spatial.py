@@ -248,3 +248,88 @@ def test_packed_spatial_2d_env_space_mesh():
     np.testing.assert_array_equal(grid_p, grid_u)
     np.testing.assert_allclose(np.asarray(rewards_p), np.asarray(rewards_u),
                                rtol=2e-5, atol=1e-6)
+
+
+def test_packed_stat_wrappers_match_dense():
+    """Packed-native Speed/Puffer/Corner (popcounts on words,
+    mcl/packed_stats.py) match the dense defs through the packed stack —
+    integer counts are exact, so only f32 accumulation order differs."""
+    from carle_tpu.mcl import (
+        corner_def,
+        corner_def_packed,
+        puffer_def,
+        puffer_def_packed,
+        speed_def,
+        speed_def_packed,
+    )
+
+    cfg = EnvConfig(height=256, width=256, action_height=64, action_width=64,
+                    instances=2)
+    rng = np.random.RandomState(21)
+    actions = (rng.rand(6, 2, 64, 64) < 0.1).astype(np.uint8)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+
+    def run(defs):
+        stack = PackedSpatialStack(cfg, defs, mesh)
+        ro = Rollout(cfg, stack=stack)
+        carry = ro.init(jax.random.PRNGKey(3), rules.LIFE)
+        carry = shard_carry_packed(carry, mesh, cfg)
+        carry, rewards = ro.run_actions(carry, actions)
+        return np.asarray(rewards)
+
+    dense = run([speed_def(cfg, reward_scale=1e-2, per_instance=True),
+                 puffer_def(cfg, reward_scale=1e-3, growth_threshold=3,
+                            per_instance=True),
+                 corner_def(cfg, reward_scale=1e-3)])
+    packed = run([speed_def_packed(cfg, reward_scale=1e-2,
+                                   per_instance=True),
+                  puffer_def_packed(cfg, reward_scale=1e-3,
+                                    growth_threshold=3, per_instance=True),
+                  corner_def_packed(cfg, reward_scale=1e-3)])
+    assert np.any(dense != 0.0)
+    np.testing.assert_allclose(packed, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_stat_wrappers_batch_global_modes():
+    """The reference's batch-global Speed/Puffer semantics hold on the
+    packed-native defs too (per_instance=False default)."""
+    from carle_tpu.mcl import (
+        puffer_def,
+        puffer_def_packed,
+        speed_def,
+        speed_def_packed,
+    )
+
+    cfg = EnvConfig(height=128, width=128, action_height=16, action_width=16,
+                    instances=3)
+    rng = np.random.RandomState(8)
+    actions = (rng.rand(5, 3, 16, 16) < 0.15).astype(np.uint8)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+
+    def run(defs):
+        stack = PackedSpatialStack(cfg, defs, mesh)
+        ro = Rollout(cfg, stack=stack)
+        carry = ro.init(jax.random.PRNGKey(4), rules.LIFE)
+        carry = shard_carry_packed(carry, mesh, cfg)
+        carry, rewards = ro.run_actions(carry, actions)
+        return np.asarray(rewards)
+
+    dense = run([speed_def(cfg, reward_scale=1e-2),
+                 puffer_def(cfg, reward_scale=1e-3, growth_threshold=2)])
+    packed = run([speed_def_packed(cfg, reward_scale=1e-2),
+                  puffer_def_packed(cfg, reward_scale=1e-3,
+                                    growth_threshold=2)])
+    np.testing.assert_allclose(packed, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_stat_wrappers_require_packed_stack():
+    from carle_tpu.mcl import speed_def_packed
+    from carle_tpu.mcl.base import WrapperStack
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=1)
+    stack = WrapperStack(cfg, [speed_def_packed(cfg)])
+    state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+    with pytest.raises(ValueError, match="packed-native"):
+        stack.step(state, np.zeros((1, 16, 16), np.uint8),
+                   jax.random.PRNGKey(1))

@@ -70,6 +70,31 @@ def observe(state: PackedEnvState, config: EnvConfig) -> jax.Array:
     return unpack_grid(state.grid, config.width).astype(jnp.float32)[:, None]
 
 
+def pack_action(action_bits: jax.Array, config: EnvConfig) -> jax.Array:
+    """[inst, AH, AW] toggle patch -> uint32 [inst, H, W//32] with the patch
+    packed into the centred action window.
+
+    Packs ONLY the window's words (word-aligning the column offset with a
+    lead pad) and writes them into a packed-size zeros plane — O(cells/32)
+    instead of the O(cells) of ``pack_grid(pad_action(...))``, which
+    materialised a full uint8 universe per step just to carry a 64x64
+    patch."""
+    inst, ah, aw = action_bits.shape
+    r0 = config.action_row_offset
+    c0 = config.action_col_offset
+    w0 = c0 // WORD
+    lead = c0 - w0 * WORD
+    nw = -(-(lead + aw) // WORD)  # ceil
+    patch = jnp.pad(
+        action_bits.astype(jnp.uint8),
+        ((0, 0), (0, 0), (lead, nw * WORD - lead - aw)),
+    )
+    words = pack_grid(patch)  # [inst, AH, nw]
+    out = jnp.zeros((inst, config.height, config.width // WORD),
+                    dtype=jnp.uint32)
+    return out.at[:, r0: r0 + ah, w0: w0 + nw].set(words)
+
+
 def packed_env_step(
     state: PackedEnvState, action: jax.Array, *, config: EnvConfig
 ) -> Tuple[PackedEnvState, jax.Array]:
@@ -80,7 +105,7 @@ def packed_env_step(
     grid — call :func:`observe` for cells.
     """
     action_bits = (action != 0).astype(jnp.uint8)
-    action_packed = pack_grid(pad_action(action_bits, config))
+    action_packed = pack_action(action_bits, config)
 
     do_reset = jnp.all(action_bits == 1)
     any_action = jnp.any(action_bits != 0)

@@ -166,8 +166,12 @@ class PackedSpatialStack(WrapperStack):
         do_reset = jnp.all(action_bits == 1)
         any_action = jnp.any(action_bits != 0)
 
+        from ..packed import pack_action
+
+        action_packed = pack_action(action_bits, cfg)  # u32 [inst, H, W/32]
+        # full-size uint8 patch for wrappers that read ctx.action_full —
+        # dead code (DCE'd) when none in the stack does
         action_full = pad_action(action_bits, cfg)     # uint8 [inst, H, W]
-        action_packed = pack_grid(action_full)         # u32  [inst, H, W/32]
 
         env = state.env
         prev_packed = env.grid

@@ -98,23 +98,31 @@ def job_spatial8k(devs, size: int = 8192) -> None:
                     action_width=64, instances=1)
     mesh = make_mesh(devs, axis_name="space") if n > 1 else None
 
+    STEPS = 64
+
     def wrapped_rate(defs):
+        """Full wrapped env steps, STEPS per launch (one lax.scan — the
+        step-at-a-time shell is dispatch-bound through the axon tunnel and
+        would measure latency, not compute; inside the scan the obs output
+        is also genuinely dead for packed-native wrappers, so the unpack
+        DCE is real)."""
+        from carle_tpu.rollout import Rollout
+
         stack = PackedSpatialStack(cfg, defs, mesh)
-        state = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+        ro = Rollout(cfg, stack=stack)
+        carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
         if mesh is not None:
-            state = jax.tree.map(
+            carry = jax.tree.map(
                 lambda l: jax.device_put(
-                    l, packed_spatial_sharding(mesh, l, cfg)), state)
-        action = (np.random.RandomState(1).rand(1, 64, 64) < 0.2
-                  ).astype(np.uint8)
-        step = jax.jit(stack.step)
-        state, (_, reward) = step(state, action, jax.random.PRNGKey(1))
-        device_sync(reward)
+                    l, packed_spatial_sharding(mesh, l, cfg)), carry)
+        actions = (np.random.RandomState(1).rand(STEPS, 1, 64, 64) < 0.2
+                   ).astype(np.uint8)
+        carry, rewards = ro.run_actions(carry, actions)   # compile + warm
+        device_sync(rewards)
         t0 = time.time()
-        for i in range(4):
-            state, (_, reward) = step(state, action, jax.random.PRNGKey(2 + i))
-        device_sync(reward)
-        return (time.time() - t0) / 4, stack, state
+        carry, rewards = ro.run_actions(carry, actions)
+        device_sync(rewards)
+        return (time.time() - t0) / STEPS, stack, carry.stack
 
     dt_env, _, _ = wrapped_rate([speed_def(cfg, reward_scale=1e-2)])
     # packed-native stat wrapper: popcount reductions, obs unpack DCE'd

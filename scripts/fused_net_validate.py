@@ -19,6 +19,11 @@ Validates, on the live TPU:
 Run: PYTHONPATH must include the repo;  ~2 min warm, ~15 min on a cold
 compile cache (remote-compile tunnel).
 """
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -190,13 +195,26 @@ def check_dropout_grad_alignment():
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--height", type=int, default=64)
+    parser.add_argument("--width", type=int, default=128)
+    parser.add_argument("--instances", type=int, default=4,
+                        help="e.g. --height 512 --width 512 --instances 2 "
+                             "validates the geometries the scoped-vmem "
+                             "raise (pallas_head._compiler_params) enables")
+    args = parser.parse_args()
+
     print("platform:", jax.devices()[0].platform, flush=True)
     check_drop_rates()
     check_dropout_grad_alignment()
 
     obs = jax.random.bernoulli(
-        jax.random.PRNGKey(2), 0.3, (4, 1, 64, 128)).astype(jnp.float32)
-    cfg = EnvConfig(height=64, width=128, instances=4)
+        jax.random.PRNGKey(2), 0.3,
+        (args.instances, 1, args.height, args.width)).astype(jnp.float32)
+    cfg = EnvConfig(height=args.height, width=args.width,
+                    instances=args.instances)
 
     # --- full fused AE stack (2 heads + 2 tails) ---
     ae_params = init_ae_params(jax.random.PRNGKey(0), cfg)

@@ -65,3 +65,24 @@ def test_packed_multi_step_and_observe():
     obs = observe(s_pk, CFG)
     assert obs.shape == (2, 1, 64, 64)
     assert obs.dtype == jnp.float32
+
+
+def test_pack_action_matches_pack_pad_fuzz():
+    """pack_action (word-aligned window packing, O(cells/32)) must equal
+    pack_grid(pad_action(...)) for every geometry/offset — fuzz the
+    word-offset arithmetic (lead bits, straddled words, odd windows)."""
+    from carle_tpu.ops.bitpack import pack_grid
+    from carle_tpu.ops.ca import pad_action
+    from carle_tpu.packed import pack_action
+
+    rng = np.random.RandomState(0)
+    cases = [(64, 64, 16, 16), (64, 96, 7, 31), (32, 64, 5, 33),
+             (96, 128, 64, 64), (64, 64, 1, 1), (48, 160, 11, 63)]
+    for h, w, ah, aw in cases:
+        cfg = EnvConfig(height=h, width=w, action_height=ah, action_width=aw,
+                        instances=2)
+        patch = (rng.rand(2, cfg.eff_action_height, cfg.eff_action_width)
+                 < 0.4).astype(np.uint8)
+        want = np.asarray(pack_grid(pad_action(jnp.asarray(patch), cfg)))
+        got = np.asarray(pack_action(jnp.asarray(patch), cfg))
+        np.testing.assert_array_equal(got, want, err_msg=str((h, w, ah, aw)))

@@ -89,9 +89,12 @@ class WrapperStack:
 
     # --- state accessors (overridable: the packed spatial stack stores the
     # universe as uint32 words — parallel/packed_env.py) --------------------
-    def universe(self, state: StackState) -> jax.Array:
-        """uint8 [inst, H, W] universe view of a stack state."""
-        return state.env.grid
+    def universe(self, state: StackState, instance: int = None) -> jax.Array:
+        """uint8 [inst, H, W] universe view of a stack state (or one
+        instance's [H, W] — packed stacks then decode only that instance,
+        which matters at huge-universe geometries)."""
+        g = state.env.grid
+        return g if instance is None else g[instance]
 
     def observe(self, state: StackState) -> jax.Array:
         """float32 [inst, 1, H, W] observation (the agent/net input)."""

@@ -38,7 +38,6 @@ from ..config import EnvConfig
 from ..ops.bitpack import WORD, pack_grid
 from .base import StepCtx, WrapperDef, default_on_reset
 from .corner import _build_masks
-from .puffer import PufferState
 
 
 def _pack_mask(mask: np.ndarray) -> jnp.ndarray:
@@ -73,17 +72,23 @@ def _live_count(g: jax.Array) -> jax.Array:
 
 
 def _row_weighted(g: jax.Array) -> jax.Array:
-    """sum_cells row_index, per instance (f32 [inst])."""
+    """sum_cells row_index, per instance (f32 [inst]).
+
+    Elementwise multiply + sum, NOT a matmul: a dot_general at default
+    precision runs ONE bf16 pass on TPU (CLAUDE.md), which would round the
+    integer row counts/indices and defeat the module's exactness claim —
+    the f32 products here are exact (counts <= 2^13, indices <= 2^13)."""
     rows = jnp.sum(_pc(g), axis=2).astype(jnp.float32)       # [inst, H]
     r = jnp.arange(g.shape[1], dtype=jnp.float32)
-    return rows @ r
+    return jnp.sum(rows * r[None, :], axis=1)
 
 
 def _col_weighted(g: jax.Array) -> jax.Array:
-    """sum_cells column_index, per instance (f32 [inst])."""
+    """sum_cells column_index, per instance (f32 [inst]).  Same
+    no-matmul rule as :func:`_row_weighted`."""
     words = jnp.sum(_pc(g), axis=1).astype(jnp.float32)      # [inst, W/32]
     w = WORD * jnp.arange(g.shape[2], dtype=jnp.float32)
-    total = words @ w
+    total = jnp.sum(words * w[None, :], axis=1)
     for k, m in enumerate(_BIT_MASKS):
         total = total + float(1 << k) * jnp.sum(
             _pc(g & jnp.uint32(m)), axis=(1, 2)
@@ -153,54 +158,17 @@ def puffer_def_packed(
     per_instance: bool = False,
     **kwargs: Any,
 ) -> WrapperDef:
-    """PufferDetector on packed words (semantics of mcl/puffer.py): the
-    live-cell count feeding the sliding window comes from popcounts."""
+    """PufferDetector on packed words: the live-cell count feeding the
+    sliding window comes from popcounts; the ring-buffer / slope /
+    toggle-clear semantics are mcl/puffer.py's ONE implementation (the
+    ``cells_fn`` hook)."""
     from .puffer import puffer_def
 
-    dense = puffer_def(config, reward_scale, growth_threshold, per_instance,
-                       **kwargs)
-
-    def apply(state: PufferState, ctx: StepCtx, reward: jax.Array):
-        g = _require_packed(ctx)
-        cells_vec = _live_count(g)                                  # [inst]
-        if per_instance:
-            cells = cells_vec
-            acted = jnp.sum(ctx.action, axis=(1, 2)) != 0
-        else:
-            cells = jnp.sum(cells_vec)[None]
-            acted = (jnp.sum(ctx.action) != 0)[None]
-
-        full = state.count >= state.window
-        oldest = jnp.take_along_axis(
-            state.buf, state.head[:, None], axis=1)[:, 0]
-        slope = cells - oldest
-        fire = jnp.logical_and(jnp.logical_and(full, slope > 0.01), ~acted)
-
-        write_idx = jnp.where(full, state.head, state.count)
-        new_buf = jax.vmap(
-            lambda row, idx, val: jax.lax.dynamic_update_index_in_dim(
-                row, val, idx, 0
-            )
-        )(state.buf, write_idx, cells)
-        new_head = jnp.where(full, (state.head + 1) % state.window,
-                             state.head)
-        new_count = jnp.minimum(state.count + 1, state.window)
-
-        new_buf = jnp.where(acted[:, None], 0.0, new_buf)
-        new_head = jnp.where(acted, 0, new_head)
-        new_count = jnp.where(acted, 0, new_count)
-
-        bonus = (fire.astype(jnp.float32)[:, None] if per_instance
-                 else fire.astype(jnp.float32)[0])
-        return (
-            state._replace(buf=new_buf, head=new_head, count=new_count),
-            reward + bonus,
-        )
-
-    return WrapperDef(
-        name="PufferDetector(packed)", init=dense.init, apply=apply,
-        on_reset=default_on_reset,
+    dense = puffer_def(
+        config, reward_scale, growth_threshold, per_instance,
+        cells_fn=lambda ctx: _live_count(_require_packed(ctx)), **kwargs
     )
+    return dense._replace(name="PufferDetector(packed)")
 
 
 def corner_def_packed(

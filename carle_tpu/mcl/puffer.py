@@ -37,9 +37,16 @@ def puffer_def(
     reward_scale: float = 1.0,
     growth_threshold: int = 512,
     per_instance: bool = False,
+    cells_fn: Any = None,
     **kwargs: Any,
 ) -> WrapperDef:
+    """``cells_fn(ctx) -> f32 [instances]`` overrides how the live-cell
+    count is computed (default: sum of the dense obs) — the packed-native
+    variant (mcl/packed_stats.py) supplies popcounts so the ring-buffer /
+    slope / toggle-clear semantics live in exactly one place."""
     lanes = config.instances if per_instance else 1
+    if cells_fn is None:
+        cells_fn = lambda ctx: jnp.sum(ctx.obs, axis=(1, 2, 3))  # noqa: E731
 
     def init(key: jax.Array) -> PufferState:
         return PufferState(
@@ -53,11 +60,12 @@ def puffer_def(
     def apply(
         state: PufferState, ctx: StepCtx, reward: jax.Array
     ) -> Tuple[PufferState, jax.Array]:
+        cells_vec = cells_fn(ctx)                                  # [inst]
         if per_instance:
-            cells = jnp.sum(ctx.obs, axis=(1, 2, 3))              # [inst]
+            cells = cells_vec
             acted = jnp.sum(ctx.action, axis=(1, 2)) != 0          # [inst]
         else:
-            cells = jnp.sum(ctx.obs)[None]                         # [1]
+            cells = jnp.sum(cells_vec)[None]                       # [1]
             acted = (jnp.sum(ctx.action) != 0)[None]               # [1]
 
         # list semantics: append, and once len > window compute slope over the

@@ -80,6 +80,13 @@ def pack_action(action_bits: jax.Array, config: EnvConfig) -> jax.Array:
     materialised a full uint8 universe per step just to carry a 64x64
     patch."""
     inst, ah, aw = action_bits.shape
+    # fail as loudly as the pack_grid(pad_action(...)) path this replaces:
+    # a wrong-sized patch would otherwise be silently anchored at the
+    # window origin instead of centred
+    assert (ah, aw) == (config.eff_action_height, config.eff_action_width), (
+        f"action patch is {ah}x{aw}, config window is "
+        f"{config.eff_action_height}x{config.eff_action_width}"
+    )
     r0 = config.action_row_offset
     c0 = config.action_col_offset
     w0 = c0 // WORD

@@ -147,8 +147,11 @@ class PackedSpatialStack(WrapperStack):
         return fn(grid, action_packed, rule_bits, do_reset)
 
     # --- state accessors ----------------------------------------------------
-    def universe(self, state: StackState) -> jax.Array:
-        return unpack_grid(state.env.grid, self.config.width)
+    def universe(self, state: StackState, instance: int = None) -> jax.Array:
+        g = state.env.grid
+        if instance is not None:
+            g = g[instance]  # decode ONE instance, not the whole batch
+        return unpack_grid(g, self.config.width)
 
     def init(self, key: jax.Array, rule_bits: int) -> StackState:
         keys = jax.random.split(key, max(len(self.wrappers), 1))

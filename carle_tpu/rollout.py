@@ -185,7 +185,7 @@ class Rollout:
             )
             done += k
             grid = np.asarray(
-                jax.device_get(self.stack.universe(carry.stack)[instance])
+                jax.device_get(self.stack.universe(carry.stack, instance))
             )
             last_action = np.asarray(jax.device_get(actions[-1]))
             rb = np.asarray(jax.device_get(carry.stack.env.rule_bits))
@@ -226,7 +226,7 @@ class Rollout:
     # -- animated episodes ---------------------------------------------------
     def _framed_step(self, carry: RolloutCarry, _, instance: int):
         new_carry, (reward, action_bits) = self._traced_step(carry, _, instance)
-        frame = self.stack.universe(new_carry.stack)[instance].astype(jnp.uint8)
+        frame = self.stack.universe(new_carry.stack, instance).astype(jnp.uint8)
         return new_carry, (reward, action_bits, frame)
 
     def _run_framed_impl(self, carry: RolloutCarry, num_steps: int,

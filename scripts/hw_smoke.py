@@ -90,9 +90,10 @@ def main() -> int:
 
     jobs = _jobs(args.quick)
     if args.pod:
+        extra = ["--quick"] if args.quick else []
         jobs += [
-            (f"pod-{j}", [sys.executable, "scripts/pod_smoke.py", j])
-            for j in ("rdma", "scaling", "spatial8k")
+            (f"pod-{j}", [sys.executable, "scripts/pod_smoke.py", j] + extra)
+            for j in ("scaling", "rdma", "spatial8k")
         ]
     if args.platform:
         jobs = [(name, cmd + ["--platform", args.platform])

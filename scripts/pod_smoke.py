@@ -1,13 +1,14 @@
 """Pod-slice smoke jobs — everything gated on real multi-chip hardware.
 
-This dev box has ONE tunneled chip, so three measured claims stay open
-(SCALING.md §5, VERDICT r2): the RDMA halo kernels on hardware, the ICI
-weak-scaling curve, and the packed spatial env at >= 8k².  This script is
-the exact bring-up recipe for the day a pod slice exists; on a single
-device every job prints a SKIP record and exits 0 (hw_smoke --pod stays
-green on one chip).
+This dev box has ONE tunneled chip, so two measured claims stay open
+(SCALING.md §5, VERDICT r2): the RDMA halo kernels on hardware and the ICI
+weak-scaling curve — those jobs print a SKIP record and exit 0 on a single
+device (hw_smoke --pod stays green on one chip).  The third job,
+spatial8k (the packed spatial env at 8192²), deliberately ALSO runs
+single-chip — its per-chip rate is the number pod scaling projects from;
+``--quick`` shrinks it to 512² for CPU functional smokes.
 
-  python scripts/pod_smoke.py all            # or: rdma | scaling | spatial8k
+  python scripts/pod_smoke.py all [--quick]  # or: rdma | scaling | spatial8k
 """
 
 from __future__ import annotations
@@ -64,12 +65,14 @@ def job_rdma(devs) -> None:
                       "note": "uint8+packed RDMA halo == ppermute tier"}))
 
 
-def job_scaling(devs) -> None:
-    """ICI weak scaling (BASELINE row 2: >= 90% linear env-steps/s)."""
+def job_scaling_counts(n_devices: int) -> None:
+    """ICI weak scaling (BASELINE row 2: >= 90% linear env-steps/s).
+    Runs bench_multichip as a subprocess — the caller must NOT have
+    initialized jax (see _probe_device_count)."""
     import subprocess
 
     counts = [1]
-    while counts[-1] * 2 <= len(devs):
+    while counts[-1] * 2 <= n_devices:
         counts.append(counts[-1] * 2)
     cmd = [sys.executable, "bench_multichip.py", "--devices",
            *[str(c) for c in counts]]
@@ -77,6 +80,10 @@ def job_scaling(devs) -> None:
         os.path.dirname(os.path.abspath(__file__)))).returncode
     if rc != 0:
         raise SystemExit(rc)
+
+
+def job_scaling(devs) -> None:
+    job_scaling_counts(len(devs))
 
 
 def job_spatial8k(devs, size: int = 8192) -> None:
@@ -152,26 +159,60 @@ JOBS = {"rdma": job_rdma, "scaling": job_scaling, "spatial8k": job_spatial8k}
 MIN_DEVICES = {"rdma": 2, "scaling": 2, "spatial8k": 1}
 
 
+def _probe_device_count(platform) -> int:
+    """Count devices WITHOUT initializing the backend in THIS process —
+    the scaling job spawns bench_multichip as a subprocess, and on the
+    tunneled box a parent that already holds the chip would wedge the
+    child silently (CLAUDE.md: only one process may own the chip)."""
+    import subprocess
+
+    code = (
+        "import jax\n"
+        + (f"jax.config.update('jax_platforms', {platform!r})\n"
+           if platform else "")
+        + "print(len(jax.devices()))"
+    )
+    out = subprocess.run([sys.executable, "-c", code],
+                         capture_output=True, text=True)
+    return int(out.stdout.strip().splitlines()[-1]) if out.returncode == 0 else 0
+
+
 def main() -> int:
     parser = argparse.ArgumentParser()
     parser.add_argument("job", choices=sorted(JOBS) + ["all"])
     parser.add_argument("--platform", default=None)
+    parser.add_argument("--quick", action="store_true",
+                        help="small shapes (spatial8k runs at 512² — the "
+                             "CPU-friendly functional smoke)")
     args = parser.parse_args()
 
-    import jax
+    n_devices = _probe_device_count(args.platform)
+    # subprocess-based jobs FIRST, while this process has not touched the
+    # chip; in-process jobs initialize jax afterwards
+    order = ["scaling", "rdma", "spatial8k"]
+    names = order if args.job == "all" else [args.job]
 
-    if args.platform:
-        jax.config.update("jax_platforms", args.platform)
-    from carle_tpu.utils.cache import enable_compilation_cache
-
-    enable_compilation_cache()
-    devs = jax.devices()
-    names = sorted(JOBS) if args.job == "all" else [args.job]
     for name in names:
-        if len(devs) < MIN_DEVICES[name]:
-            _skip(name, len(devs), MIN_DEVICES[name])
+        if n_devices < MIN_DEVICES[name]:
+            _skip(name, n_devices, MIN_DEVICES[name])
             continue
-        JOBS[name](devs)
+        if name == "scaling":
+            job_scaling_counts(n_devices)
+            continue
+        import jax
+
+        if args.platform:
+            try:
+                jax.config.update("jax_platforms", args.platform)
+            except Exception:
+                pass  # already initialized by a previous in-process job
+        from carle_tpu.utils.cache import enable_compilation_cache
+
+        enable_compilation_cache()
+        if name == "spatial8k":
+            job_spatial8k(jax.devices(), size=512 if args.quick else 8192)
+        else:
+            JOBS[name](jax.devices())
     return 0
 
 

@@ -15,9 +15,11 @@ never materialising the float32 cell observation:
   M_1 = 0xCCCCCCCC, ... M_4 = 0xFFFF0000) — the bit-index binary expansion,
   5 masked popcounts for any word width.
 
-All counts are integer-exact (the f32 path's big sums round above 2^24 —
-these are *more* exact than the dense computation, so parity is tested to
-float tolerance).  When a packed stack's wrapper list is entirely
+The popcounts themselves are integer-exact; the f32 weighted sums are
+exact through ~4096² geometries (products < 2^24) and correctly rounded
+above — in every case at least as accurate as the dense f32 path, which
+sums the same magnitudes from individual cells (parity is tested to float
+tolerance).  When a packed stack's wrapper list is entirely
 packed-native, nothing consumes ``ctx.obs`` and XLA dead-code-eliminates
 the unpack from the compiled step — the wrapped env then runs at packed
 rates (measured at 8192²: see STATUS).
@@ -75,9 +77,10 @@ def _row_weighted(g: jax.Array) -> jax.Array:
     """sum_cells row_index, per instance (f32 [inst]).
 
     Elementwise multiply + sum, NOT a matmul: a dot_general at default
-    precision runs ONE bf16 pass on TPU (CLAUDE.md), which would round the
-    integer row counts/indices and defeat the module's exactness claim —
-    the f32 products here are exact (counts <= 2^13, indices <= 2^13)."""
+    precision runs ONE bf16 pass on TPU (CLAUDE.md), which would shave the
+    integer row counts/indices to 8-bit mantissas.  The f32 products here
+    are exact whenever count*index < 2^24 (through ~4096² geometries) and
+    correctly rounded above — never worse than the dense f32 path."""
     rows = jnp.sum(_pc(g), axis=2).astype(jnp.float32)       # [inst, H]
     r = jnp.arange(g.shape[1], dtype=jnp.float32)
     return jnp.sum(rows * r[None, :], axis=1)

@@ -137,12 +137,16 @@ class PackedSpatialStack(WrapperStack):
         if fn is None:
             spec = P(self.env_axis, self.axis_name, None)
             rb_spec = P(self.env_axis) if rb_ndim == 1 else P()
-            fn = shard_map(
+            # jit the cached instance: a bare shard_map re-traces (and on
+            # the tunneled TPU re-hits the remote compiler) EVERY eager
+            # call — CLAUDE.md's ~70x footgun.  Inside Rollout's jitted
+            # entry points the inner jit inlines for free.
+            fn = jax.jit(shard_map(
                 partial(_local_env_ca, axis_name=self.axis_name),
                 mesh=self.mesh,
                 in_specs=(spec, spec, rb_spec, P()),
                 out_specs=spec,
-            )
+            ))
             self._ca_cache[rb_ndim] = fn
         return fn(grid, action_packed, rule_bits, do_reset)
 

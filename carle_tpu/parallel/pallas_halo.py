@@ -248,7 +248,7 @@ def _packed_row_update(padded: jax.Array, rule_bits: jax.Array) -> jax.Array:
     sizes this path exists for, W/32 ≥ 256 fills the lanes naturally (the
     single-chip kernels transpose because 256-wide grids only have 8 words).
     """
-    from ..ops.bitpack import _csa as csa
+    from ..ops.bitpack import _count_planes, _rule_mux
 
     g = padded
     nwords = g.shape[-1]
@@ -259,18 +259,14 @@ def _packed_row_update(padded: jax.Array, rule_bits: jax.Array) -> jax.Array:
     a = left ^ right
     b = left & right
 
-    s1, c1 = csa(a[:, :-2, :], a[:, 1:-1, :], a[:, 2:, :])
-    s2, c2 = csa(g[:, :-2, :], g[:, 2:, :], s1)
-    n0 = s2
-    s3, c3 = csa(b[:, :-2, :], b[:, 1:-1, :], b[:, 2:, :])
-    s4, c4 = csa(s3, c1, c2)
-    n1 = s4
-    n2 = c3 ^ c4
-    n3 = c3 & c4
-
-    from ..ops.bitpack import _rule_mux
-
-    return _rule_mux(g[:, 1:-1, :], (n0, n1, n2, n3), rule_bits)
+    # the kernel-local part is only the pltpu.roll horizontal planes above;
+    # the Moore-count CSA tree is the parity-tested engine's
+    planes = _count_planes(
+        a[:, :-2, :], b[:, :-2, :], g[:, :-2, :],
+        a[:, 1:-1, :], b[:, 1:-1, :],
+        a[:, 2:, :], b[:, 2:, :], g[:, 2:, :],
+    )
+    return _rule_mux(g[:, 1:-1, :], planes, rule_bits)
 
 
 def _bit_halo_multi_kernel(rule_ref, steps_ref, grid_ref, out_ref, halo_ref,

@@ -116,7 +116,7 @@ class PolicyTrainer:
     def _step(self, state: PolicyTrainState, _):
         cfg = self.config
         key, k_sample, k_env = jax.random.split(state.key, 3)
-        obs = state.stack.env.grid.astype(jnp.float32)[:, None]
+        obs = self.stack.observe(state.stack)
 
         # 1. sample an action from the current policy (no gradients here)
         logits = policy_logits(state.params, obs, self.fused_head)
@@ -174,17 +174,23 @@ class PolicyTrainer:
         return self._run(state, num_steps=num_steps)
 
     def as_agent(self, deterministic_rate: Optional[float] = None) -> Agent:
-        """Freeze the trained policy into the standard Agent protocol."""
-        return _policy_agent(self.config, deterministic_rate)
+        """Freeze the trained policy into the standard Agent protocol.
+        Inherits this trainer's ``fused_head`` so the evaluated forward is
+        numerically the TRAINED forward (the fused kernels run the conv in
+        exact f32; the unfused TPU conv takes a reduced-precision pass —
+        logits near the decision boundary would otherwise flip)."""
+        return _policy_agent(self.config, deterministic_rate,
+                             fused_head=self.fused_head)
 
 
 def _policy_agent(cfg: EnvConfig,
-                  deterministic_rate: Optional[float] = None) -> Agent:
+                  deterministic_rate: Optional[float] = None,
+                  fused_head: Any = False) -> Agent:
     def init(key):
         raise RuntimeError("use trained params from a trainer state")
 
     def apply(params, key, obs):
-        logits = policy_logits(params, obs)
+        logits = policy_logits(params, obs, fused_head)
         if deterministic_rate is not None:
             action = (jax.nn.sigmoid(logits) > deterministic_rate)
         else:
@@ -283,8 +289,8 @@ class PPOTrainer:
         stack, params, key = carry
         cfg = self.config
         key, k_sample, k_env = jax.random.split(key, 3)
-        grid_u8 = stack.env.grid
-        obs = grid_u8.astype(jnp.float32)[:, None]
+        grid_u8 = self.stack.universe(stack)
+        obs = self.stack.observe(stack)
 
         logits = policy_logits(params, obs, self.fused_head)
         u = jax.random.uniform(k_sample, logits.shape)
@@ -386,6 +392,14 @@ class PPOTrainer:
             advantages = advantages / (jnp.std(advantages) + 1e-6)
 
         mb = n // self.minibatches
+        if mb == 0:
+            # mean over an empty minibatch is NaN and optax would silently
+            # write NaN params — fail at trace time instead
+            raise ValueError(
+                f"horizon*instances = {n} must be >= minibatches "
+                f"({self.minibatches}); raise the horizon or lower "
+                "minibatches"
+            )
         key, k_perm = jax.random.split(key)
 
         def epoch_body(carry, k):
@@ -425,4 +439,6 @@ class PPOTrainer:
                          horizon=horizon)
 
     def as_agent(self, deterministic_rate: Optional[float] = None) -> Agent:
-        return _policy_agent(self.config, deterministic_rate)
+        # inherits fused_head for the same reason as PolicyTrainer.as_agent
+        return _policy_agent(self.config, deterministic_rate,
+                             fused_head=self.fused_head)

@@ -126,3 +126,20 @@ def test_ppo_discounted_credit_runs():
     state = trainer.init(jax.random.PRNGKey(2), rules.LIFE)
     state, trace = trainer.run(state, horizon=8)
     assert bool(jnp.all(jnp.isfinite(trace)))
+
+
+def test_ppo_rejects_too_few_samples_per_minibatch():
+    """horizon*instances < minibatches would make empty minibatches whose
+    mean-loss is NaN — PPOTrainer must fail loudly at trace time instead
+    (review-fix regression pin)."""
+    import pytest
+
+    from carle_tpu.policy import PPOTrainer
+
+    cfg = EnvConfig(height=32, width=32, action_height=8, action_width=8,
+                    instances=1)
+    trainer = PPOTrainer(cfg, wrappers=[_toggle_reward_def(1.0)],
+                         minibatches=4)
+    state = trainer.init(jax.random.PRNGKey(0), rules.LIFE)
+    with pytest.raises(ValueError, match="minibatches"):
+        trainer.run(state, horizon=2)

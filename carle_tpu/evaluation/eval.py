@@ -630,6 +630,13 @@ if __name__ == "__main__":
         raise SystemExit(0)
 
     agent_cls = SubmissionAgent if args.agent == "random" else RandomNetworkAgent
+    if args.agent == "random" and args.agent_params:
+        # SubmissionAgent inherits DemoAgent.load_state_dict, a NO-OP
+        # (submission.py — the reference's challenge-template contract):
+        # the params would load into nothing and the plain Bernoulli
+        # baseline would be scored under the user's checkpoint name
+        parser.error("--agent random has no parameters to load; use "
+                     "--agent network or --agent policy with --agent-params")
     # always route through the class so --agent-params reaches
     # load_state_dict on every path (Agent=None would silently drop it)
     if args.batched:

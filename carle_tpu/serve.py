@@ -181,9 +181,15 @@ def _initial_grid(body: Dict[str, Any]):
         grid = jnp.asarray(full[None])
     else:
         key = jax.random.PRNGKey(int(body.get("seed", 0)))
-        grid = jax.random.bernoulli(
+        # pad width to a word multiple like the RLE branch — the packed
+        # engine asserts W % 32 == 0 and an arbitrary form-typed size
+        # would otherwise 400
+        w = -(-size // 32) * 32
+        grid = jnp.zeros((1, size, w), dtype=jnp.uint8)
+        soup = jax.random.bernoulli(
             key, float(body.get("density", 0.3)), (1, size, size)
         ).astype(jnp.uint8)
+        grid = grid.at[:, :, (w - size) // 2:(w - size) // 2 + size].set(soup)
     return grid, bits, birth, survive
 
 

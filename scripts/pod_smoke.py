@@ -172,9 +172,22 @@ def _probe_device_count(platform) -> int:
            if platform else "")
         + "print(len(jax.devices()))"
     )
-    out = subprocess.run([sys.executable, "-c", code],
-                         capture_output=True, text=True)
-    return int(out.stdout.strip().splitlines()[-1]) if out.returncode == 0 else 0
+    try:
+        out = subprocess.run([sys.executable, "-c", code],
+                             capture_output=True, text=True, timeout=300)
+    except subprocess.TimeoutExpired:
+        # jax.devices() HANGS when the relay is down or another process
+        # holds the chip (CLAUDE.md) — a wedged probe must not wedge us
+        print(json.dumps({"error": "device probe timed out — relay down "
+                          "or chip held by another process"}),
+              file=sys.stderr)
+        raise SystemExit(2)
+    if out.returncode != 0:
+        # a broken environment must read as FAILURE, not as an all-skip
+        # green run
+        print(out.stderr.strip()[-500:], file=sys.stderr)
+        raise SystemExit(2)
+    return int(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> int:

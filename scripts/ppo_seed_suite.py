@@ -26,12 +26,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TRAIN_RULES = [  # the four public rulesets (reference train_mcl.py:95-98)
-    [[3], [2, 3]],
-    [[3, 6, 8], [2, 4, 5]],
-    [[3, 6, 7, 8], [3, 4, 6, 7, 8]],
-    [[3], [0, 2, 3]],
-]
+# the four public rulesets — the ONE canonical table (train_mcl.py)
+from carle_tpu.train_mcl import DEFAULT_RULES as TRAIN_RULES  # noqa: E402
 
 
 def main() -> int:
@@ -122,8 +118,11 @@ def main() -> int:
         save_pytree(params_path, state.params)
 
         t0 = time.time()
+        # pass the SAME FnAgent instance + params separately: a per-seed
+        # (agent, params) tuple would miss the rollout cache and rebuild
+        # the battery's jitted programs every seed (eval.py:273-276)
         score, _ = evaluate_fused(
-            Agent=(agent, state.params), steps=args.eval_steps,
+            Agent=agent, agent_params=state.params, steps=args.eval_steps,
             seed=args.eval_seed, verbose=False,
         )
         row = {

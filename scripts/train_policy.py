@@ -25,12 +25,8 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-TRAIN_RULES = [
-    [[3], [2, 3]],
-    [[3, 6, 8], [2, 4, 5]],
-    [[3, 6, 7, 8], [3, 4, 6, 7, 8]],
-    [[3], [0, 2, 3]],
-]
+# the four public rulesets — the ONE canonical table (train_mcl.py)
+from carle_tpu.train_mcl import DEFAULT_RULES as TRAIN_RULES  # noqa: E402
 
 
 def main() -> int:

@@ -273,6 +273,10 @@ def _main() -> int:
     import argparse
     import json
 
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # every CLI entry point does (CLAUDE.md)
+
     from . import rules as rules_mod
     from .rle import read_rle
 

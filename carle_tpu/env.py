@@ -14,8 +14,12 @@ Two layers:
 Behavioural contract (verified bit-exact against the PyTorch reference in
 tests/test_parity.py):
 
-* toggle actions are XOR'd into a centred action window (env.py:150-182);
-* an all-ones action performs a master reset (env.py:208-216);
+* toggle actions are XOR'd into a centred action window — ANY nonzero
+  value toggles, like the reference's logical_xor (env.py:150-182);
+* the master reset fires iff the mean of the UNCROPPED action VALUES is
+  exactly 1.0 (env.py:208-216): all-ones resets, all-2.0 only toggles, and
+  a full-frame action that is all-ones just inside the window toggles
+  without resetting;
 * the CA update is a Moore-neighbourhood count + B/S rule lookup on a torus
   (env.py:219-227);
 * the base env emits zero reward and never sets done (env.py:233-242).
@@ -72,15 +76,18 @@ def env_step(
 ) -> Tuple[EnvState, jax.Array]:
     """Pure transition: toggle, (maybe) master-reset, CA update.
 
-    ``action`` is [instances, AH, AW]; nonzero entries toggle cells.  Returns
-    (new_state, obs) with obs the uint8 [instances, H, W] universe.  The
-    master reset fires when every toggle is set, matching the reference's
-    global ``mean(action) == 1`` check (env.py:208) — it is a *batch-global*
-    reset there too.
+    ``action`` is [instances, AH, AW]; NONZERO entries toggle cells (the
+    reference XORs with ``logical_xor`` — env.py:182 — so 0.5 toggles just
+    like 1.0; binarize here, never by dtype-casting, which would truncate
+    fractional toggles to zero).  Returns (new_state, obs) with obs the
+    uint8 [instances, H, W] universe.  The master reset fires on the
+    reference's ``torch.mean(action) == 1.0`` check (env.py:208) computed
+    over the action VALUES — it is a *batch-global* reset there too, and
+    values of e.g. 2.0 everywhere toggle WITHOUT resetting.
     """
     action_bits = (action != 0).astype(jnp.uint8)
 
-    do_reset = jnp.all(action_bits == 1)
+    do_reset = jnp.mean(action.astype(jnp.float32)) == 1.0
     any_action = jnp.any(action_bits != 0)
 
     stepped = ca_step_with_action(
@@ -115,6 +122,12 @@ def multi_step(
     from .ops.ca import resolve_backend
 
     backend = resolve_backend(config.backend)
+    if config.width % 32 != 0 and backend in ("pallas", "bitpack-pallas",
+                                              "bitpack"):
+        # the packed engines need word-aligned widths; the XLA roll-sum
+        # handles any geometry — fall back instead of asserting mid-trace
+        # (this package supports the odd widths the reference crashes on)
+        backend = "xla"
     if backend in ("pallas", "bitpack-pallas"):
         from .ops.bitpack import pack_grid, unpack_grid
         from .ops.pallas_bitpack import bit_multi_step_pallas
@@ -315,15 +328,37 @@ class CARLE:
     def step(
         self, action: Any
     ) -> Tuple[jax.Array, jax.Array, jax.Array, List[Dict[str, Any]]]:
-        patch = self._coerce_action(action)
-        self.action = patch
+        if hasattr(action, "detach"):  # torch tensor
+            action = action.detach().cpu().numpy()
+        raw = np.asarray(
+            jax.device_get(action) if isinstance(action, jax.Array)
+            else action
+        )
+        patch = self._coerce_action(raw)  # raw VALUES, centre-cropped
+        self.action = (patch != 0).astype(np.uint8)
 
         if self.logging:
             self.log_universe()
 
-        was_reset_pending = bool(np.all(patch != 0))
+        # reference env.py:208: the master reset fires iff the mean of the
+        # UNCROPPED action VALUES is exactly 1.0 — an all-ones window inside
+        # a full-frame action only toggles, and 2.0-valued toggles never
+        # reset.  The device predicate sees the cropped patch, so reconcile:
+        # force all-ones when the raw says reset (the reset wipes the
+        # universe, so the toggle values are irrelevant), and scale by 2
+        # (same nonzero toggles, mean != 1) when only the crop says reset.
+        raw_mean = float(np.mean(raw.astype(np.float32)))
+        was_reset_pending = raw_mean == 1.0
+        dev_patch = patch.astype(np.float32)
+        crop_mean = float(np.mean(dev_patch))
+        if was_reset_pending and crop_mean != 1.0:
+            dev_patch = np.ones_like(dev_patch)
+        elif crop_mean == 1.0 and not was_reset_pending:
+            dev_patch = dev_patch * 2.0
 
-        self.state, _ = self._jit_step(self.state, jnp.asarray(patch, dtype=jnp.uint8))
+        self.state, _ = self._jit_step(
+            self.state, jnp.asarray(dev_patch, dtype=jnp.float32)
+        )
 
         if was_reset_pending:
             # keep host-side bookkeeping in sync with the in-graph reset
@@ -341,6 +376,16 @@ class CARLE:
         done = jnp.zeros((self.instances, 1), dtype=jnp.float32)
         info: List[Dict[str, Any]] = [{} for _ in range(self.instances)]
         return obs, reward, done, info
+
+    def multi_step(self, num_steps: int) -> jax.Array:
+        """Run ``num_steps`` action-free generations as ONE fused launch
+        (the packed VMEM-resident kernel on TPU) and return the observation.
+        Beyond-reference convenience: the reference can only loop
+        ``step(zeros)`` through Python."""
+        self.state = self._jit_multi(self.state, num_steps=num_steps)
+        self.step_number += num_steps
+        self.steps_since_action += num_steps
+        return self.universe
 
     def render(self) -> None:
         """ASCII render of instance 0 (reference env.py:244-258)."""
@@ -500,8 +545,11 @@ def _main() -> None:
         t0 = time.time()
         for _ in range(steps):
             env.step(zeros)
-        # force completion (see bench.py on axon block semantics)
-        np.asarray(jax.device_get(env.state.grid.sum()))
+        # force completion via the shared barrier (see utils/sync.py on
+        # axon block_until_ready semantics)
+        from .utils.sync import device_sync
+
+        device_sync(env.state.grid)
         dt = time.time() - t0
         print(
             "{:.2f} CA updates per second with {}x vectorization".format(

@@ -145,7 +145,10 @@ def learner_apply(
             state = state._replace(extra=new_extra)
             state = accumulate_and_maybe_update(state, grads, opt)
         else:
-            per_inst, new_extra = loss_fn(state.params, state, obs, None)
+            # forward the step key: dropout=True with train=False (the
+            # decoupled flags the defs expose) must SAMPLE dropout, not
+            # crash on key=None inside nets.dropout
+            per_inst, new_extra = loss_fn(state.params, state, obs, ctx.key)
             state = state._replace(extra=new_extra)
 
         bonus = bonus_fn(per_inst, obs)

@@ -50,6 +50,10 @@ class StepCtx(NamedTuple):
                             # wrappers consume it via popcounts — and when NO
                             # wrapper touches ``obs``, XLA dead-code-eliminates
                             # the unpack entirely, mcl/packed_stats.py)
+    action_sum: Any = None  # f32 [inst, 1] per-instance sum of the RAW
+                            # action VALUES (pre-binarisation; in the class
+                            # shell, pre-crop) — ParsimonyBonus divides by
+                            # this sum, reference mcl.py:102
 
 
 class WrapperDef(NamedTuple):
@@ -115,13 +119,18 @@ class WrapperStack:
         """One fused transition.  ``action`` is uint8/float [inst, AH, AW]."""
         action_bits = (action != 0).astype(jnp.uint8)
         prev_grid = state.env.grid
-        env_state, grid = env_step(state.env, action_bits, config=self.config)
+        # pass the RAW action: env_step binarises for the toggle itself but
+        # the master-reset predicate is the reference's mean(values) == 1.0
+        env_state, grid = env_step(state.env, action, config=self.config)
         ctx = StepCtx(
             prev_grid=prev_grid,
             obs=grid.astype(jnp.float32)[:, None],
             action=action_bits,
             action_full=pad_action(action_bits, self.config),
             key=key,
+            action_sum=jnp.sum(
+                action.astype(jnp.float32), axis=(1, 2)
+            )[:, None],
         )
         reward = jnp.zeros((self.config.instances, 1), dtype=jnp.float32)
         new_wstates = []
@@ -280,8 +289,27 @@ class Motivator:
                 obs = self.inner_env.universe
         return obs
 
+    def _raw_action_sums(self, action: Any) -> jax.Array:
+        """Per-instance sum of the RAW action VALUES — uncropped, exactly
+        the tensor the reference wrapper receives (ParsimonyBonus divides
+        by ``action.sum(axis=[1,2,3])``, mcl.py:102; a [1, 1, H, W] action
+        broadcasts its single sum across the batch like torch does)."""
+        if hasattr(action, "detach"):
+            action = action.detach().cpu().numpy()
+        arr = np.asarray(
+            jax.device_get(action) if isinstance(action, jax.Array)
+            else action, dtype=np.float32,
+        )
+        inst = self._config.instances
+        if arr.ndim >= 3 and arr.shape[0] == inst:
+            sums = arr.reshape(inst, -1).sum(axis=1)
+        else:
+            sums = np.full((inst,), float(arr.sum()), dtype=np.float32)
+        return jnp.asarray(sums, jnp.float32)[:, None]
+
     def _make_ctx(self, prev_grid: jax.Array, obs: jax.Array,
-                  action_patch: np.ndarray, key: jax.Array) -> StepCtx:
+                  action_patch: np.ndarray, key: jax.Array,
+                  action_sum: Any = None) -> StepCtx:
         action_bits = jnp.asarray(action_patch != 0, dtype=jnp.uint8)
         return StepCtx(
             prev_grid=prev_grid,
@@ -289,6 +317,7 @@ class Motivator:
             action=action_bits,
             action_full=pad_action(action_bits, self._config),
             key=key,
+            action_sum=action_sum,
         )
 
     def step(self, action: Any) -> Tuple[jax.Array, jax.Array, jax.Array, Any]:
@@ -297,7 +326,8 @@ class Motivator:
         if self._wdef is not None:
             patch = self.inner_env._coerce_action(action)
             self._key, sub = jax.random.split(self._key)
-            ctx = self._make_ctx(prev_grid, obs, patch, sub)
+            ctx = self._make_ctx(prev_grid, obs, patch, sub,
+                                 action_sum=self._raw_action_sums(action))
             # the inner env may be a torch-returning compat facade
             # (carle_tpu/compat): coerce its reward before the jitted apply
             # (jax arrays pass through untouched — no host sync)

@@ -27,9 +27,17 @@ def parsimony_def(**kwargs: Any) -> WrapperDef:
     def apply(
         state: ParsimonyState, ctx: StepCtx, reward: jax.Array
     ) -> Tuple[ParsimonyState, jax.Array]:
-        toggles = jnp.sum(
-            ctx.action.astype(jnp.float32), axis=(1, 2), keepdims=False
-        )[:, None]
+        # the reference divides by the sum of the RAW action VALUES
+        # (mcl.py:102 — an agent toggling 200 cells with value 2.0 is
+        # scaled by 100/400, not 100/200); ctx.action_sum carries that raw
+        # sum, with the binarised toggle count as the fallback for custom
+        # ctx builders that do not populate it
+        if ctx.action_sum is not None:
+            toggles = ctx.action_sum
+        else:
+            toggles = jnp.sum(
+                ctx.action.astype(jnp.float32), axis=(1, 2), keepdims=False
+            )[:, None]
         return state, 100.0 * reward / jnp.maximum(toggles, 100.0)
 
     return WrapperDef(

@@ -47,11 +47,17 @@ def _push(buf: FrameBuffer, obs: jax.Array, k: int) -> Tuple[jax.Array, FrameBuf
     ``buffer[0]`` after appending (== obs while the buffer is empty); once
     len exceeds K the oldest frame is dropped."""
     src = jnp.where(buf.count == 0, obs, buf.frames[:, 0])
-    shifted = jnp.roll(buf.frames, -1, axis=1).at[:, k - 1].set(obs)
-    appended = jax.lax.dynamic_update_index_in_dim(
-        buf.frames, obs, jnp.minimum(buf.count, k - 1), 1
+    # lax.cond executes ONE branch: the old where(shifted, appended) form
+    # materialised both candidate rings every step (~3x the buffer's HBM
+    # traffic per step at [inst, K, 1, H, W] scale)
+    frames = jax.lax.cond(
+        buf.count >= k,
+        lambda f: jnp.roll(f, -1, axis=1).at[:, k - 1].set(obs),
+        lambda f: jax.lax.dynamic_update_index_in_dim(
+            f, obs, jnp.minimum(buf.count, k - 1), 1
+        ),
+        buf.frames,
     )
-    frames = jnp.where(buf.count >= k, shifted, appended)
     count = jnp.minimum(buf.count + 1, k)
     return src, FrameBuffer(frames=frames, count=count)
 

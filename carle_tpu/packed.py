@@ -114,7 +114,8 @@ def packed_env_step(
     action_bits = (action != 0).astype(jnp.uint8)
     action_packed = pack_action(action_bits, config)
 
-    do_reset = jnp.all(action_bits == 1)
+    # reference env.py:208 semantics: reset iff mean of the VALUES == 1.0
+    do_reset = jnp.mean(action.astype(jnp.float32)) == 1.0
     any_action = jnp.any(action_bits != 0)
 
     toggled = state.grid ^ action_packed

@@ -170,7 +170,8 @@ class PackedSpatialStack(WrapperStack):
     ) -> Tuple[StackState, Tuple[jax.Array, jax.Array]]:
         cfg = self.config
         action_bits = (action != 0).astype(jnp.uint8)
-        do_reset = jnp.all(action_bits == 1)
+        # reference env.py:208 semantics: reset iff mean of the VALUES == 1.0
+        do_reset = jnp.mean(action.astype(jnp.float32)) == 1.0
         any_action = jnp.any(action_bits != 0)
 
         from ..packed import pack_action
@@ -209,6 +210,9 @@ class PackedSpatialStack(WrapperStack):
             action_full=action_full,
             key=key,
             packed=new_packed,
+            action_sum=jnp.sum(
+                action.astype(jnp.float32), axis=(1, 2)
+            )[:, None],
         )
         reward = jnp.zeros((cfg.instances, 1), dtype=jnp.float32)
         new_wstates = []

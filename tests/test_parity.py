@@ -9,6 +9,8 @@ import sys
 import types
 
 import numpy as np
+import jax
+import jax.numpy as jnp
 import pytest
 
 # stub skimage before the reference import (only used for frame export)
@@ -225,3 +227,93 @@ def test_episode_report_reads_reference_log(tmp_path, monkeypatch):
     assert rep["total_toggles"] == 5
     assert rep["population"]["last"] == 5
     assert rep["final_pattern"]["kind"] == "spaceship"
+
+
+def test_fractional_action_values_toggle():
+    """The reference XORs with logical_xor — ANY nonzero value toggles
+    (env.py:182).  A 0.5-valued action must not be truncated to no-op by a
+    uint8 cast (review-fix regression pin, bit-exact vs the live torch)."""
+    actions = [np.full((1, 1, 16, 16), 0.5, dtype=np.float32),
+               np.zeros((1, 1, 16, 16), dtype=np.float32),
+               np.full((1, 1, 16, 16), 2.0, dtype=np.float32)]
+    _run_pair([3], [2, 3], actions)
+
+
+def test_two_valued_action_does_not_reset():
+    """All-2.0 toggles everywhere: torch.mean(action) == 2.0 != 1.0, so the
+    reference toggles WITHOUT a master reset (env.py:208 checks the mean of
+    the VALUES, not 'all nonzero')."""
+    actions = [np.full((1, 1, 16, 16), 1.0, dtype=np.float32),  # seed cells
+               np.full((1, 1, 16, 16), 2.0, dtype=np.float32)]
+    # first action is all-ones -> reference resets; second is all-2.0 ->
+    # toggle only.  Trajectories must match bit-exactly throughout.
+    _run_pair([3], [2, 3], actions)
+
+
+def test_full_frame_action_window_only_no_reset():
+    """A universe-sized action that is all-ones INSIDE the centred window
+    (zeros outside) has mean != 1 over the raw tensor: the reference crops
+    + toggles the window and does NOT master-reset (env.py:164-169, 208)."""
+    h = w = 64
+    full = np.zeros((1, 1, h, w), dtype=np.float32)
+    r0 = c0 = (h - 16) // 2
+    full[:, :, r0:r0 + 16, c0:c0 + 16] = 1.0
+    actions = [full, np.zeros_like(full)]
+    _run_pair([3], [2, 3], actions)
+
+
+def test_full_frame_all_ones_resets():
+    """A universe-sized all-ones action has mean exactly 1.0: the reference
+    master-resets (after the toggle, which the reset then wipes)."""
+    h = w = 64
+    seed = (np.random.RandomState(0).rand(1, 1, 16, 16) < 0.3
+            ).astype(np.float32)
+    actions = [seed, np.ones((1, 1, h, w), dtype=np.float32),
+               np.zeros((1, 1, 16, 16), dtype=np.float32)]
+    _run_pair([3], [2, 3], actions)
+
+
+def test_parsimony_divides_by_raw_value_sum():
+    """ParsimonyBonus divides by the sum of the raw action VALUES
+    (reference mcl.py:102), not the binarised toggle count: 200 toggles of
+    value 2.0 scale reward by 100/400.  Cross-checked against the live
+    reference wrapper."""
+    from carle.mcl import ParsimonyBonus as RefParsimony
+
+    from carle_tpu.env import CARLE as OurCARLE
+    from carle_tpu.mcl.parsimony import ParsimonyBonus
+
+    ref = RefParsimony(_make_ref(height=64, width=64, action_height=16,
+                                 action_width=16, instances=1, device="cpu"))
+    ours = ParsimonyBonus(OurCARLE(height=64, width=64, action_height=16,
+                                   action_width=16, instances=1))
+    ref.reset(), ours.reset()
+
+    act = np.zeros((1, 1, 16, 16), dtype=np.float32)
+    act[0, 0, :10, :16] = 2.0  # 160 toggles of value 2.0 -> value sum 320
+    with torch.no_grad():
+        # the base env emits zero reward; inject a known one through the
+        # wrapper formula by checking the SCALE both apply to a unit reward
+        t_act = torch.tensor(act)
+        scale_ref = float(
+            (100.0 * torch.ones(1)
+             / torch.max(t_act.sum(axis=[1, 2, 3]), torch.tensor([100.0])))
+        )
+    _, r_ref, *_ = ref.step(torch.tensor(act))
+    _, r_ours, *_ = ours.step(act)
+    # both rewards are zero (base env) — also verify the formula scale via
+    # the def directly
+    from carle_tpu.mcl.base import StepCtx
+    from carle_tpu.mcl.parsimony import parsimony_def
+
+    pdef = parsimony_def()
+    state = pdef.init(jax.random.PRNGKey(0))
+    ctx = StepCtx(
+        prev_grid=None, obs=None,
+        action=jnp.asarray(act[:, 0] != 0, jnp.uint8),
+        action_full=None, key=None,
+        action_sum=jnp.asarray([[float(act.sum())]], jnp.float32),
+    )
+    _, r = pdef.apply(state, ctx, jnp.ones((1, 1), jnp.float32))
+    np.testing.assert_allclose(float(r[0, 0]), scale_ref, rtol=1e-6)
+    assert abs(scale_ref - 100.0 / 320.0) < 1e-6  # value sum, NOT 100/160

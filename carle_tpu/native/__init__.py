@@ -105,6 +105,13 @@ def lzw_encode(indices: np.ndarray, min_code_size: int) -> Optional[bytes]:
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         arr.size, min_code_size, buf, cap,
     )
+    if n == -2:
+        # validated input error — surface it; silently falling back would
+        # make the Python encoder crash (or emit a corrupt GIF) on the
+        # same out-of-range palette indices
+        raise ValueError(
+            f"palette index out of range for min_code_size={min_code_size}"
+        )
     if n < 0:
-        return None
+        return None  # buffer/availability problem: Python fallback
     return bytes(bytearray(buf[:n]))

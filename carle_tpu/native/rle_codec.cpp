@@ -62,27 +62,36 @@ int rle_encode(const uint8_t* grid, int h, int w, int wrap,
 // outside bounds is clipped.  Returns rows consumed.
 int rle_decode(const char* body, long len, uint8_t* grid, int h, int w) {
     memset(grid, 0, (long)h * w);
-    int row = 0, col = 0;
+    long row = 0, col = 0;
     long count = 0;
     bool have_count = false;
+    // clamp ceiling: larger than any grid extent, small enough that the
+    // row/col adds below can never overflow — hostile/corrupt counts
+    // (e.g. "2147483648$") must clip like every other out-of-bounds
+    // content, never wrap to negative offsets (heap OOB)
+    const long kMaxRun = 1L << 40;
     for (long i = 0; i < len; ++i) {
         char ch = body[i];
         if (ch >= '0' && ch <= '9') {
-            count = count * 10 + (ch - '0');
+            if (count < kMaxRun) count = count * 10 + (ch - '0');
             have_count = true;
         } else if (ch == 'b' || ch == 'B' || ch == 'o' || ch == 'O') {
             long run = have_count ? count : 1;
-            if ((ch == 'o' || ch == 'O') && row < h) {
+            if (run > kMaxRun) run = kMaxRun;
+            if ((ch == 'o' || ch == 'O') && row < h && col < w) {
                 long end = col + run;
                 if (end > w) end = w;
-                for (long c = col; c < end; ++c) grid[(long)row * w + c] = 1;
+                for (long c = col; c < end; ++c) grid[row * w + c] = 1;
             }
-            col += (int)run;
+            col += run;
+            if (col > w) col = w;  // further content this row clips anyway
             count = 0;
             have_count = false;
         } else if (ch == '$') {
             long run = have_count ? count : 1;
-            row += (int)run;
+            if (run > kMaxRun) run = kMaxRun;
+            row += run;
+            if (row > h) row = h;  // rows beyond the grid clip
             col = 0;
             count = 0;
             have_count = false;
@@ -91,7 +100,7 @@ int rle_decode(const char* body, long len, uint8_t* grid, int h, int w) {
         }
         // newlines / stray characters ignored
     }
-    return row;
+    return (int)row;
 }
 
 }  // extern "C"

@@ -303,6 +303,11 @@ def conv_head(
 
     from .ops.ca import is_tpu_platform
 
+    # validate BEFORE the backend branch: the fused kernel's log-step
+    # window max silently computes a wrong (overlapping) pool for
+    # non-power-of-two sizes instead of erroring like the fallback
+    if pool < 2 or pool & (pool - 1):
+        raise ValueError(f"pool must be a power of two >= 2, got {pool}")
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         # graceful fallback off-TPU: the interpreter is slow and stubs the
@@ -312,8 +317,6 @@ def conv_head(
         # tests (tests/test_pallas_head.py)
         z = conv2d(x, p, padding=1)
         z = jax.nn.relu(dropout(z, key, drop_p, train))
-        if pool < 2 or pool & (pool - 1):
-            raise ValueError(f"pool must be a power of two >= 2, got {pool}")
         for _ in range(pool.bit_length() - 1):
             z = max_pool2(z)
         return z

@@ -56,6 +56,37 @@ def _mux_fold(leaves, n0, n1, n2, n3):
     return _mux_select(planes, n3)[0]
 
 
+
+def _static_rule_fold(g, counts, birth_set, survive_set,
+                      count9: bool) -> jax.Array:
+    """Shared trace-time rule fold for ALL static step variants: builds the
+    dead/alive leaf tables (neighbour-count or count-including-centre
+    semantics), constant-folds them through bitpack._fold_tree over the
+    ``counts`` bit-planes, and combines.  One implementation so a future
+    fix to the don't-care-leaf semantics cannot silently diverge between
+    the five kernel schedules."""
+    from .bitpack import _fold_tree
+
+    def fold(leaves):
+        out = _fold_tree(leaves, list(counts))
+        if isinstance(out, str):
+            zero = jnp.zeros_like(g)
+            return zero if out == "0" else ~zero
+        return out
+
+    if count9:
+        # count9 == 9 needs the centre alive (unreachable on the dead
+        # branch); count9 == 0 is unreachable on the alive branch
+        dead = fold(["1" if v in birth_set else "0" for v in range(9)]
+                    + ["0"])
+        alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
+                              for v in range(1, 10)])
+    else:
+        dead = fold(["1" if v in birth_set else "0" for v in range(9)])
+        alive = fold(["1" if v in survive_set else "0" for v in range(9)])
+    return (dead & ~g) | (alive & g)
+
+
 def _bit_step_block(g: jax.Array, rule_bits: jax.Array,
                     masks=None) -> jax.Array:
     """One generation on a [tile, W/32, H] uint32 block (transposed layout).
@@ -291,19 +322,8 @@ def _neighbor_planes_block(g: jax.Array):
 def _static_step_block(g: jax.Array, birth_set, survive_set) -> jax.Array:
     """Rule baked at trace time — the mux tree constant-folds to a minimal
     boolean expression (see ops/bitpack.py bit_ca_step_static)."""
-    from .bitpack import _fold_tree
-
-    n0, n1, n2, n3 = _neighbor_planes_block(g)
-
-    def fold(digit_set):
-        leaves = ["1" if v in digit_set else "0" for v in range(9)]
-        out = _fold_tree(leaves, [n0, n1, n2, n3])
-        if isinstance(out, str):
-            zero = jnp.zeros_like(g)
-            return zero if out == "0" else ~zero
-        return out
-
-    return (fold(birth_set) & ~g) | (fold(survive_set) & g)
+    counts = _neighbor_planes_block(g)
+    return _static_rule_fold(g, counts, birth_set, survive_set, count9=False)
 
 
 def _make_static_step_vertical(concat_lane: bool, concat_word: bool):
@@ -319,21 +339,9 @@ def _make_static_step_vertical(concat_lane: bool, concat_word: bool):
     """
 
     def step(g: jax.Array, birth_set, survive_set) -> jax.Array:
-        from .bitpack import _fold_tree
-
-        n0, n1, n2, n3 = _count9_planes(g, concat_lane, concat_word)
-
-        def fold(leaves):
-            out = _fold_tree(leaves, [n0, n1, n2, n3])
-            if isinstance(out, str):
-                zero = jnp.zeros_like(g)
-                return zero if out == "0" else ~zero
-            return out
-
-        dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
-        alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
-                              for v in range(1, 10)])
-        return (dead & ~g) | (alive & g)
+        counts = _count9_planes(g, concat_lane, concat_word)
+        return _static_rule_fold(g, counts, birth_set, survive_set,
+                                 count9=True)
 
     return step
 
@@ -355,23 +363,8 @@ def _static_step_block_v2(g: jax.Array, birth_set, survive_set) -> jax.Array:
     alive".  Net: ~8 more ALU bitops but 2 fewer cross-lane shuffles per
     generation — which side wins depends on the VPU's roll cost; bench.py
     measures both (--scheme)."""
-    from .bitpack import _fold_tree
-
-    n0, n1, n2, n3 = _count9_planes(g)
-
-    def fold(leaves):
-        out = _fold_tree(leaves, [n0, n1, n2, n3])
-        if isinstance(out, str):
-            zero = jnp.zeros_like(g)
-            return zero if out == "0" else ~zero
-        return out
-
-    # count9 == 9 needs the centre alive, unreachable on the dead branch;
-    # count9 == 0 is unreachable on the alive branch
-    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
-    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
-                          for v in range(1, 10)])
-    return (dead & ~g) | (alive & g)
+    counts = _count9_planes(g)
+    return _static_rule_fold(g, counts, birth_set, survive_set, count9=True)
 
 
 def _static_step_block_v3(g: jax.Array, birth_set, survive_set) -> jax.Array:
@@ -386,7 +379,6 @@ def _static_step_block_v3(g: jax.Array, birth_set, survive_set) -> jax.Array:
     (v2 spans 1.90-1.94e12 across sessions).  Roll cost is per-element:
     halving invocations while doubling their width buys nothing.  Kept as
     the recorded negative result; "v" stays the default."""
-    from .bitpack import _fold_tree
 
     nwords = g.shape[-2]
     h = g.shape[-1]
@@ -409,17 +401,8 @@ def _static_step_block_v3(g: jax.Array, birth_set, survive_set) -> jax.Array:
 
     n0, n1, n2, n3 = _count9_from_triples(p0l, p0, p0r, p1l, p1, p1r)
 
-    def fold(digit_leaves):
-        out = _fold_tree(digit_leaves, [n0, n1, n2, n3])
-        if isinstance(out, str):
-            zero = jnp.zeros_like(g)
-            return zero if out == "0" else ~zero
-        return out
-
-    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
-    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
-                          for v in range(1, 10)])
-    return (dead & ~g) | (alive & g)
+    return _static_rule_fold(g, (n0, n1, n2, n3), birth_set, survive_set,
+                             count9=True)
 
 
 def _count9_planes_cm(g: jax.Array):
@@ -460,21 +443,8 @@ def _count9_planes_cm(g: jax.Array):
 
 def _static_step_block_cm(g: jax.Array, birth_set, survive_set) -> jax.Array:
     """Column-major static step (see _count9_planes_cm)."""
-    from .bitpack import _fold_tree
-
-    n0, n1, n2, n3 = _count9_planes_cm(g)
-
-    def fold(leaves):
-        out = _fold_tree(leaves, [n0, n1, n2, n3])
-        if isinstance(out, str):
-            zero = jnp.zeros_like(g)
-            return zero if out == "0" else ~zero
-        return out
-
-    dead = fold(["1" if v in birth_set else "0" for v in range(9)] + ["0"])
-    alive = fold(["0"] + ["1" if (v - 1) in survive_set else "0"
-                          for v in range(1, 10)])
-    return (dead & ~g) | (alive & g)
+    counts = _count9_planes_cm(g)
+    return _static_rule_fold(g, counts, birth_set, survive_set, count9=True)
 
 
 def _bit_step_block_cm(g: jax.Array, rule_bits: jax.Array,

@@ -14,7 +14,11 @@ def largest_divisor_tile(instances: int, per_instance_bytes: int,
     """Largest divisor of ``instances`` with tile * bytes <= budget
     (minimum 1 — a single instance may legitimately exceed the budget and
     then relies on the compiler's own spilling diagnostics)."""
-    tile = max(1, budget_bytes // max(per_instance_bytes, 1))
+    # clamp to instances first: no divisor exceeds it, and without the
+    # clamp tiny per-instance footprints made the search count down from
+    # budget//bytes (possibly tens of thousands of useless trial
+    # divisions at trace time)
+    tile = max(1, min(instances, budget_bytes // max(per_instance_bytes, 1)))
     while instances % tile:
         tile -= 1
     return tile

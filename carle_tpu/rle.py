@@ -214,6 +214,11 @@ def _infer_extent(body: str) -> Tuple[int, int]:
     rows = 1
     col = 0
     max_col = 0
+    pending_rows = 0  # '$' runs count only once content follows: the
+    # encoder writes '$' after EVERY row including the last (byte parity
+    # with the reference), so eagerly counting them inferred h+1 rows for
+    # any encoder-produced body — a phantom dead row through the
+    # rle_to_grid(read_rle(path)) chain
     count_chars: List[str] = []
     for ch in body:
         if ch.isdigit():
@@ -221,12 +226,14 @@ def _infer_extent(body: str) -> Tuple[int, int]:
         elif ch in ("b", "B", "o", "O"):
             run = int("".join(count_chars)) if count_chars else 1
             count_chars = []
+            rows += pending_rows
+            pending_rows = 0
             col += run
             max_col = max(max_col, col)
         elif ch == "$":
             run = int("".join(count_chars)) if count_chars else 1
             count_chars = []
-            rows += run
+            pending_rows += run
             col = 0
         elif ch == "!":
             break

@@ -121,4 +121,7 @@ def test_gif_lzw_native_roundtrip_and_writer():
 @needs_gif_native
 def test_gif_lzw_native_rejects_out_of_palette():
     idx = np.asarray([0, 1, 7], dtype=np.uint8)  # 7 >= 1<<2
-    assert native.lzw_encode(idx, 2) is None
+    # validated input error SURFACES (a silent None used to route the same
+    # invalid stream into the Python encoder, which crashes/corrupts)
+    with pytest.raises(ValueError, match="palette index"):
+        native.lzw_encode(idx, 2)

@@ -134,3 +134,31 @@ def test_shipped_spaceship_assets():
     h, w = step.grid.shape
     cropped = out[r0 : r0 + h, c0 : c0 + w]
     np.testing.assert_array_equal(cropped, step.grid)
+
+
+def test_headerless_body_roundtrip_shape():
+    """encode_grid writes '$' after EVERY row (reference byte parity), so a
+    headerless body parse must not infer a phantom extra row — the
+    reference chain rle_to_grid(env.read_rle(path)) depends on it
+    (review-fix regression pin)."""
+    rng = np.random.RandomState(3)
+    for h, w in ((5, 8), (16, 16), (7, 31)):
+        g = (rng.rand(h, w) < 0.4).astype(np.uint8)
+        g[h - 1, w - 1] = 1  # content reaches the last row/col
+        text = rle.encode_grid(g, [3], [2, 3])
+        body = text.split("rule =")[1].split("\n", 1)[1]  # headerless body
+        pat = rle.parse_rle_text(body)
+        assert pat.grid.shape == (h, w), (h, w, pat.grid.shape)
+        np.testing.assert_array_equal(pat.grid, g)
+
+
+def test_decode_hostile_run_counts_clip():
+    """Corrupt/hostile RLE counts (beyond int32) must clip like any other
+    out-of-bounds content — never wrap to negative offsets (the native C
+    decoder heap-OOB fixed in round 3); native and Python paths agree."""
+    body = "2147483648$1o!"
+    got = rle.decode_body(body, 4, 4)
+    assert got.shape == (4, 4) and got.sum() == 0
+    body2 = "1o4294967296b1o$!"
+    got2 = rle.decode_body(body2, 4, 8)
+    assert got2[0, 0] == 1 and got2.sum() == 1

@@ -28,14 +28,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REF_ROOT = "/root/reference"
 
-# eval.py:89-94 battery (last entry is the held-out outgroup)
-RULES = [
-    [[3, 6, 8], [2, 4, 5]],
-    [[3], [2, 3]],
-    [[3, 6, 7, 8], [3, 4, 6, 7, 8]],
-    [[3], [0, 2, 3]],
-    [[2], [0]],
-]
+# eval.py:89-94 battery (last entry is the held-out outgroup) — the ONE
+# canonical table lives in carle_tpu/evaluation/eval.py
+from carle_tpu.evaluation.eval import DEFAULT_RULES as RULES  # noqa: E402
 
 
 def _stub_reference_deps() -> None:

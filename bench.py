@@ -279,10 +279,18 @@ def main() -> int:
         scheme = "vc"  # vd is a data-only fold experiment
     if "static" not in backend and scheme == "v3":
         scheme = "v"   # v3 is a static-only probe
+    if (args.scheme is not None
+            and backend not in ("bitpack-pallas-static", "bitpack-pallas")):
+        # fail loudly: the cm/uint8/xla backends have fixed schedules, and a
+        # silently-dropped --scheme would mislabel the measurement
+        print(f"error: --scheme applies only to bitpack-pallas[-static]; "
+              f"{backend} has a fixed schedule", file=sys.stderr)
+        return 2
     bench_kwargs = (
         {"scheme": scheme}
         if backend in ("bitpack-pallas-static", "bitpack-pallas") else {}
     )
+    fallback = False
     try:
         dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,
                                     args.launches, **bench_kwargs)
@@ -299,6 +307,9 @@ def main() -> int:
             backend = "bitpack"
             dt, out = BACKENDS[backend](grid, rule_bits, args.steps_per_launch,
                                         args.launches)
+            # report what actually ran: one sample, not best-of-repeats
+            args.repeats = 1
+            fallback = True
         else:
             raise
 
@@ -321,9 +332,11 @@ def main() -> int:
                else {}),
             **({"rules": "per-instance-vector"}
                if args.per_instance_rules else {}),
+            **({"fallback_from_pallas": True} if fallback else {}),
             "device": str(jax.devices()[0]),
         },
-        "checksum": int(np.asarray(out.sum())),
+        "checksum": int(np.asarray(jax.device_get(out),
+                           dtype=np.int64).sum()),
     }))
     return 0
 

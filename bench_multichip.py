@@ -103,19 +103,11 @@ def measure_spatial(n_devices: int, rows_per_device: int, width: int,
 
 
 def main() -> int:
-    import os
-
-    from carle_tpu.utils.cache import enable_compilation_cache
+    from carle_tpu.utils.cache import (enable_compilation_cache,
+                                       force_cpu_when_virtual_devices)
 
     enable_compilation_cache()
-    # The TPU plugin overrides the JAX_PLATFORMS env var; when the virtual
-    # device flag is present the only reliable switch is the config knob
-    # (same dance as __graft_entry__.dryrun_multichip).
-    if "xla_force_host_platform_device_count" in os.environ.get("XLA_FLAGS", ""):
-        try:
-            jax.config.update("jax_platforms", "cpu")
-        except Exception:
-            pass
+    force_cpu_when_virtual_devices()
     parser = argparse.ArgumentParser()
     parser.add_argument("--devices", type=int, nargs="+", default=None,
                         help="device counts to sweep (default: 1..all by 2x)")

@@ -60,6 +60,21 @@ class EnvConfig:
         return (self.instances, self.eff_action_height, self.eff_action_width)
 
     def validate(self) -> "EnvConfig":
+        if self.height < 1 or self.width < 1:
+            raise ValueError(
+                f"universe must be at least 1x1, got "
+                f"{self.height}x{self.width}"
+            )
+        if self.eff_action_height < 1 or self.eff_action_width < 1:
+            # a zero/negative window yields a silently inert env (empty
+            # toggle patches) or opaque negative-dimension shape errors far
+            # from the misconfiguration — fail here instead
+            raise ValueError(
+                f"action window {self.action_height}x{self.action_width} is "
+                "degenerate (effective size "
+                f"{self.eff_action_height}x{self.eff_action_width}); both "
+                "dimensions must be >= 1"
+            )
         if self.eff_action_height > self.height or self.eff_action_width > self.width:
             raise ValueError(
                 f"action window {self.action_height}x{self.action_width} does not "

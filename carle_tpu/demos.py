@@ -5,8 +5,8 @@
   steps; the predictability reward rises then plummets.  Saves a reward curve
   plot and the final frame.
 * :func:`wrapper_agent_demo` — reference agents.py:105-208: drive a wrapper
-  (AE2D/RND2D) env with a pentadecathlon seed or a RandomAgent across
-  rulesets, dumping reward curves + frames.
+  (AE2D/RND2D) env with BOTH the pentadecathlon seed phase and a
+  RandomAgent phase across rulesets, dumping reward curves + frames.
 
 matplotlib is optional: without it the curves are saved as .npy only.
 
@@ -93,6 +93,18 @@ def prediction_demo(
     return sum_reward
 
 
+def _pentadecathlon_action() -> np.ndarray:
+    """The reference demo's seed action (agents.py:129-133): three 8-row
+    columns with holes at rows 9 and 14 — pentadecathlon-style oscillators
+    placed across the action window."""
+    action = np.zeros((1, 1, 64, 64), dtype=np.float32)
+    for ii in range(1, 30, 14):
+        action[0, 0, 8:16, ii:ii + 3] = 1.0
+        action[0, 0, 9, ii + 1] = 0.0
+        action[0, 0, 14, ii + 1] = 0.0
+    return action
+
+
 def wrapper_agent_demo(
     outdir: str = "./frames", steps: int = 128, seed: int = 0
 ) -> None:
@@ -100,13 +112,33 @@ def wrapper_agent_demo(
     rulesets = {"life": ([3], [2, 3]), "mouse_maze": ([3, 7], [1, 2, 3, 4, 5])}
     for wrapper_cls, wrapper_name in ((AE2D, "AE2D"), (RND2D, "RND2D")):
         for name, (birth, survive) in rulesets.items():
+            # leg 1 — the reference __main__'s pentadecathlon seed then
+            # free-running dynamics (agents.py:125-141)
+            env = wrapper_cls(CARLE(), batch_size=32, seed=seed)
+            env.inner_env.birth = birth
+            env.inner_env.survive = survive
+            obs = env.reset()
+            action = _pentadecathlon_action()
+            rewards: List[float] = []
+            for _ in range(steps):
+                obs, reward, done, info = env.step(action)
+                action = np.zeros_like(action)  # seed once, then hands off
+                rewards.append(float(np.asarray(reward).sum()))
+            base = os.path.join(
+                outdir, f"pentadecathlon_{wrapper_name}_{name}"
+            )
+            _save_curve(base, rewards, f"{name} seeded, {wrapper_name} reward")
+            frame = np.asarray(obs).reshape(obs.shape[-2], obs.shape[-1])
+            write_png(base + "_final.png", (255 * frame).astype(np.uint8))
+
+            # leg 2 — RandomAgent across the same rulesets (agents.py:147+)
             env = wrapper_cls(CARLE(), batch_size=32, seed=seed)
             env.inner_env.birth = birth
             env.inner_env.survive = survive
             agent = RandomAgent(seed=seed)
 
             obs = env.reset()
-            rewards: List[float] = []
+            rewards = []
             for _ in range(steps):
                 obs, reward, done, info = env.step(agent(obs))
                 rewards.append(float(np.asarray(reward).sum()))
@@ -137,9 +169,8 @@ def morpho_spaceship_demo(
     obs = env.reset()
 
     # drop the duck near the window centre via the action interface
-    duck = env.inner_env.rle_to_grid(
-        open(pattern_path("spaceship_duck")).read()
-    )
+    with open(pattern_path("spaceship_duck")) as f:
+        duck = env.inner_env.rle_to_grid(f.read())
     action = np.zeros((1, 1, 64, 64), dtype=np.float32)
     action[0, 0, 20 : 20 + duck.shape[0], 20 : 20 + duck.shape[1]] = duck
     obs, reward, *_ = env.step(action)
@@ -183,6 +214,9 @@ def episode_gif_demo(
 
 
 if __name__ == "__main__":
+    from .utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()  # every CLI entry point does (CLAUDE.md)
     out = sys.argv[1] if len(sys.argv) > 1 else "./frames"
     prediction_demo(out, predictable_steps=256, random_steps=128)
     wrapper_agent_demo(out, steps=64)

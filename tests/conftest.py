@@ -12,12 +12,17 @@ the exact-parity tests).
 """
 
 import os
+import re
 
+# force EXACTLY 8 virtual devices: a leftover different count in the
+# inherited XLA_FLAGS (e.g. =4 from a multichip experiment shell) must be
+# replaced, not kept — the sharding tests assume the documented 8-device
+# mesh and would otherwise fail with confusing mesh-shape errors
 prev = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in prev:
-    os.environ["XLA_FLAGS"] = (
-        prev + " --xla_force_host_platform_device_count=8"
-    ).strip()
+prev = re.sub(r"--xla_force_host_platform_device_count=\d+", "", prev)
+os.environ["XLA_FLAGS"] = (
+    prev + " --xla_force_host_platform_device_count=8"
+).strip()
 
 import jax  # noqa: E402
 

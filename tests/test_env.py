@@ -209,3 +209,40 @@ def test_intermediate_size_action_cropped():
     # window offset 24, so the block lands at universe rows/cols 32..34
     assert grid[32:34, 32:34].sum() == 4
     assert grid.sum() == 4
+
+
+def test_shell_multi_step_matches_step_loop():
+    """CARLE.multi_step (fused action-free burst) equals N zero-action
+    steps, and keeps the host bookkeeping in sync."""
+    import numpy as np
+
+    from carle_tpu.env import CARLE
+
+    a = np.zeros((1, 1, 16, 16), np.float32)
+    a[0, 0, 4, 5:8] = 1.0  # blinker
+
+    env1 = CARLE(height=64, width=64, action_height=16, action_width=16)
+    env1.reset(); env1.step(a)
+    env2 = CARLE(height=64, width=64, action_height=16, action_width=16)
+    env2.reset(); env2.step(a)
+
+    obs1 = env1.multi_step(5)
+    for _ in range(5):
+        obs2, *_ = env2.step(np.zeros_like(a))
+    np.testing.assert_array_equal(np.asarray(obs1), np.asarray(obs2))
+    assert env1.step_number == env2.step_number == 6
+
+
+def test_config_rejects_degenerate_action_windows():
+    import pytest
+
+    from carle_tpu.config import EnvConfig
+
+    with pytest.raises(ValueError, match="degenerate"):
+        EnvConfig(action_height=0).validate()
+    with pytest.raises(ValueError, match="degenerate"):
+        # the reference-parity odd-size shrink makes a 1-wide window 0-wide
+        EnvConfig(height=255, action_height=1, action_width=1).validate()
+    with pytest.raises(ValueError, match="universe"):
+        EnvConfig(height=0).validate()
+    EnvConfig(height=255, action_height=2, action_width=2).validate()  # ok

@@ -294,8 +294,10 @@ class CARLE:
         return self.universe
 
     def _coerce_action(self, action: Any) -> np.ndarray:
-        """Coerce arbitrary array-likes to a uint8 [inst, AH, AW] patch,
-        centre-cropping oversized actions like the reference (env.py:164-169)."""
+        """Coerce arbitrary array-likes to a raw-VALUED [inst, AH, AW] patch
+        (input dtype preserved — the fractional-toggle and master-reset
+        semantics depend on the un-binarized values), centre-cropping
+        oversized actions like the reference (env.py:164-169)."""
         if hasattr(action, "detach"):  # torch tensor
             action = action.detach().cpu().numpy()
         arr = np.asarray(jax.device_get(action) if isinstance(action, jax.Array) else action)

@@ -269,7 +269,12 @@ class PackedSpatialStack(WrapperStack):
                 self.axis_name,
             )
         env = state.env._replace(
-            grid=grid, step_num=state.env.step_num + num_steps
+            grid=grid,
+            step_num=state.env.step_num + num_steps,
+            # an action-free burst advances steps_since_action too, matching
+            # CARLE.multi_step (env.py:387) — state read after the burst must
+            # not see a stale counter.
+            steps_since_action=state.env.steps_since_action + num_steps,
         )
         return state._replace(env=env)
 

@@ -237,6 +237,10 @@ def _infer_extent(body: str) -> Tuple[int, int]:
             col = 0
         elif ch == "!":
             break
+    # Trailing '$' runs: drop exactly ONE (the encoder's terminator after the
+    # last row) but keep the rest — a foreign headerless body that ends with
+    # deliberate blank rows (e.g. 'o2$!') must infer its full height.
+    rows += max(pending_rows - 1, 0)
     return rows, max_col
 
 

@@ -159,6 +159,11 @@ def test_packed_spatial_free_steps():
         np.asarray(unpack_grid(slow_state.env.grid, cfg.width)),
     )
     assert int(fast.env.step_num) == 8
+    # action-free bursts advance steps_since_action like CARLE.multi_step
+    # (advisor r3): state read after the burst must not be stale.
+    assert int(fast.env.steps_since_action) == int(
+        slow_state.env.steps_since_action
+    ) == 8
 
 
 def test_packed_spatial_single_device_mode():

@@ -152,6 +152,22 @@ def test_headerless_body_roundtrip_shape():
         np.testing.assert_array_equal(pat.grid, g)
 
 
+def test_headerless_trailing_blank_rows_kept():
+    """A foreign headerless body that deliberately ends with blank rows
+    ('o2$!' = live cell then one trailing empty row) must infer the full
+    encoded height: only the single encoder-terminator '$' is dropped
+    (advisor r3)."""
+    pat = rle.parse_rle_text("o2$!")
+    assert pat.grid.shape == (2, 1), pat.grid.shape
+    assert pat.grid[0, 0] == 1 and pat.grid[1, 0] == 0
+    # encoder-produced single trailing '$' still infers no phantom row
+    pat2 = rle.parse_rle_text("o$!")
+    assert pat2.grid.shape == (1, 1)
+    # multiple separate trailing '$' chars collapse into one pending run
+    pat3 = rle.parse_rle_text("o$$$!")
+    assert pat3.grid.shape == (3, 1)
+
+
 def test_decode_hostile_run_counts_clip():
     """Corrupt/hostile RLE counts (beyond int32) must clip like any other
     out-of-bounds content — never wrap to negative offsets (the native C

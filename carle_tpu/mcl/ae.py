@@ -101,6 +101,26 @@ def ae2d_def(
         )
 
     def loss_fn(params, state: LearnerState, obs, key):
+        if fused_head:
+            # final decoder stage + error reduction in ONE kernel: the
+            # full-resolution recon (and its cotangent) never leaves VMEM —
+            # the dominant per-env HBM transient of fused training
+            # (nets.conv_loss_tail).  Same math as the unfused branch:
+            # mean over C,H,W (mcl.py:508).
+            mesh = None if isinstance(fused_head, bool) else fused_head
+            k1, k2, k3, k4 = nets.split_keys(key, 4)
+            x = nets.conv_head(obs, params["conv1"], k1, pool=2,
+                               drop_p=DROP_P, train=use_dropout, mesh=mesh)
+            x = nets.conv_head(x, params["conv2"], k2, pool=2,
+                               drop_p=DROP_P, train=use_dropout,
+                               need_dx=True, mesh=mesh)
+            x = nets.conv_tail(x, params["deconv1"], k3, act="relu",
+                               drop_p=DROP_P, train=use_dropout, mesh=mesh)
+            err = nets.conv_loss_tail(x, params["deconv2"], obs, k4,
+                                      act="sigmoid", drop_p=DROP_P,
+                                      train=use_dropout, mesh=mesh)
+            n_elem = obs.shape[1] * obs.shape[2] * obs.shape[3]
+            return err / jnp.float32(n_elem), state.extra
         prediction = ae_forward(params, obs, key, use_dropout, compute_dtype,
                                 fused_head)
         # mean over C,H,W (mcl.py:508)

@@ -269,6 +269,25 @@ def _shard_fused(call, mesh):
     )
 
 
+def _shard_fused_loss(call, mesh):
+    """:func:`_shard_fused` for the loss-tail signature
+    ``(x, w, b, obs, seed)`` — obs shards with the instance batch."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(x, w, b, obs, seed):
+        seed = seed + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+            0x3779B1)
+        return call(x, w, b, obs, seed)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(axis), P()), out_specs=P(axis),
+        check_vma=False,
+    )
+
+
 def conv_head(
     x: jax.Array,
     p: Params,
@@ -375,3 +394,47 @@ def conv_tail(
     else:
         seed = jnp.int32(0)
     return tail(x, p["w"], p["b"], seed)
+
+
+def conv_loss_tail(
+    x: jax.Array,
+    p: Params,
+    obs: jax.Array,
+    key: Optional[jax.Array],
+    *,
+    act: str,
+    drop_p: float,
+    train: bool,
+    force_kernel: bool = False,
+    mesh: Any = None,
+) -> jax.Array:
+    """:func:`conv_tail` fused with the reconstruction-error reduction:
+    returns ``sum((obs - act(dropout(conv_transpose2d(x))))^2)`` over C,H,W
+    per instance ([N] f32; caller divides by C·H·W for the reference's mean,
+    mcl.py:508) WITHOUT materialising the full-resolution reconstruction —
+    the dominant per-env HBM transient of fused AE training (STATUS r3:
+    the 512² envs/chip ladder OOMs on these f32 recon transients, not the
+    carry).  Same conventions, fallback, and mesh partitioning as
+    :func:`conv_tail`."""
+    from .ops.pallas_head import make_fused_loss_tail
+
+    from .ops.ca import is_tpu_platform
+
+    on_tpu = is_tpu_platform()
+    if not on_tpu and not force_kernel:
+        z = conv_transpose2d(x, p, stride=2, padding=1)
+        z = dropout(z, key, drop_p, train)
+        y = jax.nn.relu(z) if act == "relu" else jax.nn.sigmoid(z)
+        return jnp.sum((obs - y) ** 2, axis=(1, 2, 3))
+    tail = make_fused_loss_tail(act, drop_p, train, interpret=not on_tpu)
+    if mesh is not None:
+        tail = _shard_fused_loss(tail, mesh)
+    if train and drop_p > 0.0:
+        if key is None:
+            raise ValueError(
+                "train=True with drop_p > 0 requires a PRNG key"
+            )
+        seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+    else:
+        seed = jnp.int32(0)
+    return tail(x, p["w"], p["b"], obs, seed)

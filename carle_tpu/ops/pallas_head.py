@@ -698,6 +698,221 @@ def _tail_call(x, wt, b, seed, g, *, drop_p: float, act: str,
     return dw, db.reshape(cout), gx
 
 
+# ---------------------------------------------------------------------------
+# Fused LOSS tail: the AE's final decoder stage + the reconstruction error
+# reduction in ONE kernel — the full-resolution recon never touches HBM.
+# ---------------------------------------------------------------------------
+
+def _loss_tail_fwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref,
+                          obs_ref, err_ref,
+                          *, cout: int, cin: int, drop_p: float, act: str):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    uh, uw = uh_ref[...], uw_ref[...]
+    dil = [_contract1_t(_contract1_t(x_ref[:, c], uh), uw)
+           for c in range(cin)]
+    tile = x_ref.shape[0]
+    totals = [jnp.float32(0.0)] * tile
+    for o in range(cout):
+        z = _deconv_block(dil, wt_ref, b_ref, o, cin)
+        if drop_p > 0.0:
+            keep = _keep_mask(z.shape, drop_p)
+            z = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
+        y = _apply_tail_act(z, act)
+        d2 = (obs_ref[:, o] - y) ** 2
+        for t in range(tile):
+            totals[t] = totals[t] + jnp.sum(d2[t])
+    for t in range(tile):  # SMEM accepts scalar stores only
+        err_ref[t, 0] = totals[t]
+
+
+def _loss_tail_bwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref,
+                          obs_ref, gbar_ref, dw_ref, db_ref, gx_ref,
+                          *, cout: int, cin: int, drop_p: float, act: str):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    uh, uw = uh_ref[...], uw_ref[...]
+
+    @pl.when(pi == 0)
+    def _init():
+        for c in range(cin):
+            for o in range(cout):
+                for ky in range(4):
+                    for kx in range(4):
+                        dw_ref[c, o, ky, kx] = 0.0
+        for o in range(cout):
+            db_ref[o, 0] = 0.0
+
+    dil = [_contract1_t(_contract1_t(x_ref[:, c], uh), uw)
+           for c in range(cin)]
+    t, hi, wi = x_ref[:, 0].shape
+    gx_acc = [jnp.zeros((t, hi, wi), jnp.float32) for _ in range(cin)]
+    gbar = gbar_ref[...]  # [tile, 1, 1] — broadcasts like a scalar
+    for o in range(cout):
+        z = _deconv_block(dil, wt_ref, b_ref, o, cin)
+        if drop_p > 0.0:
+            keep = _keep_mask(z.shape, drop_p)
+            d = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            d = z
+        y = _apply_tail_act(d, act)
+        # err = sum((obs - y)^2)  =>  d err / d y = 2 (y - obs), scaled by
+        # the per-instance upstream cotangent
+        g = gbar * (2.0 * (y - obs_ref[:, o]))
+        if act == "relu":
+            g_d = jnp.where(d > 0.0, g, 0.0)
+        else:
+            g_d = g * y * (1.0 - y)
+        if drop_p > 0.0:
+            g_c = jnp.where(keep, g_d * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c = g_d
+
+        db_ref[o, 0] = db_ref[o, 0] + jnp.sum(g_c)
+        for c in range(cin):
+            for ky in range(4):
+                for kx in range(4):
+                    tap = _shift2(g_c, ky - 1, kx - 1)
+                    dw_ref[c, o, ky, kx] = (
+                        dw_ref[c, o, ky, kx] + jnp.sum(dil[c] * tap)
+                    )
+        for c in range(cin):
+            corr = jnp.zeros_like(g_c)
+            for ky in range(4):
+                for kx in range(4):
+                    corr = corr + wt_ref[c, o, ky, kx] * _shift2(
+                        g_c, ky - 1, kx - 1)
+            gx_acc[c] = gx_acc[c] + _contract1(_contract1(corr, uh), uw)
+    for c in range(cin):
+        gx_ref[:, c] = gx_acc[c]
+
+
+def _loss_tail_tile(instances: int, cin: int, cout: int, h2: int,
+                    w2: int) -> int:
+    from .tiling import largest_divisor_tile
+
+    # existing tail working set + the obs planes + the diff temporary
+    return largest_divisor_tile(
+        instances, (2 * cin + 7 + cout) * h2 * w2 * 4, TILE_BUDGET_BYTES)
+
+
+def _loss_tail_call(x, wt, b, obs, seed, gbar, *, drop_p: float, act: str,
+                    interpret: bool, backward: bool):
+    n, cin, hi, wi = x.shape
+    cout = wt.shape[1]
+    h2, w2 = 2 * hi, 2 * wi
+    tile = _loss_tail_tile(n, cin, cout, h2, w2)
+    uh = jnp.asarray(_decim_matrix(h2, 2))
+    uw = jnp.asarray(_decim_matrix(w2, 2))
+    common_in = [
+        pl.BlockSpec((tile, cin, hi, wi), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt.shape, lambda i, *_: (0,) * wt.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(uh.shape, lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(uw.shape, lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile, cout, h2, w2), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        wt.astype(jnp.float32),
+        b.astype(jnp.float32).reshape(cout, 1),
+        uh, uw,
+        obs.astype(jnp.float32),
+    ]
+    cp = _compiler_params(tile, 2 * cin + 7 + cout, h2, w2)
+    if not backward:
+        err = pl.pallas_call(
+            functools.partial(_loss_tail_fwd_kernel, cout=cout, cin=cin,
+                              drop_p=drop_p, act=act),
+            out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // tile,),
+                in_specs=common_in,
+                out_specs=pl.BlockSpec((tile, 1), lambda i, *_: (i, 0),
+                                       memory_space=pltpu.SMEM),
+            ),
+            compiler_params=cp,
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(*args)
+        return err.reshape(n)
+    dw, db, gx = pl.pallas_call(
+        functools.partial(_loss_tail_bwd_kernel, cout=cout, cin=cin,
+                          drop_p=drop_p, act=act),
+        out_shape=(
+            jax.ShapeDtypeStruct(wt.shape, jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=common_in + [
+                pl.BlockSpec((tile, 1, 1), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(wt.shape, lambda i, *_: (0,) * wt.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, cin, hi, wi), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        compiler_params=cp,
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*args, gbar.astype(jnp.float32).reshape(n, 1, 1))
+    return dw, db.reshape(cout), gx
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_loss_tail(act: str, drop_p: float = 0.0, train: bool = False,
+                         interpret: bool = False):
+    """Build ``loss_tail(x, wt, b, obs, seed) -> err [N]`` — the decoder's
+    final stage ``act(dropout(conv_transpose2d(x)))`` FUSED with the
+    reconstruction-error reduction ``sum((obs - y)^2)`` over C,H,W, so the
+    full-resolution f32 reconstruction never leaves VMEM.
+
+    This removes the dominant per-env HBM transient of fused AE training
+    (the [N,1,H,W] recon + its cotangent, ~2 MB/env at 512² — the binder of
+    the envs/chip ladder, STATUS r3).  The custom VJP recomputes the recon
+    in VMEM from (x, obs, seed) and emits dW, db, and the input cotangent;
+    ``obs`` is treated as a constant (zero cotangent — the env observation
+    carries no parameter gradients, reference mcl.py:504-512).
+
+    Same PRNG/precision/act conventions as :func:`make_fused_tail`; the
+    caller divides by C·H·W for the reference's mean semantics."""
+    p = drop_p if train else 0.0
+
+    @jax.custom_vjp
+    def loss_tail(x, wt, b, obs, seed):
+        return _loss_tail_call(x, wt, b, obs, seed, None, drop_p=p, act=act,
+                               interpret=interpret, backward=False)
+
+    def fwd(x, wt, b, obs, seed):
+        return loss_tail(x, wt, b, obs, seed), (x, wt, b, obs, seed)
+
+    def bwd(res, gbar):
+        x, wt, b, obs, seed = res
+        dw, db, gx = _loss_tail_call(x, wt, b, obs, seed, gbar, drop_p=p,
+                                     act=act, interpret=interpret,
+                                     backward=True)
+        return (gx.astype(x.dtype), dw.astype(wt.dtype), db.astype(b.dtype),
+                jnp.zeros_like(obs),  # symbolic-zero-ish: DCE'd when unused
+                np.zeros((), jax.dtypes.float0))
+
+    loss_tail.defvjp(fwd, bwd)
+    return loss_tail
+
+
 @functools.lru_cache(maxsize=None)
 def make_fused_tail(act: str, drop_p: float = 0.0, train: bool = False,
                     interpret: bool = False):

@@ -319,3 +319,144 @@ def test_policy_fused_head_parity():
     for a, r in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(r),
                                    rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("act,cin", [("sigmoid", 1), ("relu", 2)])
+def test_loss_tail_parity(act, cin):
+    """Fused loss tail (deconv stage + sum((obs-y)^2) reduction in one
+    kernel): fwd value and the full VJP (dx, dw, db) match the XLA
+    composition that materialises the reconstruction."""
+    from carle_tpu.ops.pallas_head import make_fused_loss_tail
+
+    rng = np.random.RandomState(21)
+    n, cout, hi, wi = 4, 1, 32, 64
+    x = jnp.asarray(rng.randn(n, cin, hi, wi).astype(np.float32))
+    wt = jnp.asarray(rng.randn(cin, cout, 4, 4).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(cout).astype(np.float32) * 0.1)
+    obs = jnp.asarray(
+        (rng.rand(n, cout, 2 * hi, 2 * wi) < 0.3).astype(np.float32))
+
+    def ref(x, wt, b):
+        z = nets.conv_transpose2d(x, {"w": wt, "b": b}, stride=2, padding=1)
+        y = jnp.maximum(z, 0.0) if act == "relu" else jax.nn.sigmoid(z)
+        return jnp.sum((obs - y) ** 2, axis=(1, 2, 3))
+
+    lt = make_fused_loss_tail(act, 0.0, train=False, interpret=True)
+    err = lt(x, wt, b, obs, jnp.int32(0))
+    assert err.shape == (n,)
+    np.testing.assert_allclose(np.asarray(err), np.asarray(ref(x, wt, b)),
+                               rtol=1e-4, atol=1e-4)
+
+    co = jnp.asarray(rng.randn(n).astype(np.float32))
+    gf = jax.grad(
+        lambda x_, w_, b_: (lt(x_, w_, b_, obs, jnp.int32(0)) * co).sum(),
+        argnums=(0, 1, 2))(x, wt, b)
+    gr = jax.grad(lambda x_, w_, b_: (ref(x_, w_, b_) * co).sum(),
+                  argnums=(0, 1, 2))(x, wt, b)
+    for a, r in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_ae_fused_loss_full_stack():
+    """The fully-fused AE with the LOSS tail as the final stage (no full-res
+    recon in HBM) produces the same per-instance loss and ALL-param grads
+    as the XLA composition."""
+    from carle_tpu.mcl.ae import init_ae_params
+    from carle_tpu.ops.pallas_head import (
+        make_fused_head, make_fused_loss_tail, make_fused_tail)
+
+    cfg = EnvConfig(height=32, width=64, instances=2)
+    params = init_ae_params(jax.random.PRNGKey(0), cfg)
+    obs = jax.random.bernoulli(
+        jax.random.PRNGKey(2), 0.3, (2, 1, 32, 64)).astype(jnp.float32)
+
+    h1 = make_fused_head(2, 0.0, train=False, interpret=True)
+    h2 = make_fused_head(2, 0.0, train=False, interpret=True, need_dx=True)
+    t1 = make_fused_tail("relu", 0.0, train=False, interpret=True)
+    lt = make_fused_loss_tail("sigmoid", 0.0, train=False, interpret=True)
+
+    def fused_loss(p):
+        x = h1(obs, p["conv1"]["w"], p["conv1"]["b"], jnp.int32(0))
+        x = h2(x, p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0))
+        x = t1(x, p["deconv1"]["w"], p["deconv1"]["b"], jnp.int32(0))
+        err = lt(x, p["deconv2"]["w"], p["deconv2"]["b"], obs, jnp.int32(0))
+        return jnp.mean(err / jnp.float32(obs[0].size))
+
+    def ref_loss(p):
+        x = nets.conv2d(obs, p["conv1"], padding=1)
+        x = _ref_pool(jax.nn.relu(x), 2)
+        x = nets.conv2d(x, p["conv2"], padding=1)
+        x = _ref_pool(jax.nn.relu(x), 2)
+        x = jax.nn.relu(nets.conv_transpose2d(x, p["deconv1"],
+                                              stride=2, padding=1))
+        x = jax.nn.sigmoid(nets.conv_transpose2d(x, p["deconv2"],
+                                                 stride=2, padding=1))
+        return jnp.mean((obs - x) ** 2)
+
+    lf, gf = jax.value_and_grad(fused_loss)(params)
+    lr, gr = jax.value_and_grad(ref_loss)(params)
+    np.testing.assert_allclose(float(lf), float(lr), rtol=1e-5)
+    for a, r in zip(jax.tree.leaves(gf), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=1e-3, atol=1e-6)
+
+
+def test_loss_tail_shards_over_mesh():
+    """conv_loss_tail(mesh=...) shard_maps the kernel over the instance
+    axis; values and grads match the unsharded kernel."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(16, 1, 16, 32).astype(np.float32))
+    x = jax.device_put(x, NamedSharding(mesh, P("env")))
+    p = {"w": jnp.asarray(rng.randn(1, 1, 4, 4).astype(np.float32) * 0.3),
+         "b": jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)}
+    obs = jnp.asarray((rng.rand(16, 1, 32, 64) < 0.3).astype(np.float32))
+    obs = jax.device_put(obs, NamedSharding(mesh, P("env")))
+    co = jnp.asarray(rng.randn(16).astype(np.float32))
+
+    def loss(pp, mesh_arg):
+        err = nets.conv_loss_tail(x, pp, obs, None, act="sigmoid",
+                                  drop_p=0.0, train=False,
+                                  force_kernel=True, mesh=mesh_arg)
+        return (err * co).sum()
+
+    vs, gs = jax.jit(jax.value_and_grad(lambda pp: loss(pp, mesh)))(p)
+    vu, gu = jax.jit(jax.value_and_grad(lambda pp: loss(pp, None)))(p)
+    np.testing.assert_allclose(float(vs), float(vu), rtol=1e-5)
+    for a, r in zip(jax.tree.leaves(gs), jax.tree.leaves(gu)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_ae2d_def_fused_loss_wiring():
+    """ae2d_def(fused_head=True)'s loss path (the conv_loss_tail branch)
+    produces the same bonus and learning trajectory as the dense def on
+    CPU (where both resolve to XLA compositions — the kernel itself is
+    covered by the interpret tests above); exercises the full WrapperDef
+    apply including the Adam update gate."""
+    from carle_tpu.mcl.ae import ae2d_def
+    from carle_tpu.mcl.base import StepCtx
+
+    cfg = EnvConfig(height=32, width=32, instances=2)
+    d_fused = ae2d_def(cfg, batch_size=2, fused_head=True, dropout=False)
+    d_plain = ae2d_def(cfg, batch_size=2, dropout=False)
+    sf = d_fused.init(jax.random.PRNGKey(0))
+    sp = d_plain.init(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+    for i in range(4):
+        obs = jax.random.bernoulli(
+            jax.random.PRNGKey(10 + i), 0.3, (2, 1, 32, 32)
+        ).astype(jnp.float32)
+        ctx = StepCtx(prev_grid=obs[:, 0].astype(jnp.uint8), obs=obs,
+                      action=jnp.zeros((2, 16, 16), jnp.uint8),
+                      action_full=jnp.zeros((2, 32, 32), jnp.uint8),
+                      key=key, action_sum=jnp.zeros((2, 1)))
+        r0 = jnp.zeros((2, 1))
+        sf, rf = d_fused.apply(sf, ctx, r0)
+        sp, rp = d_plain.apply(sp, ctx, r0)
+        np.testing.assert_allclose(np.asarray(rf), np.asarray(rp),
+                                   rtol=1e-5, atol=1e-6)
+    assert int(sf.updates) == int(sp.updates) == 2

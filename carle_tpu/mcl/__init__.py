@@ -20,7 +20,8 @@ from .corner import CornerBonus, corner_def
 from .morpho import MorphoBonus, morpho_def
 from .speed import SpeedDetector, speed_def
 from .puffer import PufferDetector, puffer_def
-from .packed_stats import (corner_def_packed, puffer_def_packed,
+from .packed_stats import (corner_def_packed, morpho_def_packed,
+                           parsimony_def_packed, puffer_def_packed,
                            speed_def_packed)
 from .rnd import RND2D, rnd2d_def
 from .ae import AE2D, ae2d_def
@@ -56,6 +57,8 @@ __all__ = [
     "speed_def_packed",
     "puffer_def_packed",
     "corner_def_packed",
+    "morpho_def_packed",
+    "parsimony_def_packed",
     "RND2D",
     "rnd2d_def",
     "AE2D",

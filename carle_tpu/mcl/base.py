@@ -54,6 +54,11 @@ class StepCtx(NamedTuple):
                             # action VALUES (pre-binarisation; in the class
                             # shell, pre-crop) — ParsimonyBonus divides by
                             # this sum, reference mcl.py:102
+    packed_prev: Any = None    # uint32 [inst, H, W/32] universe BEFORE
+                               # toggle+update (packed stacks only) —
+                               # morpho_def_packed correlates against it
+    packed_action: Any = None  # uint32 [inst, H, W/32] toggle patch padded
+                               # to universe extent (packed stacks only)
 
 
 class WrapperDef(NamedTuple):

@@ -174,6 +174,122 @@ def puffer_def_packed(
     return dense._replace(name="PufferDetector(packed)")
 
 
+def parsimony_def_packed(**kwargs: Any) -> WrapperDef:
+    """ParsimonyBonus is ALREADY packed-native: it consumes only
+    ``ctx.action_sum`` (the raw action-value sum the packed stack computes
+    from the action patch, reference mcl.py:102) and never touches
+    ``ctx.obs`` — so the dense def keeps an all-packed stack off the unpack
+    path.  Provided under the packed-stats name for stack-builder symmetry."""
+    from .parsimony import parsimony_def
+
+    return parsimony_def(**kwargs)._replace(name="ParsimonyBonus(packed)")
+
+
+def morpho_def_packed(
+    config: EnvConfig,
+    reward_scale: float = 1.0,
+    rle_paths: Any = (),
+    dim: int = 8,
+    seed_rate: float = 0.005,
+    **kwargs: Any,
+) -> WrapperDef:
+    """MorphoBonus on packed words — the ±1-normalised pattern correlation
+    as bit-sliced window counts (ops/bitsliced.py), no cell unpack.
+
+    Reference math (mcl.py:144-183): each kernel has live cells of equal
+    weight ``w = 15/n`` (n live cells) and -1 everywhere else on the
+    ``dim x dim`` canvas; the bonus is ``max + min`` over all kernels and
+    VALID positions of the correlation with ``|universe - action|``.
+    Since universe and action are binary, ``|u - a| = u XOR a`` — one
+    packed word op — and the response decomposes into two small-integer
+    per-cell counts:
+
+        response = w*N_live - (N_all - N_live) = (w+1)*N_live - N_all
+
+    where ``N_all`` is the dim×dim window popcount (shared by every
+    kernel) and ``N_live`` the count at the kernel's live offsets.  Scaled
+    by ``n`` this is integer: ``g = (15+n)*N_live - n*N_all``; ``g`` is
+    computed bit-sliced with an offset making it non-negative, its
+    per-instance max/min over valid positions extracted MSB-first
+    (~9 masked-popcount rounds), and the float division by ``n`` happens
+    once per kernel on a scalar.  Exact — integer arithmetic throughout —
+    where the dense def's f32 conv merely rounds correctly; parity is
+    tested against the dense def."""
+    from .morpho import build_kernel_bank
+    from .patterns import pattern_path
+    from ..ops import bitsliced as bs
+
+    if not rle_paths:
+        rle_paths = (pattern_path("glider_1"), pattern_path("glider_2"))
+    bank = build_kernel_bank(rle_paths, dim)[:, 0]  # [K, dim, dim]
+
+    # per-kernel live offsets + live count (symmetry variants of one
+    # pattern share n but not offsets)
+    kernels = []
+    for k in range(bank.shape[0]):
+        live = np.argwhere(bank[k] > 0)
+        kernels.append(tuple((int(r), int(c)) for r, c in live))
+    win = dim * dim
+
+    h, w = config.height, config.width
+    valid_np = np.zeros((h, w), dtype=np.uint8)
+    valid_np[: h - dim + 1, : w - dim + 1] = 1  # VALID correlation anchors
+
+    class PackedMorphoState(NamedTuple):
+        reward_scale: jax.Array
+        valid_words: jax.Array  # uint32 [H, W/32]
+
+    def init(key: jax.Array) -> PackedMorphoState:
+        return PackedMorphoState(
+            reward_scale=jnp.asarray(reward_scale, dtype=jnp.float32),
+            valid_words=_pack_mask(valid_np),
+        )
+
+    def apply(state, ctx: StepCtx, reward: jax.Array):
+        if ctx.packed_prev is None or ctx.packed_action is None:
+            raise ValueError(
+                "morpho_def_packed needs a packed stack populating "
+                "ctx.packed_prev/ctx.packed_action; use mcl.morpho.morpho_def "
+                "on the uint8 path"
+            )
+        x = ctx.packed_prev ^ ctx.packed_action  # |u - a| for binary u, a
+        n_all = bs.window_sum(x, dim, dim)       # shared across kernels
+        best_max = None
+        best_min = None
+        for offsets in kernels:
+            n = len(offsets)
+            if n == 0:
+                # all-dead kernel: response = -N_all exactly
+                gmax = -bs.min_over_cells(n_all, state.valid_words)
+                gmin = -bs.max_over_cells(n_all, state.valid_words)
+                fmax = gmax.astype(jnp.float32)
+                fmin = gmin.astype(jnp.float32)
+            else:
+                width = int((15 + n) * n + n * win).bit_length()
+                offset = n * win
+                a_num = bs.mul_const(bs.tap_sum(x, offsets), 15 + n, width)
+                b_num = bs.mul_const(n_all, n, width)
+                g = bs.sub_offset(a_num, b_num, offset, width)
+                gmax = bs.max_over_cells(g, state.valid_words) - offset
+                gmin = bs.min_over_cells(g, state.valid_words) - offset
+                fmax = gmax.astype(jnp.float32) / jnp.float32(n)
+                fmin = gmin.astype(jnp.float32) / jnp.float32(n)
+            best_max = fmax if best_max is None else jnp.maximum(best_max, fmax)
+            best_min = fmin if best_min is None else jnp.minimum(best_min, fmin)
+        bonus = (best_max + best_min)[:, None]
+        return state, reward + state.reward_scale * bonus
+
+    def on_reset(state, key: jax.Array, grid: jax.Array):
+        # identical nucleation-noise semantics to the dense def
+        # (mcl.py:185-195); packed stacks run reset hooks in the cell domain
+        noise = jax.random.bernoulli(key, seed_rate, grid.shape)
+        return state, (grid | noise.astype(jnp.uint8))
+
+    return WrapperDef(
+        name="MorphoBonus(packed)", init=init, apply=apply, on_reset=on_reset
+    )
+
+
 def corner_def_packed(
     config: EnvConfig, reward_scale: float = 1.0, **kwargs: Any
 ) -> WrapperDef:

@@ -213,6 +213,8 @@ class PackedSpatialStack(WrapperStack):
             action_sum=jnp.sum(
                 action.astype(jnp.float32), axis=(1, 2)
             )[:, None],
+            packed_prev=prev_packed,
+            packed_action=action_packed,
         )
         reward = jnp.zeros((cfg.instances, 1), dtype=jnp.float32)
         new_wstates = []

@@ -338,3 +338,93 @@ def test_packed_stat_wrappers_require_packed_stack():
     with pytest.raises(ValueError, match="packed-native"):
         stack.step(state, np.zeros((1, 16, 16), np.uint8),
                    jax.random.PRNGKey(1))
+
+
+def test_packed_morpho_parsimony_match_dense():
+    """Packed-native MorphoBonus (bit-sliced ±1 pattern correlation,
+    ops/bitsliced.py — integer-exact) and ParsimonyBonus match the dense
+    defs through the packed stack, composed so Parsimony rescales Morpho's
+    contribution (reference ordering mcl.py:86-195)."""
+    from carle_tpu.mcl import (
+        morpho_def,
+        morpho_def_packed,
+        parsimony_def,
+        parsimony_def_packed,
+    )
+
+    cfg = EnvConfig(height=128, width=128, action_height=32, action_width=32,
+                    instances=2)
+    rng = np.random.RandomState(31)
+    # mix sparse toggle steps with a heavy-toggle step so Parsimony's
+    # 100/max(sum,100) branch exercises both sides
+    actions = (rng.rand(5, 2, 32, 32) < 0.1).astype(np.uint8)
+    actions[3] = (rng.rand(2, 32, 32) < 0.5).astype(np.uint8)
+    mesh = make_mesh(jax.devices(), axis_name="space")
+
+    def run(defs):
+        stack = PackedSpatialStack(cfg, defs, mesh)
+        ro = Rollout(cfg, stack=stack)
+        carry = ro.init(jax.random.PRNGKey(7), rules.LIFE)
+        carry = shard_carry_packed(carry, mesh, cfg)
+        carry, rewards = ro.run_actions(carry, actions)
+        return np.asarray(rewards)
+
+    dense = run([morpho_def(cfg, reward_scale=1.0),
+                 parsimony_def()])
+    packed = run([morpho_def_packed(cfg, reward_scale=1.0),
+                  parsimony_def_packed()])
+    assert np.any(dense != 0.0)
+    np.testing.assert_allclose(packed, dense, rtol=1e-4, atol=1e-4)
+
+
+def test_packed_morpho_seeded_reset_parity():
+    """morpho_def_packed's on_reset seeds the same nucleation noise as the
+    dense def (cell-domain hook through the packed stack's unpack/repack)."""
+    from carle_tpu.mcl import morpho_def, morpho_def_packed
+    from carle_tpu.mcl.base import WrapperStack
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    pstack = PackedSpatialStack(cfg, [morpho_def_packed(cfg)], mesh=None)
+    dstack = WrapperStack(cfg, [morpho_def(cfg)])
+    sp = pstack.init(jax.random.PRNGKey(5), rules.LIFE)
+    sd = dstack.init(jax.random.PRNGKey(5), rules.LIFE)
+    sp, obs_p = pstack.reset(sp, jax.random.PRNGKey(9))
+    sd, obs_d = dstack.reset(sd, jax.random.PRNGKey(9))
+    np.testing.assert_array_equal(np.asarray(obs_p), np.asarray(obs_d))
+    assert np.asarray(obs_p).sum() > 0
+
+
+def test_packed_all_native_stack_has_no_unpack():
+    """With Speed+Puffer+Corner+Morpho+Parsimony all packed-native (5 of
+    the 10 wrapper classes), the compiled scan step contains NO unpack —
+    the [inst, H, W] cell tensor never materialises (the DCE the 8192²
+    wrapped-rate headline relies on)."""
+    from carle_tpu.mcl import (
+        corner_def_packed, morpho_def_packed, parsimony_def_packed,
+        puffer_def_packed, speed_def_packed)
+
+    cfg = EnvConfig(height=256, width=256, action_height=64, action_width=64,
+                    instances=2)
+    defs = [speed_def_packed(cfg), puffer_def_packed(cfg),
+            corner_def_packed(cfg), morpho_def_packed(cfg),
+            parsimony_def_packed()]
+    stack = PackedSpatialStack(cfg, defs, mesh=None)
+    carry = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+
+    import jax.numpy as jnp
+
+    def body(c, _):
+        c, (obs, r) = stack.step(
+            c, jnp.zeros((2, 64, 64), jnp.uint8), jax.random.PRNGKey(1))
+        return c, r
+
+    def scan_fn(c):
+        return jax.lax.scan(body, c, None, length=4)
+
+    text = jax.jit(scan_fn).lower(carry).compile().as_text()
+    # the unpack materialises an [inst, H, W] = [2, 256, 256] cell tensor;
+    # its fingerprint in the compiled HLO is a 256x256-shaped operand
+    assert "2,256,256" not in text.replace(" ", ""), (
+        "cell-domain tensor survived DCE in the all-packed-native stack"
+    )

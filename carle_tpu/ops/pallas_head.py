@@ -722,8 +722,13 @@ def _loss_tail_fwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref,
         d2 = (obs_ref[:, o] - y) ** 2
         for t in range(tile):
             totals[t] = totals[t] + jnp.sum(d2[t])
-    for t in range(tile):  # SMEM accepts scalar stores only
-        err_ref[t, 0] = totals[t]
+    for t in range(tile):
+        # VMEM vector store of the splatted scalar: a per-instance-tiled
+        # SMEM output block ((tile,1) with tile < n) is REJECTED by Mosaic
+        # at compile time ("last two dims divisible by 8/128 or equal to
+        # the array"), so the error rides out as a [tile,1,128] lane
+        # broadcast and the caller slices lane 0
+        err_ref[t] = jnp.zeros((1, 128), jnp.float32) + totals[t]
 
 
 def _loss_tail_bwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref,
@@ -831,18 +836,19 @@ def _loss_tail_call(x, wt, b, obs, seed, gbar, *, drop_p: float, act: str,
         err = pl.pallas_call(
             functools.partial(_loss_tail_fwd_kernel, cout=cout, cin=cin,
                               drop_p=drop_p, act=act),
-            out_shape=jax.ShapeDtypeStruct((n, 1), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
                 grid=(n // tile,),
                 in_specs=common_in,
-                out_specs=pl.BlockSpec((tile, 1), lambda i, *_: (i, 0),
-                                       memory_space=pltpu.SMEM),
+                out_specs=pl.BlockSpec((tile, 1, 128),
+                                       lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
             ),
             compiler_params=cp,
             interpret=(pltpu.InterpretParams() if interpret else False),
         )(*args)
-        return err.reshape(n)
+        return err[:, 0, 0]
     dw, db, gx = pl.pallas_call(
         functools.partial(_loss_tail_bwd_kernel, cout=cout, cin=cin,
                           drop_p=drop_p, act=act),

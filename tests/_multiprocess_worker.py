@@ -90,8 +90,58 @@ def main() -> int:
         f"process {proc_id}: spatial checksum {got} != local {want}"
     )
 
+    # --- packed spatial ENV leg: ghost WORDS + wrapper collectives CROSS the
+    # process boundary (VERDICT r3 item 4) ----------------------------------
+    # The round-3 flagship mode — PackedSpatialStack with an online-learning
+    # wrapper — previously ran only on single-process meshes.  Here its
+    # uint32 ghost-word ring spans the two processes (rows 0-15 on process
+    # 0's devices, 16-31 on process 1's) AND the RND wrapper's GSPMD
+    # reductions over the row-sharded observation cross the same boundary.
+    # Checked against each worker's own single-device packed oracle via
+    # replicated scalars: total reward (Adam fires at batch_size=2, so any
+    # ghost-word error compounds through the learner) and a position-weighted
+    # grid checksum.
+    from carle_tpu.parallel import PackedSpatialStack, shard_carry_packed
+
+    pcfg = EnvConfig(height=32, width=64, action_height=8, action_width=8,
+                     instances=2)
+    pdefs = lambda: [rnd2d_def(pcfg, batch_size=2)]  # noqa: E731
+
+    oracle = Rollout(pcfg, wrappers=pdefs(), agent=make_random_agent(8, 8),
+                     stack=PackedSpatialStack(pcfg, pdefs(), mesh=None))
+    ocarry = oracle.init(jax.random.PRNGKey(42), rules.LIFE)
+    ocarry, orewards = oracle.run(ocarry, num_steps=6)
+    from carle_tpu.ops.bitpack import unpack_grid
+
+    ogrid = unpack_grid(ocarry.stack.env.grid, pcfg.width)
+    pweights = (
+        jnp.arange(pcfg.height, dtype=jnp.int32)[None, :, None] * 131
+        + jnp.arange(pcfg.width, dtype=jnp.int32)[None, None, :] * 7 + 1
+    )
+    want_ck = int(jnp.sum(ogrid.astype(jnp.int32) * pweights))
+    want_r = float(jnp.sum(orewards))
+
+    pstack = PackedSpatialStack(pcfg, pdefs(), smesh)
+    pro = Rollout(pcfg, wrappers=pdefs(), agent=make_random_agent(8, 8),
+                  stack=pstack)
+    pcarry = shard_carry_packed(pro.init(jax.random.PRNGKey(42), rules.LIFE),
+                                smesh, pcfg)
+    pcarry, prewards = pro.run(pcarry, num_steps=6)
+    got_r = float(jnp.sum(prewards))
+    got_ck = int(jnp.sum(
+        unpack_grid(pcarry.stack.env.grid, pcfg.width).astype(jnp.int32)
+        * pweights
+    ))
+    assert got_ck == want_ck, (
+        f"process {proc_id}: packed-env checksum {got_ck} != local {want_ck}"
+    )
+    assert abs(got_r - want_r) < 1e-4 * max(1.0, abs(want_r)), (
+        f"process {proc_id}: packed-env reward {got_r} != local {want_r}"
+    )
+
     print(f"proc {proc_id}/{num_procs}: OK total={total:.6f} "
-          f"spatial_checksum={got}")
+          f"spatial_checksum={got} packed_env_checksum={got_ck} "
+          f"packed_env_reward={got_r:.6f}")
     return 0
 
 

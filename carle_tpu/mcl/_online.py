@@ -108,8 +108,19 @@ def accumulate_and_maybe_update(
     )
 
 
+def net_input(ctx: Any, fused_head: Any) -> jax.Array:
+    """The observation a wrapper net should consume: the uint8 cells when
+    the fused Pallas kernels will take them (they upcast in VMEM, so the
+    f32 obs is DCE'd from the compiled step — the largest per-env HBM
+    transient of fused training), else the float32 obs.  ``fused_head``
+    follows the defs' convention: False = unfused, True/Mesh = fused."""
+    if fused_head is not False and getattr(ctx, "obs_cells", None) is not None:
+        return ctx.obs_cells
+    return ctx.obs
+
+
 def learner_apply(
-    loss_fn: Callable[[Any, LearnerState, jax.Array, jax.Array], Tuple[jax.Array, Any]],
+    loss_fn: Callable[[Any, LearnerState, Any], Tuple[jax.Array, Any]],
     bonus_fn: Callable[[jax.Array, jax.Array], jax.Array],
     opt: optax.GradientTransformation,
     train: bool,
@@ -117,12 +128,14 @@ def learner_apply(
 ):
     """Build a WrapperDef.apply for an online learner.
 
-    ``loss_fn(params, state, obs, key) -> (per_instance_loss [inst], new_extra)``
-    defines the objective; ``bonus_fn(per_instance_loss, obs) -> [inst, 1]``
-    maps it to the reward bonus (identity for RND/AE, ``0.1 - loss`` masked
-    for PredictionBonus, ...).  With ``train=False`` this is the reference's
-    ``get_bonus_only`` (mcl.py:389-395): forward pass only, dropout off, no
-    gradient or optimizer work at all.
+    ``loss_fn(params, state, ctx) -> (per_instance_loss [inst], new_extra)``
+    defines the objective over the step context (obs via ``ctx.obs`` or —
+    fused nets — the uint8 ``ctx.obs_cells``; dropout key via ``ctx.key``);
+    ``bonus_fn(per_instance_loss, obs) -> [inst, 1]`` maps it to the reward
+    bonus (identity for RND/AE, ``0.1 - loss`` masked for PredictionBonus,
+    ...).  With ``train=False`` this is the reference's ``get_bonus_only``
+    (mcl.py:389-395): forward pass only, dropout off, no gradient or
+    optimizer work at all.
 
     ``remat=True`` wraps the loss in ``jax.checkpoint`` so the backward pass
     recomputes activations instead of storing them — trades ~1 extra forward
@@ -131,10 +144,9 @@ def learner_apply(
     """
 
     def apply(state: LearnerState, ctx: Any, reward: jax.Array):
-        obs = ctx.obs
         if train:
             def scalar_loss(params):
-                per_inst, new_extra = loss_fn(params, state, obs, ctx.key)
+                per_inst, new_extra = loss_fn(params, state, ctx)
                 return jnp.mean(per_inst), (per_inst, new_extra)
 
             if remat:
@@ -145,13 +157,13 @@ def learner_apply(
             state = state._replace(extra=new_extra)
             state = accumulate_and_maybe_update(state, grads, opt)
         else:
-            # forward the step key: dropout=True with train=False (the
-            # decoupled flags the defs expose) must SAMPLE dropout, not
-            # crash on key=None inside nets.dropout
-            per_inst, new_extra = loss_fn(state.params, state, obs, ctx.key)
+            # loss_fn reads ctx.key itself: dropout=True with train=False
+            # (the decoupled flags the defs expose) must SAMPLE dropout,
+            # not crash on key=None inside nets.dropout
+            per_inst, new_extra = loss_fn(state.params, state, ctx)
             state = state._replace(extra=new_extra)
 
-        bonus = bonus_fn(per_inst, obs)
+        bonus = bonus_fn(per_inst, ctx.obs)
         return state, reward + state.reward_scale * bonus
 
     return apply

@@ -25,6 +25,7 @@ from ._online import (
     init_learner,
     learner_apply,
     make_optimizer,
+    net_input,
 )
 from .base import WrapperDef, default_on_reset
 from .rnd import RND2D, _torch_getter
@@ -53,18 +54,19 @@ def ae_forward(
         # fused_head may be a Mesh — the kernels are then shard_mapped over
         # the instance batch (nets._shard_fused)
         mesh = None if isinstance(fused_head, bool) else fused_head
-        x = nets.conv_head(obs, params["conv1"], k1, pool=2,
-                           drop_p=DROP_P, train=train, mesh=mesh)
-        # deeper head: its input carries conv1's grads, so this one runs
-        # with need_dx=True (full input cotangent in the bwd kernel)
-        x = nets.conv_head(x, params["conv2"], k2, pool=2,
-                           drop_p=DROP_P, train=train, need_dx=True,
-                           mesh=mesh)
+        # BOTH encoder stages as ONE Pallas kernel (uint8 obs upcast in
+        # VMEM; stage-1 activation/cotangent never in HBM — the r4 512²
+        # envs/chip-ladder binders, nets.conv_encoder)
+        x = nets.conv_encoder(obs, params["conv1"], params["conv2"], k1,
+                              pools=(2, 2), drop_p=DROP_P, train=train,
+                              mesh=mesh)
+        del k2  # the encoder draws both stages from one stream
         x = nets.conv_tail(x, params["deconv1"], k3, act="relu",
                            drop_p=DROP_P, train=train, mesh=mesh)
         return nets.conv_tail(x, params["deconv2"], k4, act="sigmoid",
                               drop_p=DROP_P, train=train, mesh=mesh)
     else:
+        obs = obs.astype(jnp.float32)
         x = nets.conv2d(obs, params["conv1"], padding=1,
                         compute_dtype=compute_dtype)
         x = nets.max_pool2(jax.nn.relu(nets.dropout(x, k1, DROP_P, train)))
@@ -100,20 +102,21 @@ def ae2d_def(
             reward_scale, batch_size, init_ae_params(key, config), {}, opt
         )
 
-    def loss_fn(params, state: LearnerState, obs, key):
+    def loss_fn(params, state: LearnerState, ctx):
+        obs = net_input(ctx, fused_head)
         if fused_head:
+            # encoder in ONE kernel (uint8 obs, stage-1 never in HBM) and
             # final decoder stage + error reduction in ONE kernel: the
             # full-resolution recon (and its cotangent) never leaves VMEM —
-            # the dominant per-env HBM transient of fused training
-            # (nets.conv_loss_tail).  Same math as the unfused branch:
-            # mean over C,H,W (mcl.py:508).
+            # the dominant per-env HBM transients of fused training
+            # (nets.conv_encoder / nets.conv_loss_tail).  Same math as the
+            # unfused branch: mean over C,H,W (mcl.py:508).
             mesh = None if isinstance(fused_head, bool) else fused_head
-            k1, k2, k3, k4 = nets.split_keys(key, 4)
-            x = nets.conv_head(obs, params["conv1"], k1, pool=2,
-                               drop_p=DROP_P, train=use_dropout, mesh=mesh)
-            x = nets.conv_head(x, params["conv2"], k2, pool=2,
-                               drop_p=DROP_P, train=use_dropout,
-                               need_dx=True, mesh=mesh)
+            k1, k2, k3, k4 = nets.split_keys(ctx.key, 4)
+            x = nets.conv_encoder(obs, params["conv1"], params["conv2"], k1,
+                                  pools=(2, 2), drop_p=DROP_P,
+                                  train=use_dropout, mesh=mesh)
+            del k2  # the encoder draws both stages from one stream
             x = nets.conv_tail(x, params["deconv1"], k3, act="relu",
                                drop_p=DROP_P, train=use_dropout, mesh=mesh)
             err = nets.conv_loss_tail(x, params["deconv2"], obs, k4,
@@ -121,10 +124,11 @@ def ae2d_def(
                                       train=use_dropout, mesh=mesh)
             n_elem = obs.shape[1] * obs.shape[2] * obs.shape[3]
             return err / jnp.float32(n_elem), state.extra
-        prediction = ae_forward(params, obs, key, use_dropout, compute_dtype,
-                                fused_head)
+        prediction = ae_forward(params, obs, ctx.key, use_dropout,
+                                compute_dtype, fused_head)
         # mean over C,H,W (mcl.py:508)
-        per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))
+        per_inst = jnp.mean(
+            (obs.astype(jnp.float32) - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, state.extra
 
     def bonus_fn(per_inst, obs):

@@ -59,6 +59,12 @@ class StepCtx(NamedTuple):
                                # morpho_def_packed correlates against it
     packed_action: Any = None  # uint32 [inst, H, W/32] toggle patch padded
                                # to universe extent (packed stacks only)
+    obs_cells: Any = None   # uint8 [inst, 1, H, W] — the SAME observation
+                            # as ``obs`` pre-float-cast.  The fused Pallas
+                            # nets consume this directly (upcast in VMEM),
+                            # which lets XLA DCE the f32 obs — the largest
+                            # per-env HBM transient of fused training
+                            # (1 MB/env at 512²)
 
 
 class WrapperDef(NamedTuple):
@@ -130,6 +136,7 @@ class WrapperStack:
         ctx = StepCtx(
             prev_grid=prev_grid,
             obs=grid.astype(jnp.float32)[:, None],
+            obs_cells=grid[:, None],
             action=action_bits,
             action_full=pad_action(action_bits, self.config),
             key=key,

@@ -92,9 +92,12 @@ def _make_def(
             reward_scale, batch_size, init_ae_params(key, config), {}, opt, extra=buf
         )
 
-    def loss_fn(params, state: LearnerState, obs, key):
+    def loss_fn(params, state: LearnerState, ctx):
+        # the frame ring buffer carries f32 frames (reference list
+        # semantics, mcl.py:577), so this wrapper stays on ctx.obs
+        obs = ctx.obs
         src, new_buf = _push(state.extra, obs, k)
-        prediction = ae_forward(params, jax.lax.stop_gradient(src), key,
+        prediction = ae_forward(params, jax.lax.stop_gradient(src), ctx.key,
                                 use_dropout, fused_head=fused_head)
         # target is the current frame; error mean over C,H,W (mcl.py:596-598)
         per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))

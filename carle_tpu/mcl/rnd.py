@@ -29,6 +29,7 @@ from ._online import (
     init_learner,
     learner_apply,
     make_optimizer,
+    net_input,
 )
 from .base import Motivator, WrapperDef, default_on_reset
 
@@ -66,16 +67,15 @@ def predictor_forward(
         # the instance batch (pallas calls are opaque to GSPMD — see
         # nets._shard_fused)
         mesh = None if isinstance(fused_head, bool) else fused_head
-        # conv1 + dropout + relu + pool4 as one Pallas kernel (first layer:
-        # obs carries no grads, so the head's zero input cotangent is exact)
-        x = nets.conv_head(obs, params["conv1"], k1, pool=4,
-                           drop_p=DROP_P, train=train, mesh=mesh)
-        # conv2's input carries conv1's grads: the deeper head computes the
-        # true input cotangent in its backward kernel (need_dx=True)
-        x = nets.conv_head(x, params["conv2"], k2, pool=2,
-                           drop_p=DROP_P, train=train, need_dx=True,
-                           mesh=mesh)
+        # BOTH conv+drop+relu+pool stages as ONE Pallas kernel: the uint8
+        # obs upcasts in VMEM and the stage-1 activation/cotangent never
+        # touch HBM (nets.conv_encoder — the r4 envs/chip-ladder binders)
+        x = nets.conv_encoder(obs, params["conv1"], params["conv2"], k1,
+                              pools=(4, 2), drop_p=DROP_P, train=train,
+                              mesh=mesh)
+        del k2  # the encoder draws both stages from one stream
     else:
+        obs = obs.astype(jnp.float32)
         x = nets.conv2d(obs, params["conv1"], padding=1,
                         compute_dtype=compute_dtype)
         x = jax.nn.relu(nets.dropout(x, k1, DROP_P, train))
@@ -95,12 +95,12 @@ def random_forward(params: Dict[str, Any], obs: jax.Array,
                    compute_dtype=None, fused_head: Any = False) -> jax.Array:
     if fused_head:
         mesh = None if isinstance(fused_head, bool) else fused_head
-        x = nets.conv_head(obs, params["conv1"], None, pool=4,
-                           drop_p=0.0, train=False, mesh=mesh)
-        # frozen target: no grads flow, first-layer (zero-dx) head is exact
-        x = nets.conv_head(x, params["conv2"], None, pool=2,
-                           drop_p=0.0, train=False, mesh=mesh)
+        # frozen target: forward-only through the one-kernel encoder
+        x = nets.conv_encoder(obs, params["conv1"], params["conv2"], None,
+                              pools=(4, 2), drop_p=0.0, train=False,
+                              mesh=mesh)
     else:
+        obs = obs.astype(jnp.float32)
         x = jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1,
                                     compute_dtype=compute_dtype))
         x = nets.max_pool2(nets.max_pool2(x))
@@ -140,10 +140,13 @@ def rnd2d_def(
             opt,
         )
 
-    def loss_fn(params, state: LearnerState, obs, key):
+    def loss_fn(params, state: LearnerState, ctx):
+        # fused kernels take the uint8 cells (upcast in VMEM — DCEs the f32
+        # obs from the compiled step); the unfused path keeps float32
+        obs = net_input(ctx, fused_head)
         target = random_forward(state.target_params, obs, compute_dtype,
                                 fused_head)
-        prediction = predictor_forward(params, obs, key, use_dropout,
+        prediction = predictor_forward(params, obs, ctx.key, use_dropout,
                                        compute_dtype, fused_head)
         # mean over the embedding dim (mcl.py:350); target carries no grads
         per_inst = jnp.mean((jax.lax.stop_gradient(target) - prediction) ** 2, axis=1)

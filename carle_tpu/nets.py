@@ -25,13 +25,26 @@ for weights, and the same bound for biases.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
 
 
 Params = Dict[str, jax.Array]
+
+
+class SpaceSharding(NamedTuple):
+    """Mesh routing tag for the fused kernels: the observation is
+    ROW-SHARDED over ``axis`` (the packed/GSPMD spatial env modes), so the
+    kernels must run under shard_map with explicit row-halo exchange
+    (parallel/spatial_heads.py) instead of the batch-axis _shard_fused.
+    Pass as the wrappers' ``fused_head`` (or nets ``mesh=``) argument.
+    ``env_axis`` names the instance axis of a 2-D env x space mesh."""
+
+    mesh: Any
+    axis: str = "space"
+    env_axis: Optional[str] = None
 
 
 # ---------------------------------------------------------------------------
@@ -356,6 +369,98 @@ def conv_head(
     return head(x, p["w"], p["b"], seed)
 
 
+def _shard_fused_encoder(call, mesh):
+    """:func:`_shard_fused` for the fused-encoder signature
+    ``(x, w1, b1, w2, b2, seed, mask)`` (mask replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(x, w1, b1, w2, b2, seed, mask):
+        seed = seed + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+            0x3779B1)
+        return call(x, w1, b1, w2, b2, seed, mask)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+
+def conv_encoder(
+    x: jax.Array,
+    p1: Params,
+    p2: Params,
+    key: Optional[jax.Array],
+    *,
+    pools: Tuple[int, int],
+    drop_p: float,
+    train: bool,
+    force_kernel: bool = False,
+    mesh: Any = None,
+) -> jax.Array:
+    """BOTH encoder stages ``pool(relu(drop(conv3x3)))`` x2 as ONE Pallas
+    kernel (ops/pallas_head.py make_fused_encoder).  ``x`` may be the raw
+    uint8 observation — it is upcast to f32 inside VMEM, so the
+    full-resolution f32 obs never exists in HBM; and because the backward
+    kernel recomputes stage 1 in VMEM (bit-identical PRNG replay), the
+    stage-1 activation and its cotangent — the measured HBM binders of the
+    512² fused-training ladder (r4 OOM accounting: 3 x 6 GB at 6144 envs)
+    — never exist either.  The only cross-pass residual is ``x`` itself.
+
+    Input cotangent is structurally zero (encoders are first layers).
+    Same PRNG/precision/pool-tie conventions, off-TPU fallback, and mesh
+    partitioning as :func:`conv_head`; the two stages share one seed (one
+    hardware-PRNG stream per kernel) where the two-kernel composition drew
+    from two — a different dropout stream, same distribution.
+    """
+    from .ops.pallas_head import make_fused_encoder
+
+    from .ops.ca import is_tpu_platform
+
+    pool1, pool2 = pools
+    for pool in pools:
+        if pool < 2 or pool & (pool - 1):
+            raise ValueError(f"pools must be powers of two >= 2, got {pools}")
+    if isinstance(mesh, SpaceSharding):
+        # row-sharded observation: shard_map + explicit row halos
+        from .parallel.spatial_heads import encoder_spatial
+
+        return encoder_spatial(x, p1, p2, key, pools=pools, drop_p=drop_p,
+                               train=train, sharding=mesh,
+                               force_kernel=force_kernel)
+    on_tpu = is_tpu_platform()
+    if not on_tpu and not force_kernel:
+        xf = x.astype(jnp.float32)
+        k1, k2 = split_keys(key, 2)
+        z = conv2d(xf, p1, padding=1)
+        z = jax.nn.relu(dropout(z, k1, drop_p, train))
+        for _ in range(pool1.bit_length() - 1):
+            z = max_pool2(z)
+        z = conv2d(z, p2, padding=1)
+        z = jax.nn.relu(dropout(z, k2, drop_p, train))
+        for _ in range(pool2.bit_length() - 1):
+            z = max_pool2(z)
+        return z
+    enc = make_fused_encoder(pool1, pool2, drop_p, train,
+                             interpret=not on_tpu)
+    if mesh is not None:
+        enc = _shard_fused_encoder(enc, mesh)
+    if train and drop_p > 0.0:
+        if key is None:
+            raise ValueError(
+                "train=True with drop_p > 0 requires a PRNG key"
+            )
+        seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+    else:
+        seed = jnp.int32(0)
+    # all rows are real here; the spatial tier passes a real validity mask
+    mask = jnp.ones((x.shape[2] // pool1, 1), jnp.float32)
+    return enc(x, p1["w"], p1["b"], p2["w"], p2["b"], seed, mask)
+
+
 def conv_tail(
     x: jax.Array,
     p: Params,
@@ -375,6 +480,11 @@ def conv_tail(
 
     from .ops.ca import is_tpu_platform
 
+    if isinstance(mesh, SpaceSharding):
+        from .parallel.spatial_heads import tail_spatial
+
+        return tail_spatial(x, p, key, act=act, drop_p=drop_p, train=train,
+                            sharding=mesh, force_kernel=force_kernel)
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         z = conv_transpose2d(x, p, stride=2, padding=1)
@@ -420,12 +530,18 @@ def conv_loss_tail(
 
     from .ops.ca import is_tpu_platform
 
+    if isinstance(mesh, SpaceSharding):
+        from .parallel.spatial_heads import loss_tail_spatial
+
+        return loss_tail_spatial(x, p, obs, key, act=act, drop_p=drop_p,
+                                 train=train, sharding=mesh,
+                                 force_kernel=force_kernel)
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         z = conv_transpose2d(x, p, stride=2, padding=1)
         z = dropout(z, key, drop_p, train)
         y = jax.nn.relu(z) if act == "relu" else jax.nn.sigmoid(z)
-        return jnp.sum((obs - y) ** 2, axis=(1, 2, 3))
+        return jnp.sum((obs.astype(jnp.float32) - y) ** 2, axis=(1, 2, 3))
     tail = make_fused_loss_tail(act, drop_p, train, interpret=not on_tpu)
     if mesh is not None:
         tail = _shard_fused_loss(tail, mesh)

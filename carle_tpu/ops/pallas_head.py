@@ -139,20 +139,48 @@ def _shift_rows(x: jax.Array, d: int) -> jax.Array:
         [jnp.zeros((t, -d, w), x.dtype), x[:, :h + d, :]], axis=1)
 
 
+def _plane_f32(xc: jax.Array) -> jax.Array:
+    """Upcast an input plane to f32 IN VMEM.  Integer (uint8 observation)
+    planes go through i32 first — Mosaic's vector unit has no direct
+    u8->f32 path (vector arithmetic is i16/i32, CLAUDE.md).  Accepting
+    uint8 obs here is what keeps the full-resolution f32 observation out
+    of HBM entirely (it was the largest per-env transient of fused
+    training at 512²: f32[N,1,512,512] = 1 MB/env)."""
+    if xc.dtype == jnp.float32:
+        return xc
+    if jnp.issubdtype(xc.dtype, jnp.integer):
+        return xc.astype(jnp.int32).astype(jnp.float32)
+    return xc.astype(jnp.float32)
+
+
+def _taps_of(xc: jax.Array):
+    """The 3 lane-shifted copies of one (f32) plane: tap (dy,dx) of a 3x3
+    conv is then a free row shift of one of these."""
+    t, h, w = xc.shape
+    left = jnp.concatenate(  # x[., ., j-1]
+        [jnp.zeros((t, h, 1), xc.dtype), xc[:, :, : w - 1]], axis=2)
+    right = jnp.concatenate(  # x[., ., j+1]
+        [xc[:, :, 1:], jnp.zeros((t, h, 1), xc.dtype)], axis=2)
+    return (left, xc, right)
+
+
+def _grad_taps(g: jax.Array):
+    """Lane-shifted copies of a grad plane for the TRANSPOSE conv (reverse
+    offsets: dx=0 reads g[., ., j+1], dx=2 reads g[., ., j-1])."""
+    t, h, w = g.shape
+    g_left = jnp.concatenate(
+        [g[:, :, 1:], jnp.zeros((t, h, 1), g.dtype)], axis=2)
+    g_right = jnp.concatenate(
+        [jnp.zeros((t, h, 1), g.dtype), g[:, :, : w - 1]], axis=2)
+    return (g_left, g, g_right)
+
+
 def _tap_planes(x_ref, cin: int):
     """The 3 lane-shifted copies of every input plane, hoisted ONCE per
     tile: tap (dy,dx) of the 3x3 conv is then a free row shift of one of
-    these.  Cuts lane shifts from 9 per channel-use to 2 per tile."""
-    planes = []
-    for c in range(cin):
-        xc = x_ref[:, c]
-        t, h, w = xc.shape
-        left = jnp.concatenate(  # x[., ., j-1]
-            [jnp.zeros((t, h, 1), xc.dtype), xc[:, :, : w - 1]], axis=2)
-        right = jnp.concatenate(  # x[., ., j+1]
-            [xc[:, :, 1:], jnp.zeros((t, h, 1), xc.dtype)], axis=2)
-        planes.append((left, xc, right))
-    return planes
+    these.  Cuts lane shifts from 9 per channel-use to 2 per tile.
+    Integer inputs (uint8 observations) are upcast to f32 in VMEM."""
+    return [_taps_of(_plane_f32(x_ref[:, c])) for c in range(cin)]
 
 
 def _conv_block(taps, w_ref, b_ref, o: int, cin: int):
@@ -719,7 +747,7 @@ def _loss_tail_fwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref,
             keep = _keep_mask(z.shape, drop_p)
             z = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
         y = _apply_tail_act(z, act)
-        d2 = (obs_ref[:, o] - y) ** 2
+        d2 = (_plane_f32(obs_ref[:, o]) - y) ** 2
         for t in range(tile):
             totals[t] = totals[t] + jnp.sum(d2[t])
     for t in range(tile):
@@ -763,7 +791,7 @@ def _loss_tail_bwd_kernel(seed_ref, x_ref, wt_ref, b_ref, uh_ref, uw_ref,
         y = _apply_tail_act(d, act)
         # err = sum((obs - y)^2)  =>  d err / d y = 2 (y - obs), scaled by
         # the per-instance upstream cotangent
-        g = gbar * (2.0 * (y - obs_ref[:, o]))
+        g = gbar * (2.0 * (y - _plane_f32(obs_ref[:, o])))
         if act == "relu":
             g_d = jnp.where(d > 0.0, g, 0.0)
         else:
@@ -829,7 +857,7 @@ def _loss_tail_call(x, wt, b, obs, seed, gbar, *, drop_p: float, act: str,
         wt.astype(jnp.float32),
         b.astype(jnp.float32).reshape(cout, 1),
         uh, uw,
-        obs.astype(jnp.float32),
+        obs,  # dtype passthrough: uint8 obs upcast in VMEM (_plane_f32)
     ]
     cp = _compiler_params(tile, 2 * cin + 7 + cout, h2, w2)
     if not backward:
@@ -911,8 +939,11 @@ def make_fused_loss_tail(act: str, drop_p: float = 0.0, train: bool = False,
         dw, db, gx = _loss_tail_call(x, wt, b, obs, seed, gbar, drop_p=p,
                                      act=act, interpret=interpret,
                                      backward=True)
+        gobs = (np.zeros(obs.shape, jax.dtypes.float0)
+                if jnp.issubdtype(obs.dtype, jnp.integer)
+                else jnp.zeros_like(obs))  # symbolic-zero-ish: DCE'd unused
         return (gx.astype(x.dtype), dw.astype(wt.dtype), db.astype(b.dtype),
-                jnp.zeros_like(obs),  # symbolic-zero-ish: DCE'd when unused
+                gobs,
                 np.zeros((), jax.dtypes.float0))
 
     loss_tail.defvjp(fwd, bwd)
@@ -947,3 +978,339 @@ def make_fused_tail(act: str, drop_p: float = 0.0, train: bool = False,
 
     tail.defvjp(fwd, bwd)
     return tail
+
+
+# ---------------------------------------------------------------------------
+# Fused two-stage ENCODER: conv3x3+dropout+relu+pool TWICE in one kernel.
+# ---------------------------------------------------------------------------
+#
+# The wrapper nets' whole encoder (reference mcl.py:257-279 predictor /
+# mcl.py:452-460 AE encoder) runs as ONE pallas_call.  Why this exists: with
+# the two-kernel composition the stage-1 activations are a custom-VJP
+# residual of stage 2 ([N,4,H/p1,W/p1] f32 — 1 MB/env at 512²) and stage 2's
+# backward emits an input cotangent of the same size; together with the f32
+# observation they were the measured HBM binders of the 512² envs/chip
+# ladder (OOM accounting r4: 3 x 6 GB at 6144 envs).  Here the backward
+# kernel RECOMPUTES stage 1 in VMEM (bit-identical dropout via a PRNG
+# replay: the stream is reseeded and redrawn in forward order), so the only
+# residual is the (uint8) observation itself and nothing inter-stage ever
+# touches HBM.
+
+
+def _enc_stage(taps, w_ref, b_ref, o, cin, pool, sh, sw, drop_p,
+               rmask=None):
+    """One output channel of conv+dropout+relu+pool from hoisted taps.
+    ``rmask`` ([H/pool, 1], broadcast over lanes) zeroes pooled rows that
+    lie OUTSIDE the global universe: a halo'd spatial shard's
+    out-of-globe rows are zero CELLS, whose stage-1 activation would be
+    relu(bias) — but the global function zero-pads stage 2 with true
+    zeros (parallel/spatial_heads.py)."""
+    z = _conv_block(taps, w_ref, b_ref, o, cin)
+    if drop_p > 0.0:
+        keep = _keep_mask(z.shape, drop_p)
+        z = _apply_drop_relu(z, keep, drop_p)
+    else:
+        z = jnp.maximum(z, 0.0)
+    out = _decimate(_window_max(z, pool), sh, sw)
+    if rmask is not None:
+        out = out * rmask
+    return out
+
+
+def _enc_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    sh1_ref, sw1_ref, sh2_ref, sw2_ref, m1_ref, out_ref,
+                    *, c1: int, c2: int, cin: int, p1: int, p2: int,
+                    drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    sh1, sw1 = sh1_ref[...], sw1_ref[...]
+    sh2, sw2 = sh2_ref[...], sw2_ref[...]
+    m1 = m1_ref[...]
+    taps0 = _tap_planes(x_ref, cin)
+    # PRNG draw order (replayed by the backward): keep1_0..keep1_{c1-1}
+    # at full res, then keep2_0..keep2_{c2-1} at 1/p1 res
+    x1 = [_enc_stage(taps0, w1_ref, b1_ref, o, cin, p1, sh1, sw1, drop_p,
+                     m1)
+          for o in range(c1)]
+    taps1 = [_taps_of(p) for p in x1]
+    for o in range(c2):
+        out_ref[:, o] = _enc_stage(taps1, w2_ref, b2_ref, o, c1, p2,
+                                   sh2, sw2, drop_p)
+
+
+def _pool_route(a, g_pooled, pool, sh, sw, bh, bw):
+    """Route a pooled-resolution grad back through the window max over
+    ``a`` (reduce-max VJP semantics: ties share equally — same convention
+    as the single-stage head kernels)."""
+    m_dec = _decimate(_window_max(a, pool), sh, sw)
+    mb = _contract1_t(_contract1_t(m_dec, bh), bw)
+    eqf = jnp.where(a == mb, 1.0, 0.0)
+    cnt = _contract1(_contract1(eqf, bh), bw)
+    gb = _contract1_t(_contract1_t(g_pooled / cnt, bh), bw)
+    return gb * eqf
+
+
+def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                    sh1_ref, sw1_ref, sh2_ref, sw2_ref, m1_ref,
+                    bh1_ref, bw1_ref, bh2_ref, bw2_ref, g_ref,
+                    dw1_ref, db1_ref, dw2_ref, db2_ref,
+                    *, c1: int, c2: int, cin: int, p1: int, p2: int,
+                    drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    sh1, sw1 = sh1_ref[...], sw1_ref[...]
+    sh2, sw2 = sh2_ref[...], sw2_ref[...]
+    m1 = m1_ref[...]
+    bh1, bw1 = bh1_ref[...], bw1_ref[...]
+    bh2, bw2 = bh2_ref[...], bw2_ref[...]
+
+    @pl.when(pi == 0)
+    def _init():
+        # SMEM accepts scalar stores only — unrolled zero-init
+        for o in range(c1):
+            db1_ref[o, 0] = 0.0
+            for c in range(cin):
+                for dy in range(3):
+                    for dx in range(3):
+                        dw1_ref[o, c, dy, dx] = 0.0
+        for o in range(c2):
+            db2_ref[o, 0] = 0.0
+            for c in range(c1):
+                for dy in range(3):
+                    for dx in range(3):
+                        dw2_ref[o, c, dy, dx] = 0.0
+
+    taps0 = _tap_planes(x_ref, cin)
+    # stage-1 recompute, drawing keep1_* in forward order (masks are NOT
+    # kept — the stage-1 backward below replays the stream from the top)
+    x1 = [_enc_stage(taps0, w1_ref, b1_ref, o, cin, p1, sh1, sw1, drop_p,
+                     m1)
+          for o in range(c1)]
+    taps1 = [_taps_of(p) for p in x1]
+    t, h1, w1d = x1[0].shape
+    gx1 = [jnp.zeros((t, h1, w1d), jnp.float32) for _ in range(c1)]
+    for o in range(c2):
+        z2 = _conv_block(taps1, w2_ref, b2_ref, o, c1)
+        if drop_p > 0.0:
+            keep2 = _keep_mask(z2.shape, drop_p)
+            d2 = jnp.where(keep2, z2 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            d2 = z2
+        a2 = jnp.maximum(d2, 0.0)
+        g_z2 = _pool_route(a2, g_ref[:, o], p2, sh2, sw2, bh2, bw2)
+        g_d2 = jnp.where(d2 > 0.0, g_z2, 0.0)
+        if drop_p > 0.0:
+            g_c2 = jnp.where(keep2, g_d2 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c2 = g_d2
+        db2_ref[o, 0] = db2_ref[o, 0] + jnp.sum(g_c2)
+        for c in range(c1):
+            for dy in range(3):
+                for dx in range(3):
+                    tap = _shift_rows(taps1[c][dx], dy - 1)
+                    dw2_ref[o, c, dy, dx] = (
+                        dw2_ref[o, c, dy, dx] + jnp.sum(tap * g_c2)
+                    )
+        gt = _grad_taps(g_c2)
+        for c in range(c1):
+            acc = gx1[c]
+            for dy in range(3):
+                for dx in range(3):
+                    acc = acc + _shift_rows(gt[dx], 1 - dy) * w2_ref[o, c,
+                                                                     dy, dx]
+            gx1[c] = acc
+
+    # stage-1 backward: REPLAY the PRNG stream (keep1_* are the stream's
+    # prefix, so reseeding and redrawing in the same order reproduces them
+    # bit-identically)
+    pltpu.prng_seed(seed_ref[0], pi)
+    for o in range(c1):
+        z1 = _conv_block(taps0, w1_ref, b1_ref, o, cin)
+        if drop_p > 0.0:
+            keep1 = _keep_mask(z1.shape, drop_p)
+            d1 = jnp.where(keep1, z1 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            d1 = z1
+        a1 = jnp.maximum(d1, 0.0)
+        # the true gradient through the hard row mask is zero
+        g_z1 = _pool_route(a1, gx1[o] * m1, p1, sh1, sw1, bh1, bw1)
+        g_d1 = jnp.where(d1 > 0.0, g_z1, 0.0)
+        if drop_p > 0.0:
+            g_c1 = jnp.where(keep1, g_d1 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c1 = g_d1
+        db1_ref[o, 0] = db1_ref[o, 0] + jnp.sum(g_c1)
+        for c in range(cin):
+            for dy in range(3):
+                for dx in range(3):
+                    tap = _shift_rows(taps0[c][dx], dy - 1)
+                    dw1_ref[o, c, dy, dx] = (
+                        dw1_ref[o, c, dy, dx] + jnp.sum(tap * g_c1)
+                    )
+
+
+def _enc_bytes_per_inst(cin: int, c1: int, h: int, w: int, p1: int) -> int:
+    """Working-set estimate: input taps + stage-1 temporaries at full res,
+    pooled planes/taps/grads + stage-2 temporaries at 1/p1² res."""
+    return int((3 * cin + 4) * h * w * 4
+               + (4 * c1 + 12) * (h // p1) * (w // p1) * 4)
+
+
+def _enc_tile(instances: int, cin: int, c1: int, h: int, w: int,
+              p1: int) -> int:
+    from .tiling import largest_divisor_tile
+
+    return largest_divisor_tile(
+        instances, _enc_bytes_per_inst(cin, c1, h, w, p1), TILE_BUDGET_BYTES)
+
+
+def _enc_compiler_params(tile: int, cin: int, c1: int, h: int, w: int,
+                         p1: int):
+    est = 4 * tile * _enc_bytes_per_inst(cin, c1, h, w, p1)
+    if est <= 16 * 2**20:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=int(min(100 * 2**20, est)))
+
+
+def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
+              drop_p: float, interpret: bool, backward: bool):
+    n, cin, h, wd = x.shape
+    c1 = w1.shape[0]
+    c2 = w2.shape[0]
+    tile = _enc_tile(n, cin, c1, h, wd, p1)
+    h1, w1d = h // p1, wd // p1
+    ho, wo = h1 // p2, w1d // p2
+    sh1 = jnp.asarray(_decim_matrix(h, p1))
+    sw1 = jnp.asarray(_decim_matrix(wd, p1))
+    sh2 = jnp.asarray(_decim_matrix(h1, p2))
+    sw2 = jnp.asarray(_decim_matrix(w1d, p2))
+    common_in = [
+        pl.BlockSpec((tile, cin, h, wd), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w1.shape, lambda i, *_: (0,) * w1.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c1, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w2.shape, lambda i, *_: (0,) * w2.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c2, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(m.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+        for m in (sh1, sw1, sh2, sw2)
+    ] + [
+        pl.BlockSpec((h1, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        x,  # dtype passthrough: uint8 obs upcast in VMEM (_plane_f32)
+        w1.astype(jnp.float32),
+        b1.astype(jnp.float32).reshape(c1, 1),
+        w2.astype(jnp.float32),
+        b2.astype(jnp.float32).reshape(c2, 1),
+        sh1, sw1, sh2, sw2,
+        mask.astype(jnp.float32).reshape(h1, 1),
+    ]
+    cp = _enc_compiler_params(tile, cin, c1, h, wd, p1)
+    if not backward:
+        return pl.pallas_call(
+            functools.partial(_enc_fwd_kernel, c1=c1, c2=c2, cin=cin,
+                              p1=p1, p2=p2, drop_p=drop_p),
+            out_shape=jax.ShapeDtypeStruct((n, c2, ho, wo), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // tile,),
+                in_specs=common_in,
+                out_specs=pl.BlockSpec(
+                    (tile, c2, ho, wo), lambda i, *_: (i, 0, 0, 0),
+                    memory_space=pltpu.VMEM),
+            ),
+            compiler_params=cp,
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(*args)
+    bh1 = jnp.asarray(_window_matrix(h, p1))
+    bw1 = jnp.asarray(_window_matrix(wd, p1))
+    bh2 = jnp.asarray(_window_matrix(h1, p2))
+    bw2 = jnp.asarray(_window_matrix(w1d, p2))
+    dw1, db1, dw2, db2 = pl.pallas_call(
+        functools.partial(_enc_bwd_kernel, c1=c1, c2=c2, cin=cin,
+                          p1=p1, p2=p2, drop_p=drop_p),
+        out_shape=(
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c1, 1), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c2, 1), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=common_in + [
+                pl.BlockSpec(m.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for m in (bh1, bw1, bh2, bw2)
+            ] + [
+                pl.BlockSpec((tile, c2, ho, wo), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(w1.shape, lambda i, *_: (0,) * w1.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((c1, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(w2.shape, lambda i, *_: (0,) * w2.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((c2, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+        ),
+        compiler_params=cp,
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*args, bh1, bw1, bh2, bw2, g.astype(jnp.float32))
+    return dw1, db1.reshape(c1), dw2, db2.reshape(c2)
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_encoder(p1: int, p2: int, drop_p: float = 0.0,
+                       train: bool = False, interpret: bool = False):
+    """Build ``encoder(x, w1, b1, w2, b2, seed, mask) -> [N, C2, H/(p1·p2),
+    W/(p1·p2)]`` — BOTH conv+dropout+relu+pool stages of a wrapper-net
+    encoder as one Pallas kernel with a custom VJP.  ``mask`` is the
+    [H/p1, 1] stage-1 row-validity plane (all ones off the spatial tier;
+    spatial shards zero their out-of-globe halo rows so stage 2 sees the
+    global function's zero padding instead of relu(bias) phantoms).
+
+    ``x`` may be uint8 (the raw observation — upcast to f32 in VMEM) or
+    f32.  The input cotangent is structurally zero (encoders are the first
+    layers; the observation carries no parameter gradients, reference
+    mcl.py:343-352) and is skipped.  The backward kernel recomputes both
+    stages in VMEM with bit-identical dropout (PRNG replay via reseed), so
+    the only cross-pass residual is ``x`` itself: the stage-1 activation
+    and its cotangent — 2 x 1 MB/env at 512² under the two-kernel
+    composition — never exist in HBM.
+    """
+    p = drop_p if train else 0.0
+
+    @jax.custom_vjp
+    def encoder(x, w1, b1, w2, b2, seed, mask):
+        return _enc_call(x, w1, b1, w2, b2, seed, mask, None, p1=p1, p2=p2,
+                         drop_p=p, interpret=interpret, backward=False)
+
+    def fwd(x, w1, b1, w2, b2, seed, mask):
+        return (encoder(x, w1, b1, w2, b2, seed, mask),
+                (x, w1, b1, w2, b2, seed, mask))
+
+    def bwd(res, g):
+        x, w1, b1, w2, b2, seed, mask = res
+        dw1, db1, dw2, db2 = _enc_call(
+            x, w1, b1, w2, b2, seed, mask, g, p1=p1, p2=p2, drop_p=p,
+            interpret=interpret, backward=True)
+        gx = (np.zeros(x.shape, jax.dtypes.float0)
+              if jnp.issubdtype(x.dtype, jnp.integer)
+              else jnp.zeros_like(x))
+        return (gx, dw1.astype(w1.dtype), db1.astype(b1.dtype),
+                dw2.astype(w2.dtype), db2.astype(b2.dtype),
+                np.zeros((), jax.dtypes.float0), jnp.zeros_like(mask))
+
+    encoder.defvjp(fwd, bwd)
+    return encoder

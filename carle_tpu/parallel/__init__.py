@@ -17,6 +17,7 @@ modules are the TPU-native replacement for "scale = bigger instances count"
 """
 
 from .mesh import env_sharding, make_mesh, shard_carry, replicate
+from ..nets import SpaceSharding
 from .packed_env import (PackedSpatialStack, packed_spatial_sharding,
                          shard_carry_packed)
 from .spatial import bit_spatial_multi_step, spatial_ca_step, spatial_multi_step

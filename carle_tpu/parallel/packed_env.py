@@ -86,9 +86,13 @@ class PackedSpatialStack(WrapperStack):
     params with a single-device stack by passing the same key.
 
     Constraints: ``width % 32 == 0`` (word packing) and
-    ``height % mesh.shape[axis_name] == 0`` (row sharding).  Wrappers must be
-    plain-XLA (the default defs are): fused Pallas heads are opaque to GSPMD
-    and cannot consume a row-sharded observation.
+    ``height % mesh.shape[axis_name] == 0`` (row sharding).  Learned
+    wrappers run fused here too: build their defs with
+    ``fused_head=nets.SpaceSharding(mesh, axis_name, env_axis)`` and the
+    kernels shard_map over the space axis with explicit row-halo exchange
+    (parallel/spatial_heads.py — lifts the r3 plain-XLA-only constraint);
+    with ``fused_head=False`` the wrapper nets run as ordinary XLA convs
+    under GSPMD.
     """
 
     def __init__(
@@ -202,10 +206,12 @@ class PackedSpatialStack(WrapperStack):
         # lazy, shard-local unpack: cells exist only row-sharded + transient —
         # and if every wrapper is packed-native (mcl/packed_stats.py) the
         # unpacks below are dead code XLA removes from the compiled program
-        obs = unpack_grid(new_packed, cfg.width).astype(jnp.float32)[:, None]
+        obs_cells = unpack_grid(new_packed, cfg.width)[:, None]
+        obs = obs_cells.astype(jnp.float32)
         ctx = StepCtx(
             prev_grid=unpack_grid(prev_packed, cfg.width),
             obs=obs,
+            obs_cells=obs_cells,
             action=action_bits,
             action_full=action_full,
             key=key,

@@ -32,7 +32,10 @@ from carle_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-from carle_tpu.ops.pallas_head import make_fused_head, make_fused_tail
+from carle_tpu.ops.pallas_head import (make_fused_encoder,
+                                       make_fused_head,
+                                       make_fused_loss_tail,
+                                       make_fused_tail)
 from carle_tpu import nets
 from carle_tpu.config import EnvConfig
 from carle_tpu.mcl.ae import init_ae_params
@@ -193,6 +196,41 @@ def check_dropout_grad_alignment():
           f"grad={an:.4f} rel={rel:.2e}", flush=True)
     assert rel < 1e-3, (fd, an)
 
+    # same check for the two-stage ENCODER kernel at pools (1,1) — this is
+    # the only hardware probe of its stage-1 PRNG REPLAY (the bwd kernel
+    # reseeds and redraws the stream to regenerate the stage-1 masks; a
+    # replay divergence breaks the FD here and nowhere visible elsewhere).
+    # Loss is bilinear in (w1, w2) in the all-positive regime, so central
+    # FD is exact up to rounding.
+    enc = make_fused_encoder(1, 1, 0.1, train=True)
+    xe = jnp.asarray(rng.uniform(0.5, 1.5, (n, cin, h, w))
+                     .astype(np.float32))
+    coe = jnp.asarray(rng.uniform(0.5, 1.5, (n, cout, h, w))
+                      .astype(np.float32))
+    w1 = jnp.asarray(rng.uniform(0.05, 0.15, (2, cin, 3, 3))
+                     .astype(np.float32))
+    b1 = jnp.asarray(rng.uniform(0.9, 1.1, (2,)).astype(np.float32))
+    w2 = jnp.asarray(rng.uniform(0.05, 0.15, (cout, 2, 3, 3))
+                     .astype(np.float32))
+    b2 = jnp.asarray(rng.uniform(0.9, 1.1, (cout,)).astype(np.float32))
+
+    ones_e = jnp.ones((h, 1), jnp.float32)  # pools (1,1): all rows real
+
+    def loss_e(w1_, b1_, w2_, b2_):
+        return (enc(xe, w1_, b1_, w2_, b2_, seed, ones_e) * coe).sum()
+
+    ge = jax.jit(jax.grad(loss_e, argnums=(0, 1, 2, 3)))(w1, b1, w2, b2)
+    dirs = [jnp.asarray(rng.uniform(-1, 1, a.shape).astype(np.float32))
+            for a in (w1, b1, w2, b2)]
+    lp = jax.jit(loss_e)(*(a + eps * d for a, d in zip((w1, b1, w2, b2), dirs)))
+    lm = jax.jit(loss_e)(*(a - eps * d for a, d in zip((w1, b1, w2, b2), dirs)))
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    an = float(sum((g * d).sum() for g, d in zip(ge, dirs)))
+    rel = abs(fd - an) / (abs(fd) + 1e-9)
+    print(f"encoder dropout-on directional derivative (PRNG replay): "
+          f"fd={fd:.4f} grad={an:.4f} rel={rel:.2e}", flush=True)
+    assert rel < 1e-3, (fd, an)
+
 
 def main():
     import argparse
@@ -262,6 +300,35 @@ def main():
         return (z ** 2).mean()
 
     grads_vs_oracle("RND", rnd_fused, rnd_ref, rnd_params)
+
+    # --- the r4 encoder paths: one-kernel encoder + loss tail, uint8 obs --
+    obs_u8 = obs.astype(jnp.uint8)
+    enc_ae = make_fused_encoder(2, 2, 0.0, train=False)
+    lt = make_fused_loss_tail("sigmoid", 0.0, train=False)
+
+    m_ae = jnp.ones((args.height // 2, 1), jnp.float32)
+
+    def ae_fused_enc(p):
+        z = enc_ae(obs_u8, p["conv1"]["w"], p["conv1"]["b"],
+                   p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0), m_ae)
+        z = t1(z, p["deconv1"]["w"], p["deconv1"]["b"], jnp.int32(0))
+        err = lt(z, p["deconv2"]["w"], p["deconv2"]["b"], obs_u8,
+                 jnp.int32(0))
+        return err.mean() / (obs.shape[1] * obs.shape[2] * obs.shape[3])
+
+    grads_vs_oracle("AE-enc(u8)", ae_fused_enc, ae_ref, ae_params)
+
+    enc_rnd = make_fused_encoder(4, 2, 0.0, train=False)
+
+    m_rnd = jnp.ones((args.height // 4, 1), jnp.float32)
+
+    def rnd_fused_enc(p):
+        z = enc_rnd(obs_u8, p["conv1"]["w"], p["conv1"]["b"],
+                    p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0), m_rnd)
+        z = jnp.tanh(nets.flatten(z) @ p["dense"]["w"].T + p["dense"]["b"])
+        return (z ** 2).mean()
+
+    grads_vs_oracle("RND-enc(u8)", rnd_fused_enc, rnd_ref, rnd_params)
     print("ALL HARDWARE CHECKS PASSED", flush=True)
 
 

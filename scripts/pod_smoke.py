@@ -138,6 +138,25 @@ def job_spatial8k(devs, size: int = 8192) -> None:
     dt_env_packed, stack, state = wrapped_rate(
         [speed_def_packed(cfg, reward_scale=1e-2)])
 
+    # LEARNED wrapper (RND online learning) in the spatial env (VERDICT r3
+    # item 2).  The fused kernels hold whole-plane blocks in VMEM, so the
+    # spatial-fused tier (SpaceSharding halos, parallel/spatial_heads.py)
+    # is feasible only when the per-shard padded plane set fits: ~7 f32
+    # planes of (H/n + 16) x W need <~100 MB -> n >= H*W*28/1e8 shards
+    # (8192² needs >= ~19, i.e. a pod slice; one v5e chip tops out at
+    # 512²).  Below the threshold the nets run as XLA convs under GSPMD —
+    # same math, reference semantics.
+    from carle_tpu.mcl.rnd import rnd2d_def
+    from carle_tpu.nets import SpaceSharding
+
+    halo = 8  # RND pools (4, 2)
+    shards = 1 if mesh is None else n
+    plane_bytes = (size // shards + 2 * halo) * size * 4
+    fused_ok = 7 * plane_bytes <= 100 * 2**20 and mesh is not None
+    fused_arg = SpaceSharding(mesh) if fused_ok else False
+    dt_env_learned, _, _ = wrapped_rate(
+        [rnd2d_def(cfg, batch_size=64, fused_head=fused_arg)])
+
     free = jax.jit(stack.free_steps, static_argnames=("num_steps",))
     state = free(state, num_steps=64)
     device_sync(state.env.grid)
@@ -151,6 +170,8 @@ def job_spatial8k(devs, size: int = 8192) -> None:
         "job": "spatial8k", "devices": n,
         "wrapped_env_cells_per_s": cells / dt_env,
         "wrapped_env_packed_stats_cells_per_s": cells / dt_env_packed,
+        "wrapped_env_learned_cells_per_s": cells / dt_env_learned,
+        "learned_wrapper_fused": bool(fused_ok),
         "free_packed_cells_per_s": cells / dt_free,
     }))
 

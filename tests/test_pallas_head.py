@@ -460,3 +460,190 @@ def test_ae2d_def_fused_loss_wiring():
         np.testing.assert_allclose(np.asarray(rf), np.asarray(rp),
                                    rtol=1e-5, atol=1e-6)
     assert int(sf.updates) == int(sp.updates) == 2
+
+
+# ---------------------------------------------------------------------------
+# Fused two-stage encoder (r4): conv+drop+relu+pool x2 in one kernel
+# ---------------------------------------------------------------------------
+
+
+def _ref_encoder(x, p1, p2, pool1, pool2):
+    x = x.astype(jnp.float32)
+    z = _ref_pool(jax.nn.relu(nets.conv2d(x, p1, padding=1)), pool1)
+    return _ref_pool(jax.nn.relu(nets.conv2d(z, p2, padding=1)), pool2)
+
+
+@pytest.mark.parametrize("cfg", [(4, 2, 4, 1), (2, 2, 4, 2)])
+def test_encoder_forward_parity(cfg):
+    """The one-kernel encoder (RND pools (4,2) / AE pools (2,2)) matches
+    the unfused two-stage composition, for BOTH f32 and uint8 inputs (the
+    uint8 obs upcasts inside VMEM — ops/pallas_head._plane_f32)."""
+    from carle_tpu.ops.pallas_head import make_fused_encoder
+
+    p1_, p2_, c1, c2 = cfg
+    rng = np.random.RandomState(0)
+    x8 = jnp.asarray((rng.rand(6, 1, 32, 64) < 0.3).astype(np.uint8))
+    w1 = {"w": jnp.asarray(rng.randn(c1, 1, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(c1).astype(np.float32) * 0.1)}
+    w2 = {"w": jnp.asarray(rng.randn(c2, c1, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(c2).astype(np.float32) * 0.1)}
+    enc = make_fused_encoder(p1_, p2_, 0.0, train=False, interpret=True)
+    want = _ref_encoder(x8, w1, w2, p1_, p2_)
+    ones = jnp.ones((x8.shape[2] // p1_, 1), jnp.float32)
+    for x in (x8, x8.astype(jnp.float32)):
+        out = enc(x, w1["w"], w1["b"], w2["w"], w2["b"], jnp.int32(0), ones)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_encoder_param_grads_parity():
+    """Encoder grads (all four param leaves) match the unfused composition
+    at a tile < n geometry (cross-grid-step SMEM accumulation + the
+    stage-1 recompute in the backward kernel)."""
+    from carle_tpu.ops.pallas_head import _enc_tile, make_fused_encoder
+
+    rng = np.random.RandomState(1)
+    n, h, w = 8, 128, 128
+    assert _enc_tile(n, 1, 4, h, w, 2) < n  # the point of this geometry
+    x8 = jnp.asarray((rng.rand(n, 1, h, w) < 0.3).astype(np.uint8))
+    co = jnp.asarray(rng.randn(n, 2, h // 4, w // 4).astype(np.float32))
+    w1 = {"w": jnp.asarray(rng.randn(4, 1, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(4).astype(np.float32) * 0.1)}
+    w2 = {"w": jnp.asarray(rng.randn(2, 4, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(2).astype(np.float32) * 0.1)}
+    enc = make_fused_encoder(2, 2, 0.0, train=False, interpret=True)
+    ones = jnp.ones((h // 2, 1), jnp.float32)
+
+    def loss_k(p):
+        z = enc(x8, p["1"]["w"], p["1"]["b"], p["2"]["w"], p["2"]["b"],
+                jnp.int32(0), ones)
+        return (z * co).sum()
+
+    def loss_r(p):
+        return (_ref_encoder(x8, p["1"], p["2"], 2, 2) * co).sum()
+
+    params = {"1": w1, "2": w2}
+    gk = jax.grad(loss_k)(params)
+    gr = jax.grad(loss_r)(params)
+    for a, r in zip(jax.tree.leaves(gk), jax.tree.leaves(gr)):
+        scale = float(np.abs(np.asarray(r)).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(r) / scale,
+                                   rtol=2e-6, atol=2e-6)
+
+
+def test_conv_encoder_fallback_and_kernel_agree():
+    """nets.conv_encoder: the off-TPU fallback (unfused XLA chain) and the
+    interpret-mode kernel compute the same function, from uint8 input."""
+    rng = np.random.RandomState(2)
+    x8 = jnp.asarray((rng.rand(4, 1, 32, 32) < 0.3).astype(np.uint8))
+    p1 = {"w": jnp.asarray(rng.randn(4, 1, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(4).astype(np.float32) * 0.1)}
+    p2 = {"w": jnp.asarray(rng.randn(1, 4, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)}
+    fb = nets.conv_encoder(x8, p1, p2, None, pools=(4, 2), drop_p=0.0,
+                           train=False)
+    kk = nets.conv_encoder(x8, p1, p2, None, pools=(4, 2), drop_p=0.0,
+                           train=False, force_kernel=True)
+    np.testing.assert_allclose(np.asarray(kk), np.asarray(fb),
+                               rtol=1e-5, atol=1e-5)
+    with pytest.raises(ValueError, match="powers of two"):
+        nets.conv_encoder(x8, p1, p2, None, pools=(3, 2), drop_p=0.0,
+                          train=False)
+
+
+def test_encoder_shards_over_mesh():
+    """conv_encoder(mesh=...) shard_maps the kernel over the instance axis
+    (pallas is opaque to GSPMD): output stays batch-sharded and grads
+    (incl. the psummed replicated-weight cotangents) match unsharded."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    mesh = Mesh(np.array(jax.devices()[:8]), ("env",))
+    rng = np.random.RandomState(3)
+    x = jax.device_put(
+        jnp.asarray((rng.rand(16, 1, 32, 64) < 0.3).astype(np.uint8)),
+        NamedSharding(mesh, P("env")))
+    p1 = {"w": jnp.asarray(rng.randn(4, 1, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(4).astype(np.float32) * 0.1)}
+    p2 = {"w": jnp.asarray(rng.randn(2, 4, 3, 3).astype(np.float32) * 0.3),
+          "b": jnp.asarray(rng.randn(2).astype(np.float32) * 0.1)}
+    co = jnp.asarray(rng.randn(16, 2, 8, 16).astype(np.float32))
+
+    def net(p, mesh_arg):
+        z = nets.conv_encoder(x, p["1"], p["2"], None, pools=(2, 2),
+                              drop_p=0.0, train=False, force_kernel=True,
+                              mesh=mesh_arg)
+        return (z * co).sum()
+
+    params = {"1": p1, "2": p2}
+    out_sharded = jax.jit(
+        lambda p: nets.conv_encoder(x, p["1"], p["2"], None, pools=(2, 2),
+                                    drop_p=0.0, train=False,
+                                    force_kernel=True, mesh=mesh)
+    )(params)
+    assert out_sharded.sharding.is_equivalent_to(
+        NamedSharding(mesh, P("env")), out_sharded.ndim)
+    gs = jax.jit(jax.grad(lambda p: net(p, mesh)))(params)
+    gp = jax.jit(jax.grad(lambda p: net(p, None)))(params)
+    for a, r in zip(jax.tree.leaves(gs), jax.tree.leaves(gp)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(r),
+                                   rtol=2e-5, atol=2e-5)
+
+
+def test_loss_tail_accepts_uint8_obs():
+    """The fused loss tail takes the raw uint8 obs (upcast in VMEM) and
+    matches its own f32-obs result exactly, values being 0/1."""
+    from carle_tpu.ops.pallas_head import make_fused_loss_tail
+
+    rng = np.random.RandomState(4)
+    x = jnp.asarray(rng.randn(4, 2, 16, 32).astype(np.float32))
+    wt = jnp.asarray(rng.randn(2, 1, 4, 4).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.randn(1).astype(np.float32) * 0.1)
+    obs8 = jnp.asarray((rng.rand(4, 1, 32, 64) < 0.3).astype(np.uint8))
+    lt = make_fused_loss_tail("sigmoid", 0.0, train=False, interpret=True)
+
+    def loss(wt_, obs):
+        return lt(x, wt_, b, obs, jnp.int32(0)).sum()
+
+    v8, g8 = jax.value_and_grad(loss)(wt, obs8)
+    vf, gf = jax.value_and_grad(loss)(wt, obs8.astype(jnp.float32))
+    np.testing.assert_allclose(float(v8), float(vf), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(g8), np.asarray(gf), rtol=1e-6,
+                               atol=1e-7)
+
+
+def test_stepctx_obs_cells_set_by_both_stacks():
+    """Both stacks publish the uint8 obs alongside the f32 one, and the
+    fused defs' net input selector picks it (this is what lets XLA DCE the
+    f32 obs from an all-fused compiled step)."""
+    from carle_tpu.mcl._online import net_input
+    from carle_tpu.mcl.base import StepCtx, WrapperStack
+    from carle_tpu.mcl.speed import speed_def
+    from carle_tpu.parallel.packed_env import PackedSpatialStack
+    from carle_tpu import rules
+    from carle_tpu.config import EnvConfig
+
+    cfg = EnvConfig(height=32, width=32, action_height=8, action_width=8,
+                    instances=2)
+    captured = {}
+
+    def spy_def(base):
+        def apply(ws, ctx, reward):
+            captured["obs_cells"] = ctx.obs_cells
+            captured["obs"] = ctx.obs
+            return base.apply(ws, ctx, reward)
+        return base._replace(apply=apply)
+
+    for stack_cls in (WrapperStack, PackedSpatialStack):
+        stack = stack_cls(cfg, [spy_def(speed_def(cfg))])
+        st = stack.init(jax.random.PRNGKey(0), rules.LIFE)
+        action = jnp.zeros((2, 8, 8), jnp.uint8)
+        stack.step(st, action, jax.random.PRNGKey(1))
+        assert captured["obs_cells"].dtype == jnp.uint8
+        assert captured["obs_cells"].shape == captured["obs"].shape
+
+    ctx = StepCtx(prev_grid=None, obs="f32", action=None, action_full=None,
+                  key=None, obs_cells="u8")
+    assert net_input(ctx, True) == "u8"
+    assert net_input(ctx, False) == "f32"
+    assert net_input(ctx._replace(obs_cells=None), True) == "f32"

@@ -55,11 +55,11 @@ def policy_logits(params: Dict[str, Any], obs: jax.Array,
     kernels over the instance batch (nets._shard_fused)."""
     if fused_head or force_kernel:
         mesh = None if isinstance(fused_head, bool) else fused_head
-        x = nets.conv_head(obs, params["conv1"], None, pool=2, drop_p=0.0,
-                           train=False, force_kernel=force_kernel, mesh=mesh)
-        x = nets.conv_head(x, params["conv2"], None, pool=2, drop_p=0.0,
-                           train=False, need_dx=True,
-                           force_kernel=force_kernel, mesh=mesh)
+        # both stages as the ONE-kernel encoder (same r4 path as the
+        # wrapper nets: uint8-capable input, no inter-stage HBM residuals)
+        x = nets.conv_encoder(obs, params["conv1"], params["conv2"], None,
+                              pools=(2, 2), drop_p=0.0, train=False,
+                              force_kernel=force_kernel, mesh=mesh)
     else:
         x = nets.max_pool2(
             jax.nn.relu(nets.conv2d(obs, params["conv1"], padding=1)))

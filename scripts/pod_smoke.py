@@ -154,8 +154,33 @@ def job_spatial8k(devs, size: int = 8192) -> None:
     plane_bytes = (size // shards + 2 * halo) * size * 4
     fused_ok = 7 * plane_bytes <= 100 * 2**20 and mesh is not None
     fused_arg = SpaceSharding(mesh) if fused_ok else False
-    dt_env_learned, _, _ = wrapped_rate(
-        [rnd2d_def(cfg, batch_size=64, fused_head=fused_arg)])
+    # the unfused XLA path's conv/backward transients at 8192² measured
+    # ~17.2 GB on one v5e (> the 15.75 GB HBM) — shrink the learned leg to
+    # the largest geometry that fits and label it; the full-size fused leg
+    # is a pod job by the bound above
+    learned_size = size if (fused_ok or size <= 4096) else 4096
+    lcfg = (cfg if learned_size == size else
+            EnvConfig(height=learned_size, width=learned_size,
+                      action_height=64, action_width=64, instances=1))
+    from carle_tpu.rollout import Rollout
+
+    lstack = PackedSpatialStack(
+        lcfg, [rnd2d_def(lcfg, batch_size=64, fused_head=fused_arg)],
+        mesh if learned_size == size else None)
+    lro = Rollout(lcfg, stack=lstack)
+    lcarry = lro.init(jax.random.PRNGKey(0), rules.LIFE)
+    if lstack.mesh is not None:
+        lcarry = jax.tree.map(
+            lambda l: jax.device_put(
+                l, packed_spatial_sharding(lstack.mesh, l, lcfg)), lcarry)
+    lact = (np.random.RandomState(1).rand(STEPS, 1, 64, 64) < 0.2
+            ).astype(np.uint8)
+    lcarry, lr_ = lro.run_actions(lcarry, lact)
+    device_sync(lr_)
+    t0 = time.time()
+    lcarry, lr_ = lro.run_actions(lcarry, lact)
+    device_sync(lr_)
+    dt_env_learned = (time.time() - t0) / STEPS
 
     free = jax.jit(stack.free_steps, static_argnames=("num_steps",))
     state = free(state, num_steps=64)
@@ -170,8 +195,10 @@ def job_spatial8k(devs, size: int = 8192) -> None:
         "job": "spatial8k", "devices": n,
         "wrapped_env_cells_per_s": cells / dt_env,
         "wrapped_env_packed_stats_cells_per_s": cells / dt_env_packed,
-        "wrapped_env_learned_cells_per_s": cells / dt_env_learned,
+        "wrapped_env_learned_cells_per_s":
+            learned_size * learned_size / dt_env_learned,
         "learned_wrapper_fused": bool(fused_ok),
+        "learned_wrapper_size": learned_size,
         "free_packed_cells_per_s": cells / dt_free,
     }))
 

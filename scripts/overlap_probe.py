@@ -64,10 +64,14 @@ def build(variant: str, inst: int, h: int, nwords: int, tile: int,
             u = _lane_shift_concat(g, 1)
             d = _lane_shift_concat(g, -1)
         else:
-            # distinct constants: same ALU budget shape, zero crossbar, and
-            # no CSE collapse of the up/down planes
-            u = g ^ jnp.uint32(0x55555555)
-            d = g ^ jnp.uint32(0x33333333)
+            # data-dependent, non-foldable fillers: one ALU op each, zero
+            # crossbar.  NOT xor-by-constant — that makes the next step's
+            # ``ab = u ^ g`` collapse to a constant and rewrites the whole
+            # CSA tree (the first probe run measured the xor variant 1.5x
+            # SLOWER than vc, which is impossible for a true ALU-only
+            # analogue: the fold had mangled the graph)
+            u = g + jnp.uint32(1)
+            d = g + jnp.uint32(0x9E3779B9)
         ab = u ^ g
         p0 = ab ^ d
         p1 = (u & g) | (ab & d)
@@ -127,7 +131,7 @@ def main() -> int:
     parser.add_argument("--size", type=int, default=256)
     parser.add_argument("--steps", type=int, default=2048)
     parser.add_argument("--tile", type=int, default=64)
-    parser.add_argument("--repeats", type=int, default=3)
+    parser.add_argument("--repeats", type=int, default=7)
     parser.add_argument("--platform", default=None)
     args = parser.parse_args()
 

@@ -116,12 +116,12 @@ def ae2d_def(
             x = nets.conv_encoder(obs, params["conv1"], params["conv2"], k1,
                                   pools=(2, 2), drop_p=DROP_P,
                                   train=use_dropout, mesh=mesh)
-            del k2  # the encoder draws both stages from one stream
-            x = nets.conv_tail(x, params["deconv1"], k3, act="relu",
-                               drop_p=DROP_P, train=use_dropout, mesh=mesh)
-            err = nets.conv_loss_tail(x, params["deconv2"], obs, k4,
-                                      act="sigmoid", drop_p=DROP_P,
-                                      train=use_dropout, mesh=mesh)
+            del k2  # each fused kernel draws its stages from one stream
+            err = nets.conv_decoder_loss(x, params["deconv1"],
+                                         params["deconv2"], obs, k3,
+                                         drop_p=DROP_P, train=use_dropout,
+                                         mesh=mesh)
+            del k4
             n_elem = obs.shape[1] * obs.shape[2] * obs.shape[3]
             return err / jnp.float32(n_elem), state.extra
         prediction = ae_forward(params, obs, ctx.key, use_dropout,

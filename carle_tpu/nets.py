@@ -554,3 +554,78 @@ def conv_loss_tail(
     else:
         seed = jnp.int32(0)
     return tail(x, p["w"], p["b"], obs, seed)
+
+
+def _shard_fused_decoder_loss(call, mesh):
+    """:func:`_shard_fused` for the decoder-loss signature
+    ``(x, wt1, b1, wt2, b2, obs, seed)`` — obs shards with the batch."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(x, wt1, b1, wt2, b2, obs, seed):
+        seed = seed + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+            0x3779B1)
+        return call(x, wt1, b1, wt2, b2, obs, seed)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis), P(), P(), P(), P(), P(axis), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+
+def conv_decoder_loss(
+    x: jax.Array,
+    p1: Params,
+    p2: Params,
+    obs: jax.Array,
+    key: Optional[jax.Array],
+    *,
+    drop_p: float,
+    train: bool,
+    force_kernel: bool = False,
+    mesh: Any = None,
+) -> jax.Array:
+    """BOTH AE decoder stages (deconv1 relu, deconv2 sigmoid) FUSED with
+    the reconstruction-error reduction: returns ``sum((obs - recon)^2)``
+    over C,H,W per instance without materialising either the mid-res
+    decoder activation or the full-res recon in HBM
+    (ops/pallas_head.make_fused_decoder_loss).  ``obs`` may be uint8.
+    With ``mesh=SpaceSharding`` the decoder falls back to the per-stage
+    halo'd kernels (parallel/spatial_heads.py) — the spatial tier's
+    instance counts are small, so per-env residuals are not its binder."""
+    if isinstance(mesh, SpaceSharding):
+        from .parallel.spatial_heads import loss_tail_spatial, tail_spatial
+
+        k1, k2 = split_keys(key, 2)
+        a = tail_spatial(x, p1, k1, act="relu", drop_p=drop_p, train=train,
+                         sharding=mesh, force_kernel=force_kernel)
+        return loss_tail_spatial(a, p2, obs, k2, act="sigmoid",
+                                 drop_p=drop_p, train=train, sharding=mesh,
+                                 force_kernel=force_kernel)
+    from .ops.pallas_head import make_fused_decoder_loss
+
+    from .ops.ca import is_tpu_platform
+
+    on_tpu = is_tpu_platform()
+    if not on_tpu and not force_kernel:
+        k1, k2 = split_keys(key, 2)
+        a = conv_transpose2d(x, p1, stride=2, padding=1)
+        a = jax.nn.relu(dropout(a, k1, drop_p, train))
+        z = conv_transpose2d(a, p2, stride=2, padding=1)
+        y = jax.nn.sigmoid(dropout(z, k2, drop_p, train))
+        return jnp.sum((obs.astype(jnp.float32) - y) ** 2, axis=(1, 2, 3))
+    dl = make_fused_decoder_loss(drop_p, train, interpret=not on_tpu)
+    if mesh is not None:
+        dl = _shard_fused_decoder_loss(dl, mesh)
+    if train and drop_p > 0.0:
+        if key is None:
+            raise ValueError(
+                "train=True with drop_p > 0 requires a PRNG key"
+            )
+        seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+    else:
+        seed = jnp.int32(0)
+    return dl(x, p1["w"], p1["b"], p2["w"], p2["b"], obs, seed)

@@ -1081,11 +1081,22 @@ def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                         dw2_ref[o, c, dy, dx] = 0.0
 
     taps0 = _tap_planes(x_ref, cin)
-    # stage-1 recompute, drawing keep1_* in forward order (masks are NOT
-    # kept — the stage-1 backward below replays the stream from the top)
-    x1 = [_enc_stage(taps0, w1_ref, b1_ref, o, cin, p1, sh1, sw1, drop_p,
-                     m1)
-          for o in range(c1)]
+    # stage-1 recompute, RETAINING each channel's pre-relu plane and keep
+    # mask for the stage-1 backward below (costs 2·c1 planes of VMEM but
+    # saves a full second stage-1 recompute + PRNG replay — measured ~20%
+    # of the 256² training step when this was replay-based)
+    x1, d1s, keeps1 = [], [], []
+    for o in range(c1):
+        z1 = _conv_block(taps0, w1_ref, b1_ref, o, cin)
+        if drop_p > 0.0:
+            keep1 = _keep_mask(z1.shape, drop_p)
+            d1 = jnp.where(keep1, z1 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            keep1, d1 = None, z1
+        d1s.append(d1)
+        keeps1.append(keep1)
+        x1.append(_decimate(_window_max(jnp.maximum(d1, 0.0), p1),
+                            sh1, sw1) * m1)
     taps1 = [_taps_of(p) for p in x1]
     t, h1, w1d = x1[0].shape
     gx1 = [jnp.zeros((t, h1, w1d), jnp.float32) for _ in range(c1)]
@@ -1120,23 +1131,16 @@ def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                                                                      dy, dx]
             gx1[c] = acc
 
-    # stage-1 backward: REPLAY the PRNG stream (keep1_* are the stream's
-    # prefix, so reseeding and redrawing in the same order reproduces them
-    # bit-identically)
-    pltpu.prng_seed(seed_ref[0], pi)
+    # stage-1 backward from the RETAINED pre-act/mask planes (no replay,
+    # no second recompute)
     for o in range(c1):
-        z1 = _conv_block(taps0, w1_ref, b1_ref, o, cin)
-        if drop_p > 0.0:
-            keep1 = _keep_mask(z1.shape, drop_p)
-            d1 = jnp.where(keep1, z1 * (1.0 / (1.0 - drop_p)), 0.0)
-        else:
-            d1 = z1
+        d1 = d1s[o]
         a1 = jnp.maximum(d1, 0.0)
         # the true gradient through the hard row mask is zero
         g_z1 = _pool_route(a1, gx1[o] * m1, p1, sh1, sw1, bh1, bw1)
         g_d1 = jnp.where(d1 > 0.0, g_z1, 0.0)
         if drop_p > 0.0:
-            g_c1 = jnp.where(keep1, g_d1 * (1.0 / (1.0 - drop_p)), 0.0)
+            g_c1 = jnp.where(keeps1[o], g_d1 * (1.0 / (1.0 - drop_p)), 0.0)
         else:
             g_c1 = g_d1
         db1_ref[o, 0] = db1_ref[o, 0] + jnp.sum(g_c1)
@@ -1149,10 +1153,16 @@ def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     )
 
 
+ENC_TILE_BUDGET_BYTES = 12 * 2**20  # tile=2 at 256² (the heads' tile=2 was
+                                    # ~8% over tile=1 there; the scoped-vmem
+                                    # limit scales with the estimate below)
+
+
 def _enc_bytes_per_inst(cin: int, c1: int, h: int, w: int, p1: int) -> int:
-    """Working-set estimate: input taps + stage-1 temporaries at full res,
-    pooled planes/taps/grads + stage-2 temporaries at 1/p1² res."""
-    return int((3 * cin + 4) * h * w * 4
+    """Working-set estimate: input taps + stage-1 temporaries + the bwd's
+    RETAINED pre-act/mask planes (2·c1) at full res, pooled
+    planes/taps/grads + stage-2 temporaries at 1/p1² res."""
+    return int((3 * cin + 4 + 2 * c1) * h * w * 4
                + (4 * c1 + 12) * (h // p1) * (w // p1) * 4)
 
 
@@ -1161,7 +1171,8 @@ def _enc_tile(instances: int, cin: int, c1: int, h: int, w: int,
     from .tiling import largest_divisor_tile
 
     return largest_divisor_tile(
-        instances, _enc_bytes_per_inst(cin, c1, h, w, p1), TILE_BUDGET_BYTES)
+        instances, _enc_bytes_per_inst(cin, c1, h, w, p1),
+        ENC_TILE_BUDGET_BYTES)
 
 
 def _enc_compiler_params(tile: int, cin: int, c1: int, h: int, w: int,
@@ -1314,3 +1325,307 @@ def make_fused_encoder(p1: int, p2: int, drop_p: float = 0.0,
 
     encoder.defvjp(fwd, bwd)
     return encoder
+
+
+# ---------------------------------------------------------------------------
+# Fused two-stage DECODER + loss: deconv1 + deconv2 + error in ONE kernel.
+# ---------------------------------------------------------------------------
+#
+# make_fused_loss_tail already keeps the full-resolution reconstruction out
+# of HBM; this goes one stage deeper and keeps the MID-resolution decoder
+# activation (deconv1's output and its cotangent — 2 x 256 KB/env at 512²,
+# the next binders after the encoder work) in VMEM too.  With
+# encoder + decoder_loss the AE's only cross-pass residuals are the uint8
+# obs and the tiny pooled embedding.
+
+
+def _dl_dilate(x_ref, c: int, uh, uw):
+    return [_contract1_t(_contract1_t(_plane_f32(x_ref[:, i]), uh), uw)
+            for i in range(c)]
+
+
+def _dl_forward(x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
+                cin: int, cmid: int, cout: int, drop_p: float):
+    """Both decoder stages; returns (mid activations, keepA list, pre-act
+    d2 list, keepB list, y list) — everything the backward needs, retained
+    in VMEM (no PRNG replay: two stages' masks coexist cheaply)."""
+    dil1 = _dl_dilate(x_ref, cin, uh1, uw1)
+    mids, keepsA = [], []
+    for m in range(cmid):
+        z = _deconv_block(dil1, wt1_ref, b1_ref, m, cin)
+        if drop_p > 0.0:
+            keep = _keep_mask(z.shape, drop_p)
+            d = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            keep, d = None, z
+        keepsA.append(keep)
+        mids.append(jnp.maximum(d, 0.0))
+    # dilate the mid activations for stage B
+    t = mids[0].shape[0]
+    dil2 = [_contract1_t(_contract1_t(a, uh2), uw2) for a in mids]
+    outs = []
+    for o in range(cout):
+        z = _deconv_block(dil2, wt2_ref, b2_ref, o, cmid)
+        if drop_p > 0.0:
+            keep = _keep_mask(z.shape, drop_p)
+            d = jnp.where(keep, z * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            keep, d = None, z
+        outs.append((keep, d, jax.nn.sigmoid(d)))
+    return dil1, mids, keepsA, dil2, outs
+
+
+def _decoder_loss_fwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
+                             b2_ref, uh1_ref, uw1_ref, uh2_ref, uw2_ref,
+                             obs_ref, err_ref,
+                             *, cin: int, cmid: int, cout: int,
+                             drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    uh1, uw1 = uh1_ref[...], uw1_ref[...]
+    uh2, uw2 = uh2_ref[...], uw2_ref[...]
+    _, _, _, _, outs = _dl_forward(
+        x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
+        cin, cmid, cout, drop_p)
+    tile = x_ref.shape[0]
+    totals = [jnp.float32(0.0)] * tile
+    for o, (_, _, y) in enumerate(outs):
+        d2 = (_plane_f32(obs_ref[:, o]) - y) ** 2
+        for t in range(tile):
+            totals[t] = totals[t] + jnp.sum(d2[t])
+    for t in range(tile):
+        # VMEM lane broadcast (see _loss_tail_fwd_kernel)
+        err_ref[t] = jnp.zeros((1, 128), jnp.float32) + totals[t]
+
+
+def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
+                             b2_ref, uh1_ref, uw1_ref, uh2_ref, uw2_ref,
+                             obs_ref, gbar_ref,
+                             dw1_ref, db1_ref, dw2_ref, db2_ref, gx_ref,
+                             *, cin: int, cmid: int, cout: int,
+                             drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    uh1, uw1 = uh1_ref[...], uw1_ref[...]
+    uh2, uw2 = uh2_ref[...], uw2_ref[...]
+
+    @pl.when(pi == 0)
+    def _init():
+        for c in range(cin):
+            for m in range(cmid):
+                for ky in range(4):
+                    for kx in range(4):
+                        dw1_ref[c, m, ky, kx] = 0.0
+        for m in range(cmid):
+            db1_ref[m, 0] = 0.0
+            for o in range(cout):
+                for ky in range(4):
+                    for kx in range(4):
+                        dw2_ref[m, o, ky, kx] = 0.0
+        for o in range(cout):
+            db2_ref[o, 0] = 0.0
+
+    dil1, mids, keepsA, dil2, outs = _dl_forward(
+        x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
+        cin, cmid, cout, drop_p)
+    gbar = gbar_ref[...]  # [tile, 1, 1]
+
+    # --- stage B backward: err -> y -> d -> (dw2, db2, g_mid) -------------
+    t, hm, wm = mids[0].shape
+    g_mid = [jnp.zeros((t, hm, wm), jnp.float32) for _ in range(cmid)]
+    for o, (keepB, d, y) in enumerate(outs):
+        g = gbar * (2.0 * (y - _plane_f32(obs_ref[:, o])))
+        g_d = g * y * (1.0 - y)  # sigmoid'
+        if drop_p > 0.0:
+            g_c = jnp.where(keepB, g_d * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c = g_d
+        db2_ref[o, 0] = db2_ref[o, 0] + jnp.sum(g_c)
+        for m in range(cmid):
+            for ky in range(4):
+                for kx in range(4):
+                    tap = _shift2(g_c, ky - 1, kx - 1)
+                    dw2_ref[m, o, ky, kx] = (
+                        dw2_ref[m, o, ky, kx] + jnp.sum(dil2[m] * tap)
+                    )
+        for m in range(cmid):
+            corr = jnp.zeros_like(g_c)
+            for ky in range(4):
+                for kx in range(4):
+                    corr = corr + wt2_ref[m, o, ky, kx] * _shift2(
+                        g_c, ky - 1, kx - 1)
+            g_mid[m] = g_mid[m] + _contract1(_contract1(corr, uh2), uw2)
+
+    # --- stage A backward: g_mid -> relu/drop -> (dw1, db1, gx) -----------
+    t, hi, wi = x_ref[:, 0].shape if x_ref.ndim == 4 else x_ref.shape
+    gx_acc = [jnp.zeros((t, hi, wi), jnp.float32) for _ in range(cin)]
+    for m in range(cmid):
+        # mids[m] = relu(dropA) — relu' via the activation (a > 0)
+        g_a = jnp.where(mids[m] > 0.0, g_mid[m], 0.0)
+        if drop_p > 0.0:
+            g_c = jnp.where(keepsA[m], g_a * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c = g_a
+        db1_ref[m, 0] = db1_ref[m, 0] + jnp.sum(g_c)
+        for c in range(cin):
+            for ky in range(4):
+                for kx in range(4):
+                    tap = _shift2(g_c, ky - 1, kx - 1)
+                    dw1_ref[c, m, ky, kx] = (
+                        dw1_ref[c, m, ky, kx] + jnp.sum(dil1[c] * tap)
+                    )
+        for c in range(cin):
+            corr = jnp.zeros_like(g_c)
+            for ky in range(4):
+                for kx in range(4):
+                    corr = corr + wt1_ref[c, m, ky, kx] * _shift2(
+                        g_c, ky - 1, kx - 1)
+            gx_acc[c] = gx_acc[c] + _contract1(_contract1(corr, uh1), uw1)
+    for c in range(cin):
+        gx_ref[:, c] = gx_acc[c]
+
+
+def _dl_bytes_per_inst(cin: int, cmid: int, h4: int, w4: int) -> int:
+    """Working set: stage-B planes at full output res dominate (~6),
+    stage-A/dilation planes at half res (~(2·cin + 3·cmid))."""
+    return int(6 * h4 * w4 * 4
+               + (2 * cin + 3 * cmid + 4) * (h4 // 2) * (w4 // 2) * 4)
+
+
+def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
+                       drop_p: float, interpret: bool, backward: bool):
+    n, cin, hi, wi = x.shape
+    cmid = wt1.shape[1]
+    cout = wt2.shape[1]
+    h2, w2 = 2 * hi, 2 * wi
+    h4, w4 = 4 * hi, 4 * wi
+    from .tiling import largest_divisor_tile
+
+    tile = largest_divisor_tile(n, _dl_bytes_per_inst(cin, cmid, h4, w4),
+                                TILE_BUDGET_BYTES)
+    uh1 = jnp.asarray(_decim_matrix(h2, 2))
+    uw1 = jnp.asarray(_decim_matrix(w2, 2))
+    uh2 = jnp.asarray(_decim_matrix(h4, 2))
+    uw2 = jnp.asarray(_decim_matrix(w4, 2))
+    common_in = [
+        pl.BlockSpec((tile, cin, hi, wi), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt1.shape, lambda i, *_: (0,) * wt1.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cmid, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt2.shape, lambda i, *_: (0,) * wt2.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(m.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+        for m in (uh1, uw1, uh2, uw2)
+    ] + [
+        pl.BlockSpec((tile, cout, h4, w4), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        x.astype(jnp.float32),
+        wt1.astype(jnp.float32),
+        b1.astype(jnp.float32).reshape(cmid, 1),
+        wt2.astype(jnp.float32),
+        b2.astype(jnp.float32).reshape(cout, 1),
+        uh1, uw1, uh2, uw2,
+        obs,  # dtype passthrough: uint8 upcast in VMEM
+    ]
+    est = 4 * tile * _dl_bytes_per_inst(cin, cmid, h4, w4)
+    cp = (None if est <= 16 * 2**20 else
+          pltpu.CompilerParams(vmem_limit_bytes=int(min(100 * 2**20, est))))
+    if not backward:
+        err = pl.pallas_call(
+            functools.partial(_decoder_loss_fwd_kernel, cin=cin, cmid=cmid,
+                              cout=cout, drop_p=drop_p),
+            out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // tile,),
+                in_specs=common_in,
+                out_specs=pl.BlockSpec((tile, 1, 128),
+                                       lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            compiler_params=cp,
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(*args)
+        return err[:, 0, 0]
+    dw1, db1, dw2, db2, gx = pl.pallas_call(
+        functools.partial(_decoder_loss_bwd_kernel, cin=cin, cmid=cmid,
+                          cout=cout, drop_p=drop_p),
+        out_shape=(
+            jax.ShapeDtypeStruct(wt1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((cmid, 1), jnp.float32),
+            jax.ShapeDtypeStruct(wt2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+            jax.ShapeDtypeStruct(x.shape, jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=common_in + [
+                pl.BlockSpec((tile, 1, 1), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(wt1.shape, lambda i, *_: (0,) * wt1.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((cmid, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(wt2.shape, lambda i, *_: (0,) * wt2.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((tile, cin, hi, wi), lambda i, *_: (i, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+        ),
+        compiler_params=cp,
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*args, gbar.astype(jnp.float32).reshape(n, 1, 1))
+    return dw1, db1.reshape(cmid), dw2, db2.reshape(cout), gx
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_decoder_loss(drop_p: float = 0.0, train: bool = False,
+                            interpret: bool = False):
+    """Build ``decoder_loss(x, wt1, b1, wt2, b2, obs, seed) -> err [N]`` —
+    the AE decoder's BOTH transpose-conv stages (deconv1 relu, deconv2
+    sigmoid — reference mcl.py:461-467) fused with the reconstruction-error
+    reduction.  Beyond :func:`make_fused_loss_tail`, the mid-resolution
+    decoder activation and its cotangent also never leave VMEM: with the
+    fused encoder the AE's only cross-pass residuals are the uint8 obs and
+    the pooled embedding.  ``obs`` may be uint8; the caller divides by
+    C·H·W for the reference's mean semantics."""
+    p = drop_p if train else 0.0
+
+    @jax.custom_vjp
+    def decoder_loss(x, wt1, b1, wt2, b2, obs, seed):
+        return _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, None,
+                                  drop_p=p, interpret=interpret,
+                                  backward=False)
+
+    def fwd(x, wt1, b1, wt2, b2, obs, seed):
+        return (decoder_loss(x, wt1, b1, wt2, b2, obs, seed),
+                (x, wt1, b1, wt2, b2, obs, seed))
+
+    def bwd(res, gbar):
+        x, wt1, b1, wt2, b2, obs, seed = res
+        dw1, db1, dw2, db2, gx = _decoder_loss_call(
+            x, wt1, b1, wt2, b2, obs, seed, gbar, drop_p=p,
+            interpret=interpret, backward=True)
+        gobs = (np.zeros(obs.shape, jax.dtypes.float0)
+                if jnp.issubdtype(obs.dtype, jnp.integer)
+                else jnp.zeros_like(obs))
+        return (gx.astype(x.dtype), dw1.astype(wt1.dtype),
+                db1.astype(b1.dtype), dw2.astype(wt2.dtype),
+                db2.astype(b2.dtype), gobs,
+                np.zeros((), jax.dtypes.float0))
+
+    decoder_loss.defvjp(fwd, bwd)
+    return decoder_loss

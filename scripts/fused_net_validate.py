@@ -32,7 +32,8 @@ from carle_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-from carle_tpu.ops.pallas_head import (make_fused_encoder,
+from carle_tpu.ops.pallas_head import (make_fused_decoder_loss,
+                                       make_fused_encoder,
                                        make_fused_head,
                                        make_fused_loss_tail,
                                        make_fused_tail)
@@ -317,6 +318,19 @@ def main():
         return err.mean() / (obs.shape[1] * obs.shape[2] * obs.shape[3])
 
     grads_vs_oracle("AE-enc(u8)", ae_fused_enc, ae_ref, ae_params)
+
+    # encoder + BOTH decoder stages + loss in two kernels total (the r4
+    # production fused-AE path: nets.conv_encoder + nets.conv_decoder_loss)
+    dl = make_fused_decoder_loss(0.0, train=False)
+
+    def ae_fused_dl(p):
+        z = enc_ae(obs_u8, p["conv1"]["w"], p["conv1"]["b"],
+                   p["conv2"]["w"], p["conv2"]["b"], jnp.int32(0), m_ae)
+        err = dl(z, p["deconv1"]["w"], p["deconv1"]["b"],
+                 p["deconv2"]["w"], p["deconv2"]["b"], obs_u8, jnp.int32(0))
+        return err.mean() / (obs.shape[1] * obs.shape[2] * obs.shape[3])
+
+    grads_vs_oracle("AE-dl(u8)", ae_fused_dl, ae_ref, ae_params)
 
     enc_rnd = make_fused_encoder(4, 2, 0.0, train=False)
 

@@ -503,7 +503,7 @@ def test_encoder_param_grads_parity():
     from carle_tpu.ops.pallas_head import _enc_tile, make_fused_encoder
 
     rng = np.random.RandomState(1)
-    n, h, w = 8, 128, 128
+    n, h, w = 8, 256, 256
     assert _enc_tile(n, 1, 4, h, w, 2) < n  # the point of this geometry
     x8 = jnp.asarray((rng.rand(n, 1, h, w) < 0.3).astype(np.uint8))
     co = jnp.asarray(rng.randn(n, 2, h // 4, w // 4).astype(np.float32))
@@ -647,3 +647,56 @@ def test_stepctx_obs_cells_set_by_both_stacks():
     assert net_input(ctx, True) == "u8"
     assert net_input(ctx, False) == "f32"
     assert net_input(ctx._replace(obs_cells=None), True) == "f32"
+
+
+def test_decoder_loss_parity():
+    """The two-stage decoder+loss kernel (deconv1 relu + deconv2 sigmoid +
+    error reduction in ONE kernel) matches the unfused composition: value,
+    all four param grads, and the input cotangent (uint8 obs)."""
+    from carle_tpu.ops.pallas_head import make_fused_decoder_loss
+
+    rng = np.random.RandomState(5)
+    n, cin, hi = 6, 2, 16
+    x = jnp.asarray(rng.randn(n, cin, hi, hi).astype(np.float32))
+    wt1 = jnp.asarray(rng.randn(cin, 1, 4, 4).astype(np.float32) * .3)
+    b1 = jnp.asarray(rng.randn(1).astype(np.float32) * .1)
+    wt2 = jnp.asarray(rng.randn(1, 1, 4, 4).astype(np.float32) * .3)
+    b2 = jnp.asarray(rng.randn(1).astype(np.float32) * .1)
+    obs = jnp.asarray((rng.rand(n, 1, 4 * hi, 4 * hi) < 0.3).astype(np.uint8))
+    dl = make_fused_decoder_loss(0.0, False, interpret=True)
+
+    def ref(x, wt1, b1, wt2, b2):
+        a = jax.nn.relu(nets.conv_transpose2d(x, {"w": wt1, "b": b1}))
+        y = jax.nn.sigmoid(nets.conv_transpose2d(a, {"w": wt2, "b": b2}))
+        return jnp.sum((obs.astype(jnp.float32) - y) ** 2, axis=(1, 2, 3))
+
+    ek = dl(x, wt1, b1, wt2, b2, obs, jnp.int32(0))
+    er = ref(x, wt1, b1, wt2, b2)
+    np.testing.assert_allclose(np.asarray(ek), np.asarray(er), rtol=1e-5)
+    gk = jax.grad(lambda *a: jnp.sum(dl(*a, obs, jnp.int32(0))),
+                  argnums=(0, 1, 2, 3, 4))(x, wt1, b1, wt2, b2)
+    gr = jax.grad(lambda *a: jnp.sum(ref(*a)),
+                  argnums=(0, 1, 2, 3, 4))(x, wt1, b1, wt2, b2)
+    for k, r in zip(gk, gr):
+        scale = float(np.abs(np.asarray(r)).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(k) / scale,
+                                   np.asarray(r) / scale,
+                                   rtol=5e-6, atol=5e-6)
+
+
+def test_conv_decoder_loss_fallback_and_routing():
+    """nets.conv_decoder_loss: CPU fallback == interpret kernel; the AE def
+    routes through it under fused_head (same reward as unfused to float
+    tolerance — covered end-to-end by the reward-parity suite)."""
+    rng = np.random.RandomState(6)
+    x = jnp.asarray(rng.randn(4, 2, 8, 8).astype(np.float32))
+    p1 = {"w": jnp.asarray(rng.randn(2, 1, 4, 4).astype(np.float32) * .3),
+          "b": jnp.asarray(rng.randn(1).astype(np.float32) * .1)}
+    p2 = {"w": jnp.asarray(rng.randn(1, 1, 4, 4).astype(np.float32) * .3),
+          "b": jnp.asarray(rng.randn(1).astype(np.float32) * .1)}
+    obs = jnp.asarray((rng.rand(4, 1, 32, 32) < 0.3).astype(np.uint8))
+    fb = nets.conv_decoder_loss(x, p1, p2, obs, None, drop_p=0.0,
+                                train=False)
+    kk = nets.conv_decoder_loss(x, p1, p2, obs, None, drop_p=0.0,
+                                train=False, force_kernel=True)
+    np.testing.assert_allclose(np.asarray(kk), np.asarray(fb), rtol=1e-5)

@@ -482,9 +482,13 @@ def evaluate_fused_batched(
     ``per_instance`` (identical to the protocol's batch-global mode at its
     instances=1).  Scores agree with :func:`evaluate_fused` to within that
     carry-over and the agent RNG stream — MEASURED for the default
-    4-wrapper stack: seed-mean |batched - sequential| 0.006 at steps=64
-    (3 seeds) and 0.029 at steps=128 (4 seeds) on scores ~0.8-1.0, i.e.
-    ~0.6-3.5% systematic, per-seed spread <= 0.084; bounded in CI by
+    4-wrapper stack.  On TPU v5e at the PUBLISHED battery (5 rulesets x
+    1024 steps, shipped checkpoints, 5 seeds —
+    assets/eval_deviation_r04.json, scripts/eval_deviation_tpu.py):
+    max per-seed |batched - sequential| 0.0254 on scores ~0.645 (3.9%),
+    5-seed mean diff +0.0014 (0.2%); warm battery 0.5-0.6 s batched vs
+    2.2 s sequential.  CPU at steps=64/128 over 5 seeds: per-seed |diff|
+    <= 0.102/0.084 (~10%), mean bias 2.5/3.8%; bounded in CI by
     tests/test_drivers.py::test_batched_vs_sequential_deviation_bound.
     Use the sequential path for published numbers and this one for fast
     scoring in training loops.

@@ -34,7 +34,6 @@ and a production two-stream kernel should chase the ALU ceiling.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 import os
 import sys

@@ -208,7 +208,7 @@ def main() -> int:
     parser.add_argument("--launches", type=int, default=8)
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
-    parser.add_argument("--scheme", choices=("h", "v", "v3", "vc", "vcc",
+    parser.add_argument("--scheme", choices=("h", "v", "v3", "vc", "vcc", "vc2",
                                              "vd"),
                         default=None,
                         help="kernel step scheme; default = per-backend "

@@ -474,6 +474,28 @@ _STATIC_STEPS = {
 
 def _static_multi_step_kernel(steps_ref, grid_ref, out_ref, *, birth, survive,
                               scheme="v"):
+    if scheme == "vc2":
+        # TWO-STREAM vc: the tile's halves run as independent dependency
+        # chains inside one loop body, giving the Mosaic scheduler adjacent
+        # independent crossbar and ALU ops to interleave.  Measured on v5e
+        # (scripts/overlap_probe.py, two sessions): +5.2% / +6.2% over the
+        # single-chain vc at 4096x256x256 — scheduling slack, not true
+        # crossbar/ALU overlap (the probe's mix additivity is 0.95, and
+        # substituting the 2 lane shifts with 2 ALU ops measures SLOWER,
+        # so the crossbar already pipelines under the ALU stream).
+        step = _STATIC_STEPS["vc"]
+        t2 = grid_ref.shape[0] // 2
+
+        def body2(_, ab):
+            a, b = ab
+            return step(a, birth, survive), step(b, birth, survive)
+
+        a, b = jax.lax.fori_loop(
+            0, steps_ref[0], body2,
+            (grid_ref[:t2], grid_ref[t2:]))
+        out_ref[:t2] = a
+        out_ref[t2:] = b
+        return
     step = _STATIC_STEPS[scheme]
 
     def body(_, g):
@@ -574,8 +596,12 @@ def bit_multi_step_pallas_static(
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)
     tile = _tile(inst, nwords, h)
-    if scheme not in _STATIC_STEPS:
-        raise ValueError(f"unknown scheme {scheme!r}; one of {sorted(_STATIC_STEPS)}")
+    if scheme == "vc2" and tile % 2:
+        scheme = "vc"  # two streams need an even tile; same math either way
+    if scheme not in _STATIC_STEPS and scheme != "vc2":
+        raise ValueError(
+            f"unknown scheme {scheme!r}; one of "
+            f"{sorted(_STATIC_STEPS) + ['vc2']}")
     kernel = functools.partial(
         _static_multi_step_kernel,
         birth=frozenset(birth),

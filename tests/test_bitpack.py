@@ -279,3 +279,31 @@ def test_gosper_gun_population_golden():
             bit_multi_step(packed, jnp.asarray(rules.LIFE), t), 256
         )
         assert int(np.asarray(out).sum()) == 36 + 5 * (t // 30), t
+
+
+def test_static_pallas_vc2_two_stream_parity():
+    """The two-stream "vc2" scheme (tile halves as independent dependency
+    chains — measured +5-6% on v5e, scripts/overlap_probe.py) is bit-exact
+    vs the packed reference, including at an ODD tile where it must fall
+    back to single-chain vc."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_static
+
+    rng = np.random.RandomState(21)
+    grid = (rng.rand(4, 128, 256) < 0.35).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+    expected = bit_multi_step(packed, jnp.asarray(rules.LIFE), 5)
+    with pltpu.force_tpu_interpret_mode():
+        out = bit_multi_step_pallas_static(packed, (3,), (2, 3),
+                                           jnp.asarray(5), scheme="vc2")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+
+    # odd instance count -> odd tile -> silent single-chain fallback
+    grid3 = (rng.rand(3, 128, 256) < 0.35).astype(np.uint8)
+    packed3 = pack_grid(jnp.asarray(grid3))
+    expected3 = bit_multi_step(packed3, jnp.asarray(rules.LIFE), 3)
+    with pltpu.force_tpu_interpret_mode():
+        out3 = bit_multi_step_pallas_static(packed3, (3,), (2, 3),
+                                            jnp.asarray(3), scheme="vc2")
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(expected3))

@@ -101,10 +101,16 @@ def main() -> int:
             rec = probe(inst, args.size, args.packed, args.steps,
                         fused_head=not args.no_fused_head)
         except Exception as e:  # RESOURCE_EXHAUSTED etc.
-            msg = str(e)
+            import re
+
+            msg = re.sub(r"\x1b\[[0-9;]*m", "", str(e))  # strip ANSI
+            # keep the HBM allocation breakdown when present — it IS the
+            # ladder's diagnostic (the r4 binder accounting came from it)
+            m = re.search(r"Largest program allocations[\s\S]{0,6000}", msg)
             rec = {"instances": inst, "size": args.size,
                    "packed": args.packed, "ok": False,
-                   "error": msg[:2500],
+                   "error": msg[:2000],
+                   "allocations": m.group(0) if m else None,
                    "oom": "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg
                           or "memory space" in msg or "exceeds" in msg}
             print(json.dumps(rec), flush=True)

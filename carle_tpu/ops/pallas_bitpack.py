@@ -582,17 +582,20 @@ def bit_multi_step_pallas(
 @functools.partial(jax.jit, static_argnames=("birth", "survive", "scheme"))
 def bit_multi_step_pallas_static(
     packed: jax.Array, birth, survive, num_steps: jax.Array,
-    scheme: str = "vc",
+    scheme: str = "vc2",
 ) -> jax.Array:
     """``num_steps`` generations with the rule baked into the kernel.
 
     ~3x fewer bitops per word than the rules-as-data kernel for sparse
     rulesets like Life; recompiles when (birth, survive) change — use for
-    long fixed-rule runs and benchmarks.  ``scheme="vc"`` (default) is the
-    vertical-first step with slice+concat lane shifts (2.03e12 cells/s on
-    v5e), ``"v"`` the same schedule with dynamic lane rotates (1.81-2.0e12,
-    session-dependent), ``"h"`` the round-1 horizontal-pair step (8 rolls,
-    1.36e12 — see :func:`_static_step_block_v2`)."""
+    long fixed-rule runs and benchmarks.  ``scheme="vc2"`` (default, r4)
+    is the TWO-STREAM vc step — the tile's halves as independent
+    dependency chains, +7% same-session over single-chain "vc" (bench
+    2.190e12 vs 2.047e12 cells/s on v5e, identical checksums; odd tiles
+    silently fall back to vc).  ``"vc"`` is the single-chain vertical-
+    first step with slice+concat lane shifts, ``"v"`` the same schedule
+    with dynamic lane rotates (1.81-2.0e12, session-dependent), ``"h"``
+    the round-1 horizontal-pair step (8 rolls, 1.36e12)."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)
     tile = _tile(inst, nwords, h)

@@ -154,11 +154,13 @@ def job_spatial8k(devs, size: int = 8192) -> None:
     plane_bytes = (size // shards + 2 * halo) * size * 4
     fused_ok = 7 * plane_bytes <= 100 * 2**20 and mesh is not None
     fused_arg = SpaceSharding(mesh) if fused_ok else False
-    # the unfused XLA path's conv/backward transients at 8192² measured
-    # ~17.2 GB on one v5e (> the 15.75 GB HBM) — shrink the learned leg to
-    # the largest geometry that fits and label it; the full-size fused leg
-    # is a pod job by the bound above
-    learned_size = size if (fused_ok or size <= 4096) else 4096
+    # the unfused XLA path hits the tiny-channel LAYOUT pathology at
+    # scale: the 4-channel conv activation gets a 128-lane-padded layout
+    # (f32[1,4,4096,4096] T(1,128) allocates 8 GB — 32x its 256 MB), so
+    # 4096²+ OOMs one chip.  Shrink the learned leg to 2048² (padded
+    # transients ~4 GB) and label it; the full-size fused leg is a pod
+    # job by the VMEM bound above
+    learned_size = size if fused_ok else min(size, 2048)
     lcfg = (cfg if learned_size == size else
             EnvConfig(height=learned_size, width=learned_size,
                       action_height=64, action_width=64, instances=1))

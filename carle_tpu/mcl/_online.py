@@ -109,12 +109,23 @@ def accumulate_and_maybe_update(
 
 
 def net_input(ctx: Any, fused_head: Any) -> jax.Array:
-    """The observation a wrapper net should consume: the uint8 cells when
-    the fused Pallas kernels will take them (they upcast in VMEM, so the
-    f32 obs is DCE'd from the compiled step — the largest per-env HBM
-    transient of fused training), else the float32 obs.  ``fused_head``
-    follows the defs' convention: False = unfused, True/Mesh = fused."""
-    if fused_head is not False and getattr(ctx, "obs_cells", None) is not None:
+    """The observation a wrapper net should consume.  Fused kernels take
+    the PACKED universe directly when the stack carries one (expanded to
+    cell planes in VMEM — neither the f32 obs nor the u8 cells, nor even
+    the XLA unpack's u32 temps, ever exist in HBM; those temps were
+    2 MB/env at 512², the r4 envs/chip ladder's residual binder), else
+    the uint8 cells (upcast in VMEM), else the float32 obs.  The
+    space-sharded tier stays on cells: its halo'd reductions run in XLA.
+    ``fused_head`` follows the defs' convention: False = unfused,
+    True/Mesh/SpaceSharding = fused."""
+    if fused_head is False:
+        return ctx.obs
+    from ..nets import SpaceSharding
+
+    if (not isinstance(fused_head, SpaceSharding)
+            and getattr(ctx, "packed", None) is not None):
+        return ctx.packed[:, None]
+    if getattr(ctx, "obs_cells", None) is not None:
         return ctx.obs_cells
     return ctx.obs
 

@@ -122,7 +122,9 @@ def ae2d_def(
                                          drop_p=DROP_P, train=use_dropout,
                                          mesh=mesh)
             del k4
-            n_elem = obs.shape[1] * obs.shape[2] * obs.shape[3]
+            # CELL count from the f32 obs SHAPE (trace-time only — obs may
+            # be the packed u32 universe whose last dim is W/32)
+            n_elem = ctx.obs.shape[1] * ctx.obs.shape[2] * ctx.obs.shape[3]
             return err / jnp.float32(n_elem), state.extra
         prediction = ae_forward(params, obs, ctx.key, use_dropout,
                                 compute_dtype, fused_head)

@@ -253,6 +253,18 @@ def split_keys(key: Optional[jax.Array], n: int) -> Tuple[Optional[jax.Array], .
     return tuple(jax.random.split(key, n))
 
 
+
+def _cells_f32(x: jax.Array) -> jax.Array:
+    """f32 cell view of a net input that may be f32/uint8 cells or the
+    PACKED universe (uint32, last dim W/32).  Off-TPU fallback counterpart
+    of the kernels' in-VMEM expansion (ops/pallas_head._expand_packed)."""
+    if x.dtype == jnp.uint32:
+        from .ops.bitpack import unpack_grid
+
+        return unpack_grid(x, x.shape[-1] * 32).astype(jnp.float32)
+    return x.astype(jnp.float32)
+
+
 def _shard_fused(call, mesh):
     """Partition a fused head/tail kernel call over a device mesh's first
     axis (the instance batch).
@@ -433,7 +445,7 @@ def conv_encoder(
                                force_kernel=force_kernel)
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
-        xf = x.astype(jnp.float32)
+        xf = _cells_f32(x)
         k1, k2 = split_keys(key, 2)
         z = conv2d(xf, p1, padding=1)
         z = jax.nn.relu(dropout(z, k1, drop_p, train))
@@ -541,7 +553,7 @@ def conv_loss_tail(
         z = conv_transpose2d(x, p, stride=2, padding=1)
         z = dropout(z, key, drop_p, train)
         y = jax.nn.relu(z) if act == "relu" else jax.nn.sigmoid(z)
-        return jnp.sum((obs.astype(jnp.float32) - y) ** 2, axis=(1, 2, 3))
+        return jnp.sum((_cells_f32(obs) - y) ** 2, axis=(1, 2, 3))
     tail = make_fused_loss_tail(act, drop_p, train, interpret=not on_tpu)
     if mesh is not None:
         tail = _shard_fused_loss(tail, mesh)
@@ -616,7 +628,7 @@ def conv_decoder_loss(
         a = jax.nn.relu(dropout(a, k1, drop_p, train))
         z = conv_transpose2d(a, p2, stride=2, padding=1)
         y = jax.nn.sigmoid(dropout(z, k2, drop_p, train))
-        return jnp.sum((obs.astype(jnp.float32) - y) ** 2, axis=(1, 2, 3))
+        return jnp.sum((_cells_f32(obs) - y) ** 2, axis=(1, 2, 3))
     dl = make_fused_decoder_loss(drop_p, train, interpret=not on_tpu)
     if mesh is not None:
         dl = _shard_fused_decoder_loss(dl, mesh)

@@ -139,6 +139,21 @@ def _shift_rows(x: jax.Array, d: int) -> jax.Array:
         [jnp.zeros((t, -d, w), x.dtype), x[:, :h + d, :]], axis=1)
 
 
+def _expand_packed(xc: jax.Array) -> jax.Array:
+    """u32 packed words [t, H, W/32] -> f32 cells [t, H, W], entirely in
+    VMEM: lane-repeat each word 32x, then extract bit (lane % 32).  This
+    is why the fused nets can consume the packed universe DIRECTLY — the
+    XLA-level unpack materialized two u32 cell-sized HBM temps (2 MB/env
+    at 512², the r4 envs/chip ladder's residual binder; the 8192-env
+    compile OOM's top two allocations were exactly these)."""
+    # jnp.repeat = element-repeat (broadcast+reshape) — NOT pltpu.repeat,
+    # whose tile semantics would interleave the words
+    rep = jnp.repeat(xc, 32, axis=-1)
+    lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, rep.ndim - 1)
+    bit = (rep >> (lane & 31).astype(jnp.uint32)) & jnp.uint32(1)
+    return bit.astype(jnp.int32).astype(jnp.float32)
+
+
 def _plane_f32(xc: jax.Array) -> jax.Array:
     """Upcast an input plane to f32 IN VMEM.  Integer (uint8 observation)
     planes go through i32 first — Mosaic's vector unit has no direct
@@ -148,6 +163,8 @@ def _plane_f32(xc: jax.Array) -> jax.Array:
     training at 512²: f32[N,1,512,512] = 1 MB/env)."""
     if xc.dtype == jnp.float32:
         return xc
+    if xc.dtype == jnp.uint32:
+        return _expand_packed(xc)  # packed words -> cells, in VMEM
     if jnp.issubdtype(xc.dtype, jnp.integer):
         return xc.astype(jnp.int32).astype(jnp.float32)
     return xc.astype(jnp.float32)
@@ -848,7 +865,8 @@ def _loss_tail_call(x, wt, b, obs, seed, gbar, *, drop_p: float, act: str,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(uw.shape, lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((tile, cout, h2, w2), lambda i, *_: (i, 0, 0, 0),
+        pl.BlockSpec((tile, cout, h2, obs.shape[3]),
+                     lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [
@@ -1185,7 +1203,10 @@ def _enc_compiler_params(tile: int, cin: int, c1: int, h: int, w: int,
 
 def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
               drop_p: float, interpret: bool, backward: bool):
-    n, cin, h, wd = x.shape
+    n, cin, h, wx = x.shape
+    # uint32 input = the PACKED universe (32 cells/word, expanded to cell
+    # planes inside the kernel by _plane_f32/_expand_packed)
+    wd = wx * 32 if x.dtype == jnp.uint32 else wx
     c1 = w1.shape[0]
     c2 = w2.shape[0]
     tile = _enc_tile(n, cin, c1, h, wd, p1)
@@ -1196,7 +1217,7 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
     sh2 = jnp.asarray(_decim_matrix(h1, p2))
     sw2 = jnp.asarray(_decim_matrix(w1d, p2))
     common_in = [
-        pl.BlockSpec((tile, cin, h, wd), lambda i, *_: (i, 0, 0, 0),
+        pl.BlockSpec((tile, cin, h, wx), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec(w1.shape, lambda i, *_: (0,) * w1.ndim,
                      memory_space=pltpu.VMEM),
@@ -1522,7 +1543,9 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
         pl.BlockSpec(m.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
         for m in (uh1, uw1, uh2, uw2)
     ] + [
-        pl.BlockSpec((tile, cout, h4, w4), lambda i, *_: (i, 0, 0, 0),
+        # obs may be PACKED (u32, last dim W/32): block follows its shape
+        pl.BlockSpec((tile, cout, h4, obs.shape[3]),
+                     lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
     ]
     args = [

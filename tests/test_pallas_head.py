@@ -700,3 +700,61 @@ def test_conv_decoder_loss_fallback_and_routing():
     kk = nets.conv_decoder_loss(x, p1, p2, obs, None, drop_p=0.0,
                                 train=False, force_kernel=True)
     np.testing.assert_allclose(np.asarray(kk), np.asarray(fb), rtol=1e-5)
+
+
+def test_encoder_and_decoder_loss_accept_packed_universe():
+    """The fused kernels consume the PACKED universe directly (u32, last
+    dim W/32 — expanded to cell planes in VMEM): bit-identical outputs and
+    grads vs the uint8-cells input.  This is what keeps the XLA unpack's
+    u32 cell-sized temps (2 MB/env at 512² — the r4 ladder's residual
+    binder) out of HBM entirely."""
+    from carle_tpu.ops.bitpack import pack_grid
+    from carle_tpu.ops.pallas_head import (make_fused_decoder_loss,
+                                           make_fused_encoder)
+
+    rng = np.random.RandomState(7)
+    cells = (rng.rand(4, 64, 64) < 0.3).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(cells))[:, None]
+    x8 = jnp.asarray(cells)[:, None]
+    w1 = jnp.asarray(rng.randn(4, 1, 3, 3).astype(np.float32) * .3)
+    b1 = jnp.asarray(rng.randn(4).astype(np.float32) * .1)
+    w2 = jnp.asarray(rng.randn(2, 4, 3, 3).astype(np.float32) * .3)
+    b2 = jnp.asarray(rng.randn(2).astype(np.float32) * .1)
+    enc = make_fused_encoder(2, 2, 0.0, False, interpret=True)
+    ones = jnp.ones((32, 1), jnp.float32)
+    np.testing.assert_array_equal(
+        np.asarray(enc(packed, w1, b1, w2, b2, jnp.int32(0), ones)),
+        np.asarray(enc(x8, w1, b1, w2, b2, jnp.int32(0), ones)))
+    gp = jax.grad(lambda a, b: (enc(packed, a, b1, b, b2, jnp.int32(0),
+                                    ones) ** 2).sum(), argnums=(0, 1))(w1, w2)
+    gu = jax.grad(lambda a, b: (enc(x8, a, b1, b, b2, jnp.int32(0),
+                                    ones) ** 2).sum(), argnums=(0, 1))(w1, w2)
+    for k, u in zip(gp, gu):
+        np.testing.assert_array_equal(np.asarray(k), np.asarray(u))
+
+    x = jnp.asarray(rng.randn(4, 2, 16, 16).astype(np.float32))
+    wt1 = jnp.asarray(rng.randn(2, 1, 4, 4).astype(np.float32) * .3)
+    wt2 = jnp.asarray(rng.randn(1, 1, 4, 4).astype(np.float32) * .3)
+    bb = jnp.asarray(rng.randn(1).astype(np.float32) * .1)
+    dl = make_fused_decoder_loss(0.0, False, interpret=True)
+    np.testing.assert_array_equal(
+        np.asarray(dl(x, wt1, bb, wt2, bb, packed, jnp.int32(0))),
+        np.asarray(dl(x, wt1, bb, wt2, bb, x8, jnp.int32(0))))
+
+
+def test_net_input_prefers_packed_for_fused():
+    """net_input hands the fused kernels the packed universe when the
+    stack carries one (except the space-sharded tier, which reduces in
+    XLA over cells)."""
+    from carle_tpu.mcl._online import net_input
+    from carle_tpu.mcl.base import StepCtx
+    from carle_tpu.nets import SpaceSharding
+
+    packed = jnp.zeros((2, 8, 2), jnp.uint32)
+    ctx = StepCtx(prev_grid=None, obs="f32", action=None, action_full=None,
+                  key=None, packed=packed, obs_cells="u8")
+    out = net_input(ctx, True)
+    assert out.dtype == jnp.uint32 and out.shape == (2, 1, 8, 2)
+    assert net_input(ctx, False) == "f32"
+    assert net_input(ctx, SpaceSharding(None)) == "u8"
+    assert net_input(ctx._replace(packed=None), True) == "u8"

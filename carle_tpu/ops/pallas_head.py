@@ -146,12 +146,30 @@ def _expand_packed(xc: jax.Array) -> jax.Array:
     XLA-level unpack materialized two u32 cell-sized HBM temps (2 MB/env
     at 512², the r4 envs/chip ladder's residual binder; the 8192-env
     compile OOM's top two allocations were exactly these)."""
-    # jnp.repeat = element-repeat (broadcast+reshape) — NOT pltpu.repeat,
-    # whose tile semantics would interleave the words
-    rep = jnp.repeat(xc, 32, axis=-1)
-    lane = jax.lax.broadcasted_iota(jnp.int32, rep.shape, rep.ndim - 1)
-    bit = (rep >> (lane & 31).astype(jnp.uint32)) & jnp.uint32(1)
-    return bit.astype(jnp.int32).astype(jnp.float32)
+    # Mosaic has NO lowering for the minor-dim-merging reshape an
+    # element-repeat needs (vector<...x8x32> -> vector<...x256> fails at
+    # compile), and pltpu.repeat's tile semantics would interleave words.
+    # Lowerable recipe: split words into BYTE planes (values 0-255 — f32
+    # exact), lane-concat them, map bytes to their 8 output lanes with an
+    # exact selection MATMUL on the MXU, then integer-extract bit lane%8.
+    nw = xc.shape[-1]
+    w = nw * 32
+    bytes_f = jnp.concatenate(
+        [((xc >> (8 * b)) & jnp.uint32(0xFF)).astype(jnp.int32)
+         .astype(jnp.float32) for b in range(4)],
+        axis=-1)                                   # [t, H, 4nw], lane
+    # j = b*nw + k holds byte b of word k
+    rows = jax.lax.broadcasted_iota(jnp.int32, (4 * nw, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (4 * nw, w), 1)
+    sel = (rows == ((cols % 32) // 8) * nw + cols // 32)
+    m = sel.astype(jnp.float32)                    # [4nw, w] 0/1
+    spread = jax.lax.dot_general(
+        bytes_f, m, (((bytes_f.ndim - 1,), (0,)), ((), ())),
+        precision=_HI)                             # [t, H, w] byte values
+    lane = jax.lax.broadcasted_iota(jnp.int32, spread.shape,
+                                    spread.ndim - 1)
+    bit = (spread.astype(jnp.int32) >> (lane & 7)) & 1
+    return bit.astype(jnp.float32)
 
 
 def _plane_f32(xc: jax.Array) -> jax.Array:

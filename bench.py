@@ -110,6 +110,8 @@ def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches,
 
     if scheme == "vd":  # data-only fold experiment; nearest static is vc
         scheme = "vc"
+    if scheme == "vd2":
+        scheme = "vc2"
     packed = pack_grid(grid)
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
     birth, survive = (3,), (2, 3)
@@ -133,6 +135,8 @@ def bench_bitpack_pallas(grid, rule_bits, steps_per_launch, launches,
 
     if scheme == "v3":  # static-only probe
         scheme = "v"
+    if scheme == "vc2":  # static-only two-stream; nearest data is vd2
+        scheme = "vd2"
     packed = pack_grid(grid)
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
     _sync(bit_multi_step_pallas(packed, rule_bits, steps, scheme=scheme))
@@ -209,10 +213,10 @@ def main() -> int:
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
     parser.add_argument("--scheme", choices=("h", "v", "v3", "vc", "vcc", "vc2",
-                                             "vd"),
+                                             "vd", "vd2"),
                         default=None,
                         help="kernel step scheme; default = per-backend "
-                             "best (static: vc, rules-as-data: vd). "
+                             "best (static: vc2, rules-as-data: vd). "
                              "vc = vertical-first with slice+concat lane "
                              "shifts (static 2.03e12 cells/s on v5e, data "
                              "1.34e12), vd = vc's schedule + n3-first "
@@ -277,6 +281,10 @@ def main() -> int:
         scheme = "vc2" if "static" in backend else "vd"
     if "static" in backend and scheme == "vd":
         scheme = "vc"  # vd is a data-only fold experiment
+    if "static" in backend and scheme == "vd2":
+        scheme = "vc2"  # nearest static two-stream
+    if "static" not in backend and scheme == "vc2":
+        scheme = "vd2"  # nearest data-backend two-stream
     if "static" not in backend and scheme == "v3":
         scheme = "v"   # v3 is a static-only probe
     if (args.scheme is not None

@@ -262,6 +262,24 @@ _DATA_STEPS = {
 
 
 def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref, *, scheme="v"):
+    if scheme == "vd2":
+        # TWO-STREAM vd — same scheduling-slack trick as the static "vc2"
+        # (see _static_multi_step_kernel): the tile's halves run as
+        # independent dependency chains so Mosaic can interleave adjacent
+        # crossbar and ALU ops across streams.
+        step = _DATA_STEPS["vd"]
+        t2 = grid_ref.shape[0] // 2
+
+        def body2(_, ab):
+            a, b = ab
+            return step(a, rule_ref[0]), step(b, rule_ref[0])
+
+        a, b = jax.lax.fori_loop(
+            0, steps_ref[0], body2,
+            (grid_ref[:t2], grid_ref[t2:]))
+        out_ref[:t2] = a
+        out_ref[t2:] = b
+        return
     step = _DATA_STEPS[scheme]
 
     def body(_, g):
@@ -280,15 +298,40 @@ def _multi_step_kernel_vec(steps_ref, grid_ref, rule_ref, out_ref, *,
     than scalar rules on v5e: 8.7e11 vs 1.37e12).  The masks are
     loop-invariant, so hoist them out of the fori_loop; the dispatch picks
     a smaller instance tile to keep 18 resident planes inside VMEM."""
-    step = _DATA_STEPS[scheme]
     rules = rule_ref[...]
-    masks = [
-        jnp.broadcast_to(
-            jnp.uint32(0) - ((rules >> k) & 1).astype(jnp.uint32),
-            grid_ref.shape,
-        )
-        for k in range(18)
-    ]
+
+    def hoisted_masks(r, shape):
+        return [
+            jnp.broadcast_to(
+                jnp.uint32(0) - ((r >> k) & 1).astype(jnp.uint32), shape
+            )
+            for k in range(18)
+        ]
+
+    if scheme == "vd2":
+        # two-stream vd with per-half hoisted rule masks (see
+        # _multi_step_kernel above for the scheduling rationale)
+        step = _DATA_STEPS["vd"]
+        t2 = grid_ref.shape[0] // 2
+        half = (t2,) + grid_ref.shape[1:]
+        ra, rb = rules[:t2], rules[t2:]
+        masks_a = hoisted_masks(ra, half)
+        masks_b = hoisted_masks(rb, half)
+
+        def body2(_, ab):
+            a, b = ab
+            return (step(a, ra, masks=masks_a),
+                    step(b, rb, masks=masks_b))
+
+        a, b = jax.lax.fori_loop(
+            0, steps_ref[0], body2,
+            (grid_ref[:t2], grid_ref[t2:]))
+        out_ref[:t2] = a
+        out_ref[t2:] = b
+        return
+
+    step = _DATA_STEPS[scheme]
+    masks = hoisted_masks(rules, grid_ref.shape)
 
     def body(_, g):
         return step(g, rules, masks=masks)
@@ -527,8 +570,12 @@ def bit_multi_step_pallas(
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)  # [inst, W/32, H]
     tile = _tile(inst, nwords, h)
-    if scheme not in _DATA_STEPS:
-        raise ValueError(f"unknown scheme {scheme!r}; one of {sorted(_DATA_STEPS)}")
+    if scheme == "vd2" and tile % 2:
+        scheme = "vd"  # two streams need an even tile; same math either way
+    if scheme not in _DATA_STEPS and scheme != "vd2":
+        raise ValueError(
+            f"unknown scheme {scheme!r}; one of "
+            f"{sorted(_DATA_STEPS) + ['vd2']}")
     rb = jnp.asarray(rule_bits, jnp.int32)
     if rb.ndim == 1:
         # ~10 live step planes + 18 hoisted rule masks resident: shrink the
@@ -536,6 +583,8 @@ def bit_multi_step_pallas(
         # 2.5% of 64 for the static kernel — scripts/tile_probe.py)
         tile = _tile(inst, nwords, h,
                      budget_bytes=int(8 * 2**20 * 10 / 28))
+        if scheme == "vd2" and tile % 2:
+            scheme = "vd"
         out = pl.pallas_call(
             functools.partial(_multi_step_kernel_vec, scheme=scheme),
             out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),

@@ -187,7 +187,7 @@ def test_bitpack_pallas_vector_rules_parity():
         ref = ca_step_grid(ref, bits)
 
     packed = pack_grid(jnp.asarray(grid))
-    for scheme in ("h", "v", "vc", "vcc", "vd"):
+    for scheme in ("h", "v", "vc", "vcc", "vd", "vd2"):
         with pltpu.force_tpu_interpret_mode():
             out = bit_multi_step_pallas(packed, bits, jnp.asarray(4),
                                         scheme=scheme)
@@ -306,4 +306,47 @@ def test_static_pallas_vc2_two_stream_parity():
     with pltpu.force_tpu_interpret_mode():
         out3 = bit_multi_step_pallas_static(packed3, (3,), (2, 3),
                                             jnp.asarray(3), scheme="vc2")
+    np.testing.assert_array_equal(np.asarray(out3), np.asarray(expected3))
+
+
+def test_data_pallas_vd2_two_stream_parity():
+    """The two-stream "vd2" rules-as-data scheme is bit-exact vs the packed
+    XLA reference for scalar rules, per-instance rule VECTORS (per-half
+    hoisted masks), and at an odd tile (single-chain vd fallback)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas
+
+    rng = np.random.RandomState(22)
+    grid = (rng.rand(4, 128, 256) < 0.35).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+
+    # scalar rule
+    expected = bit_multi_step(packed, jnp.asarray(rules.LIFE), 5)
+    with pltpu.force_tpu_interpret_mode():
+        out = bit_multi_step_pallas(packed, jnp.asarray(rules.LIFE),
+                                    jnp.asarray(5), scheme="vd2")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+
+    # per-instance rule vector: each half-stream carries its own rules
+    bits = jnp.asarray(
+        [rules.pack_rule_bits([3], [2, 3]),
+         rules.pack_rule_bits([3, 6, 8], [2, 4, 5]),
+         rules.pack_rule_bits([2], [0]),
+         rules.pack_rule_bits([3, 6, 7, 8], [3, 4, 6, 7, 8])],
+        dtype=jnp.int32,
+    )
+    expected_v = bit_multi_step(packed, bits, 4)
+    with pltpu.force_tpu_interpret_mode():
+        out_v = bit_multi_step_pallas(packed, bits, jnp.asarray(4),
+                                      scheme="vd2")
+    np.testing.assert_array_equal(np.asarray(out_v), np.asarray(expected_v))
+
+    # odd instance count -> odd tile -> silent single-chain fallback
+    grid3 = (rng.rand(3, 128, 256) < 0.35).astype(np.uint8)
+    packed3 = pack_grid(jnp.asarray(grid3))
+    expected3 = bit_multi_step(packed3, jnp.asarray(rules.LIFE), 3)
+    with pltpu.force_tpu_interpret_mode():
+        out3 = bit_multi_step_pallas(packed3, jnp.asarray(rules.LIFE),
+                                     jnp.asarray(3), scheme="vd2")
     np.testing.assert_array_equal(np.asarray(out3), np.asarray(expected3))

@@ -8,8 +8,8 @@ and killing mid-compile caches nothing; pass --timeout only on a box with
 a local compiler.
 
 Checklist (scaled by --quick for smoke vs full-size for measurement):
-  1. bench.py static vc          — the 2.03e12 cells/s headline
-  2. bench.py data vc / vd       — rules-as-data + the vd fold experiment
+  1. bench.py static vc / vc2    — the single-chain + two-stream headlines
+  2. bench.py data vc / vd / vd2 — rules-as-data folds + two-stream variant
   3. bench.py per-instance rules — mixed-rule batch engine
   4. eval battery (batched)      — 5x1024 challenge protocol in one scan
   5. train_mcl --fused-head      — fully-fused wrapper-net training step
@@ -54,6 +54,11 @@ def _jobs(quick: bool):
                                 "--scheme", "vc"] + bench_common),
         ("bench-data-vd", py + ["bench.py", "--backend", "bitpack-pallas",
                                 "--scheme", "vd"] + bench_common),
+        ("bench-data-vd2", py + ["bench.py", "--backend", "bitpack-pallas",
+                                 "--scheme", "vd2"] + bench_common),
+        ("bench-static-vc2", py + ["bench.py",
+                                   "--backend", "bitpack-pallas-static",
+                                   "--scheme", "vc2"] + bench_common),
         ("bench-per-instance-rules", py + ["bench.py",
                                            "--backend", "bitpack-pallas",
                                            "--per-instance-rules"]

@@ -278,7 +278,7 @@ def main() -> int:
     # aliased run would fabricate e.g. an exact vd-vs-vc static tie)
     scheme = args.scheme
     if scheme is None:  # per-backend best (measured, see --scheme help)
-        scheme = "vc2" if "static" in backend else "vd"
+        scheme = "vc2" if "static" in backend else "vd2"
     if "static" in backend and scheme == "vd":
         scheme = "vc"  # vd is a data-only fold experiment
     if "static" in backend and scheme == "vd2":

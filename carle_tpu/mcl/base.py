@@ -37,6 +37,20 @@ from ..env import CARLE, EnvState, env_step, reset_state
 from ..ops.ca import pad_action
 
 
+_BARRIER_FIELDS = ("obs", "obs_cells", "packed")
+
+
+def _barrier_ctx(ctx: "StepCtx", reward: jax.Array):
+    """Identity that pins scheduling: the returned ctx's net-input fields
+    cannot be consumed before ``reward`` (the previous wrapper's output)
+    is produced.  See WrapperStack._apply_wrappers."""
+    present = [f for f in _BARRIER_FIELDS
+               if getattr(ctx, f, None) is not None]
+    vals = jax.lax.optimization_barrier(
+        tuple([reward] + [getattr(ctx, f) for f in present]))
+    return ctx._replace(**dict(zip(present, vals[1:]))), vals[0]
+
+
 class StepCtx(NamedTuple):
     """Everything a wrapper may observe about one env transition."""
 
@@ -98,9 +112,14 @@ class WrapperStack:
     each wrapper in order.
     """
 
-    def __init__(self, config: EnvConfig, wrappers: Sequence[WrapperDef] = ()):
+    def __init__(self, config: EnvConfig, wrappers: Sequence[WrapperDef] = (),
+                 serialize: bool = False):
         self.config = config
         self.wrappers = tuple(wrappers)
+        # serialize=True re-issues each wrapper's heavy inputs through an
+        # optimization_barrier tied to the previous wrapper's reward output
+        # (see _apply_wrappers) — identical math, bounded peak memory
+        self.serialize = serialize
 
     # --- state accessors (overridable: the packed spatial stack stores the
     # universe as uint32 words — parallel/packed_env.py) --------------------
@@ -145,14 +164,31 @@ class WrapperStack:
             )[:, None],
         )
         reward = jnp.zeros((self.config.instances, 1), dtype=jnp.float32)
-        new_wstates = []
-        for w, ws in zip(self.wrappers, state.wrappers):
-            ws, reward = w.apply(ws, ctx, reward)
-            new_wstates.append(ws)
+        new_wstates, reward = self._apply_wrappers(state.wrappers, ctx, reward)
         return (
-            StackState(env=env_state, wrappers=tuple(new_wstates)),
+            StackState(env=env_state, wrappers=new_wstates),
             (ctx.obs, reward),
         )
+
+    def _apply_wrappers(self, wstates, ctx: "StepCtx", reward: jax.Array):
+        """Apply the wrapper chain to one step context.
+
+        With ``serialize=True`` every wrapper after the first consumes its
+        heavy inputs (obs / obs_cells / packed) through an
+        ``optimization_barrier`` tied to the previous wrapper's reward
+        output, so XLA cannot overlap two online learners' forward+backward
+        transients: peak temp memory becomes max-of-wrappers instead of
+        sum.  Identical math (the barrier is an identity); this is what
+        moves the 512² envs/chip ceiling — each learner alone trains at
+        6144 instances but the overlapped pair kills the TPU worker
+        (scripts/fault_probe.py, round 4)."""
+        new_wstates = []
+        for i, (w, ws) in enumerate(zip(self.wrappers, wstates)):
+            if self.serialize and i:
+                ctx, reward = _barrier_ctx(ctx, reward)
+            ws, reward = w.apply(ws, ctx, reward)
+            new_wstates.append(ws)
+        return tuple(new_wstates), reward
 
     def reset(self, state: StackState, key: jax.Array) -> Tuple[StackState, jax.Array]:
         """Zero the universe, run wrapper reset hooks (in order) over the grid."""

@@ -556,14 +556,16 @@ def _tile(instances: int, nwords: int, h: int,
 @functools.partial(jax.jit, static_argnames=("scheme",))
 def bit_multi_step_pallas(
     packed: jax.Array, rule_bits: jax.Array, num_steps: jax.Array,
-    scheme: str = "vd",
+    scheme: str = "vd2",
 ) -> jax.Array:
     """``num_steps`` generations on a packed [inst, H, W/32] grid.
 
-    Default scheme "vd" (vc's vertical-first roll schedule + the n3-first
-    XOR-mux rule fold) measured 1.52-1.58e12 cells/s on v5e vs 1.34-1.36e12
-    for "vc" (select-mux fold) and 1.32e12 for "v" (dynamic lane rotates) —
-    the serving-path default for the env/packed engines.
+    Default scheme "vd2" (the "vd" n3-first XOR-mux fold run as TWO
+    independent half-tile streams — the same scheduling-slack trick as the
+    static "vc2") measured 1.655-1.660e12 cells/s on v5e vs 1.600-1.606e12
+    same-session for single-chain "vd", 1.34-1.36e12 for "vc" (select-mux
+    fold) and 1.32e12 for "v" (dynamic lane rotates) — the serving-path
+    default for the env/packed engines; odd tiles fall back to "vd".
 
     ``rule_bits`` scalar or [instances] vector (per-instance rulesets in one
     launch — the fast path for mixed-rule batches like the eval battery)."""

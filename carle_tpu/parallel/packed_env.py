@@ -102,8 +102,9 @@ class PackedSpatialStack(WrapperStack):
         mesh: Mesh = None,
         axis_name: str = "space",
         env_axis: str = None,
+        serialize: bool = False,
     ) -> None:
-        super().__init__(config, wrappers)
+        super().__init__(config, wrappers, serialize=serialize)
         assert config.width % WORD == 0, (
             f"packed spatial env needs width % {WORD} == 0, got {config.width}"
         )
@@ -223,12 +224,9 @@ class PackedSpatialStack(WrapperStack):
             packed_action=action_packed,
         )
         reward = jnp.zeros((cfg.instances, 1), dtype=jnp.float32)
-        new_wstates = []
-        for w, ws in zip(self.wrappers, state.wrappers):
-            ws, reward = w.apply(ws, ctx, reward)
-            new_wstates.append(ws)
+        new_wstates, reward = self._apply_wrappers(state.wrappers, ctx, reward)
         return (
-            StackState(env=new_env, wrappers=tuple(new_wstates)),
+            StackState(env=new_env, wrappers=new_wstates),
             (obs, reward),
         )
 

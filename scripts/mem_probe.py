@@ -24,7 +24,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe(instances: int, size: int, packed: bool, steps: int,
-          fused_head: bool) -> dict:
+          fused_head: bool, serialize: bool = False) -> dict:
     import jax
     import numpy as np
 
@@ -39,11 +39,15 @@ def probe(instances: int, size: int, packed: bool, steps: int,
                        action_width=64, instances=instances)
     defs = [rnd2d_def(config, batch_size=64, fused_head=fused_head),
             ae2d_def(config, batch_size=64, fused_head=fused_head)]
-    stack = None
     if packed:
         from carle_tpu.parallel.packed_env import PackedSpatialStack
 
-        stack = PackedSpatialStack(config, defs, mesh=None)
+        stack = PackedSpatialStack(config, defs, mesh=None,
+                                   serialize=serialize)
+    else:
+        from carle_tpu.mcl.base import WrapperStack
+
+        stack = WrapperStack(config, defs, serialize=serialize)
     ro = Rollout(config, defs,
                  make_random_agent(64, 64), stack=stack)
     carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
@@ -66,7 +70,7 @@ def probe(instances: int, size: int, packed: bool, steps: int,
         pass
     return {
         "instances": instances, "size": size, "packed": packed,
-        "steps": steps,
+        "serialize": serialize, "steps": steps,
         "env_steps_per_s": steps * instances / dt,
         "scan_steps_per_s": steps / dt,
         "memory": stats,
@@ -81,6 +85,9 @@ def main() -> int:
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--steps", type=int, default=32)
     parser.add_argument("--packed", action="store_true")
+    parser.add_argument("--serialize", action="store_true",
+                        help="optimization_barrier between wrappers: peak "
+                             "transients become max-of-wrappers, not sum")
     parser.add_argument("--no-fused-head", action="store_true")
     parser.add_argument("--platform", default=None)
     parser.add_argument("--rng-impl", default="rbg")
@@ -99,7 +106,8 @@ def main() -> int:
     for inst in args.instances:
         try:
             rec = probe(inst, args.size, args.packed, args.steps,
-                        fused_head=not args.no_fused_head)
+                        fused_head=not args.no_fused_head,
+                        serialize=args.serialize)
         except Exception as e:  # RESOURCE_EXHAUSTED etc.
             import re
 
@@ -108,7 +116,8 @@ def main() -> int:
             # ladder's diagnostic (the r4 binder accounting came from it)
             m = re.search(r"Largest program allocations[\s\S]{0,6000}", msg)
             rec = {"instances": inst, "size": args.size,
-                   "packed": args.packed, "ok": False,
+                   "packed": args.packed, "serialize": args.serialize,
+                   "ok": False,
                    "error": msg[:2000],
                    "allocations": m.group(0) if m else None,
                    "oom": "RESOURCE_EXHAUSTED" in msg or "Out of memory" in msg

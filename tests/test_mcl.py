@@ -523,3 +523,33 @@ def test_morpho_reset_hook_in_fused_stack():
     carry, obs = ro.reset(carry)
     density = float(np.asarray(obs).mean())
     assert 0.001 < density < 0.02  # Bernoulli(0.005) seeds applied
+
+
+def test_serialized_wrapper_chain_identical_rewards():
+    """serialize=True (optimization_barrier between wrappers,
+    WrapperStack._apply_wrappers) is pure scheduling: reward trajectories
+    of an RND+AE online-learning rollout are BIT-identical with and
+    without it, on both the dense and the packed stack."""
+    from carle_tpu import EnvConfig, rules as rules_mod
+    from carle_tpu.agents import make_random_agent
+    from carle_tpu.mcl.ae import ae2d_def
+    from carle_tpu.mcl.base import WrapperStack
+    from carle_tpu.mcl.rnd import rnd2d_def
+    from carle_tpu.parallel.packed_env import PackedSpatialStack
+    from carle_tpu.rollout import Rollout
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=3)
+
+    def rewards(stack_cls, serialize):
+        defs = [rnd2d_def(cfg, batch_size=4), ae2d_def(cfg, batch_size=4)]
+        stack = stack_cls(cfg, defs, serialize=serialize)
+        ro = Rollout(cfg, defs, make_random_agent(16, 16), stack=stack)
+        carry = ro.init(jax.random.PRNGKey(3), rules_mod.LIFE)
+        _, r = ro.run(carry, num_steps=12)
+        return np.asarray(r)
+
+    for cls in (WrapperStack, PackedSpatialStack):
+        base = rewards(cls, serialize=False)
+        ser = rewards(cls, serialize=True)
+        np.testing.assert_array_equal(base, ser, err_msg=str(cls))

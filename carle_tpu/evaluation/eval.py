@@ -46,8 +46,9 @@ _HERE = os.path.dirname(os.path.abspath(__file__))
 # Shipped carle_tpu-trained checkpoints (train_mcl on TPU: 4 epochs x 4
 # rulesets x 1024 steps x 32 instances) — the analogue of the reference's
 # evaluation/RND2D_mcl.pt / AE2D_mcl.pt artifacts.  A trained PPO policy
-# ships alongside (policy_ppo.npz, f16-compressed; battery ~1.1 vs 0.65
-# random): score it with
+# ships alongside (policy_ppo.npz, f16-compressed; battery 1.181-1.200
+# across eval seeds 0-3 vs 0.634-0.661 random — loader-verified on v5e,
+# assets/scores.txt): score it with
 #   evaluate_fused(Agent=load_shipped_policy())
 DEFAULT_WRAPPERS = [
     [RND2D, 1.0, _HERE + "/RND2D_mcl.npz"],
@@ -76,7 +77,8 @@ DEFAULT_RULES = [
 
 def load_shipped_policy(path: Optional[str] = None):
     """(Agent, params) pair for the shipped trained PPO policy
-    (``policy_ppo.npz``, battery ~1.1 vs the 0.63-0.66 random baseline —
+    (``policy_ppo.npz``, battery 1.181-1.200 across eval seeds 0-3 vs the
+    0.634-0.661 random baseline — loader-verified on v5e,
     assets/scores.txt).  ``path`` overrides with another native .npz params
     file of the same architecture; pass the pair to ``evaluate_fused`` /
     ``evaluate_fused_batched``."""

@@ -40,15 +40,20 @@ from ..ops.ca import pad_action
 _BARRIER_FIELDS = ("obs", "obs_cells", "packed")
 
 
-def _barrier_ctx(ctx: "StepCtx", reward: jax.Array):
+def _barrier_ctx(ws, ctx: "StepCtx", reward: jax.Array):
     """Identity that pins scheduling: the returned ctx's net-input fields
-    cannot be consumed before ``reward`` (the previous wrapper's output)
-    is produced.  See WrapperStack._apply_wrappers."""
+    cannot be consumed before EVERY output of the previous wrapper — its
+    updated state ``ws`` included — is produced.  Tying only ``reward``
+    is not enough: reward depends just on the forward pass, so the
+    previous learner's backward+Adam chain (where the heavy transients
+    live) would still overlap the next learner's compute (measured: the
+    reward-only barrier did not stop the 5632-instance worker fault).
+    See WrapperStack._apply_wrappers."""
     present = [f for f in _BARRIER_FIELDS
                if getattr(ctx, f, None) is not None]
-    vals = jax.lax.optimization_barrier(
-        tuple([reward] + [getattr(ctx, f) for f in present]))
-    return ctx._replace(**dict(zip(present, vals[1:]))), vals[0]
+    ws, reward, *fields = jax.lax.optimization_barrier(
+        (ws, reward) + tuple(getattr(ctx, f) for f in present))
+    return ws, ctx._replace(**dict(zip(present, fields))), reward
 
 
 class StepCtx(NamedTuple):
@@ -117,7 +122,7 @@ class WrapperStack:
         self.config = config
         self.wrappers = tuple(wrappers)
         # serialize=True re-issues each wrapper's heavy inputs through an
-        # optimization_barrier tied to the previous wrapper's reward output
+        # optimization_barrier tied to the previous wrapper's full outputs
         # (see _apply_wrappers) — identical math, bounded peak memory
         self.serialize = serialize
 
@@ -175,18 +180,20 @@ class WrapperStack:
 
         With ``serialize=True`` every wrapper after the first consumes its
         heavy inputs (obs / obs_cells / packed) through an
-        ``optimization_barrier`` tied to the previous wrapper's reward
-        output, so XLA cannot overlap two online learners' forward+backward
-        transients: peak temp memory becomes max-of-wrappers instead of
-        sum.  Identical math (the barrier is an identity); this is what
-        moves the 512² envs/chip ceiling — each learner alone trains at
-        6144 instances but the overlapped pair kills the TPU worker
+        ``optimization_barrier`` tied to ALL of the previous wrapper's
+        outputs — updated learner state included, so its whole
+        forward+backward+Adam chain completes first — and XLA cannot
+        overlap two online learners' transients: peak temp memory becomes
+        max-of-wrappers instead of sum.  Identical math (the barrier is an
+        identity); motivation: each learner alone trains at 6144 instances
+        of 512² but the overlapped pair kills the TPU worker
         (scripts/fault_probe.py, round 4)."""
         new_wstates = []
+        n = len(self.wrappers)
         for i, (w, ws) in enumerate(zip(self.wrappers, wstates)):
-            if self.serialize and i:
-                ctx, reward = _barrier_ctx(ctx, reward)
             ws, reward = w.apply(ws, ctx, reward)
+            if self.serialize and i + 1 < n:
+                ws, ctx, reward = _barrier_ctx(ws, ctx, reward)
             new_wstates.append(ws)
         return tuple(new_wstates), reward
 

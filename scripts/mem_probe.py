@@ -24,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe(instances: int, size: int, packed: bool, steps: int,
-          fused_head: bool, serialize: bool = False) -> dict:
+          fused_head: bool, serialize: bool = False,
+          compile_only: bool = False) -> dict:
     import jax
     import numpy as np
 
@@ -51,6 +52,28 @@ def probe(instances: int, size: int, packed: bool, steps: int,
     ro = Rollout(config, defs,
                  make_random_agent(64, 64), stack=stack)
     carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
+
+    if compile_only:
+        # chipless accounting: lower + compile through the remote helper
+        # WITHOUT executing, and report XLA's own memory analysis — the
+        # cheap way to see what binds when the runtime path faults
+        # ungracefully (the 5632+ worker crash, round 4)
+        compiled = (jax.jit(ro._run_impl, static_argnames=("num_steps",))
+                    .lower(carry, num_steps=steps).compile())
+        ma = compiled.memory_analysis()
+        fields = ("temp_size_in_bytes", "argument_size_in_bytes",
+                  "output_size_in_bytes", "alias_size_in_bytes",
+                  "generated_code_size_in_bytes")
+        mem = {f: int(getattr(ma, f)) for f in fields
+               if hasattr(ma, f)}
+        mem["peak_estimate_gib"] = round(
+            (mem.get("temp_size_in_bytes", 0)
+             + mem.get("argument_size_in_bytes", 0)
+             + mem.get("output_size_in_bytes", 0)
+             - mem.get("alias_size_in_bytes", 0)) / 2**30, 3)
+        return {"instances": instances, "size": size, "packed": packed,
+                "serialize": serialize, "compile_only": True,
+                "memory_analysis": mem, "ok": True}
 
     carry, rewards = ro.run(carry, num_steps=steps)   # compile + warm
     device_sync(rewards)
@@ -85,6 +108,9 @@ def main() -> int:
     parser.add_argument("--size", type=int, default=512)
     parser.add_argument("--steps", type=int, default=32)
     parser.add_argument("--packed", action="store_true")
+    parser.add_argument("--compile-only", action="store_true",
+                        help="lower+compile only (remote helper, no chip) "
+                             "and print XLA's memory analysis")
     parser.add_argument("--serialize", action="store_true",
                         help="optimization_barrier between wrappers: peak "
                              "transients become max-of-wrappers, not sum")
@@ -107,7 +133,8 @@ def main() -> int:
         try:
             rec = probe(inst, args.size, args.packed, args.steps,
                         fused_head=not args.no_fused_head,
-                        serialize=args.serialize)
+                        serialize=args.serialize,
+                        compile_only=args.compile_only)
         except Exception as e:  # RESOURCE_EXHAUSTED etc.
             import re
 

@@ -1,10 +1,15 @@
 """Isolate the 512² large-instance TPU worker fault (round-4 ladder).
 
 The full fused training step (RND2D + AE2D online learning, packed carry)
-runs at 4096 instances of 512² but kills the TPU worker with a "kernel
-fault" at 6144 even though compile-time memory analysis says the program
-fits (13.5 G of 15.75 G).  This probe runs stripped-down pieces of that
-step at a given instance count so the faulting component can be named:
+runs at 5376 instances of 512² but kills the TPU worker with a "kernel
+fault" at 5632+ even though compile-time memory analysis prices 5632 at
+14.2 GiB of 15.75 (the effective RUNTIME limit is ~13.5-14 GiB — see
+assets/ladder512_r04.jsonl and docs/SCALING.md).  This probe runs
+stripped-down pieces of that step at a given instance count so the
+faulting component can be named (round-4 verdict, assets/
+fault_probe_r04.jsonl: every piece — env, each learner alone, both
+forward-only — runs at 6144; only the two-learner TRAINING step crosses
+the line):
 
   env        bare packed CA rollout (no wrappers)
   rnd        env + RND2D only (fused heads, training)

@@ -216,11 +216,13 @@ def main() -> int:
                                              "vd", "vd2"),
                         default=None,
                         help="kernel step scheme; default = per-backend "
-                             "best (static: vc2, rules-as-data: vd). "
-                             "vc = vertical-first with slice+concat lane "
-                             "shifts (static 2.03e12 cells/s on v5e, data "
-                             "1.34e12), vd = vc's schedule + n3-first "
-                             "XOR-mux rule fold (data 1.52e12), v = "
+                             "best (static: vc2 2.19e12 cells/s on v5e, "
+                             "rules-as-data: vd2 1.655-1.660e12 — the "
+                             "two-stream half-tile variants). "
+                             "vc = single-chain vertical-first with "
+                             "slice+concat lane shifts (static 2.03-2.10e12, "
+                             "data 1.34e12), vd = vc's schedule + n3-first "
+                             "XOR-mux rule fold (data 1.60e12), v = "
                              "dynamic lane rotates (static 1.81-2.0e12, "
                              "data 1.31e12), h = horizontal-pair (static "
                              "1.36e12), v3 = stacked-plane probe (ties v), "

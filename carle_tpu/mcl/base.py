@@ -37,7 +37,14 @@ from ..env import CARLE, EnvState, env_step, reset_state
 from ..ops.ca import pad_action
 
 
-_BARRIER_FIELDS = ("obs", "obs_cells", "packed")
+# Every cell-sized StepCtx field: the serialize barrier must pin ALL heavy
+# inputs the next wrapper might consume, not just the learner-net trio —
+# packed stat wrappers read packed_prev/packed_action (morpho) and dense
+# stacks expose prev_grid/action_full (advisor r4: a barrier that skips a
+# consumed field leaves that wrapper free to overlap the previous one).
+# action_sum is [inst, 1] — negligible, deliberately left out.
+_BARRIER_FIELDS = ("obs", "obs_cells", "packed", "packed_prev",
+                   "packed_action", "prev_grid", "action_full")
 
 
 def _barrier_ctx(ws, ctx: "StepCtx", reward: jax.Array):

@@ -58,7 +58,12 @@ def probe(instances: int, size: int, packed: bool, steps: int,
         # WITHOUT executing, and report XLA's own memory analysis — the
         # cheap way to see what binds when the runtime path faults
         # ungracefully (the 5632+ worker crash, round 4)
-        compiled = (jax.jit(ro._run_impl, static_argnames=("num_steps",))
+        # donate the carry exactly like Rollout._run does, so the analysis
+        # prices the SAME aliased program the run path executes (advisor r4:
+        # a non-donated basis overstates argument+output without the alias
+        # credit, skewing absolute peak_estimate_gib)
+        compiled = (jax.jit(ro._run_impl, static_argnames=("num_steps",),
+                            donate_argnames=("carry",))
                     .lower(carry, num_steps=steps).compile())
         ma = compiled.memory_analysis()
         fields = ("temp_size_in_bytes", "argument_size_in_bytes",

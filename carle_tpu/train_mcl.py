@@ -100,6 +100,8 @@ def train(
     progress_file: Optional[str] = None,
     fused_head: bool = False,
     packed_state: bool = False,
+    hbm_budget_gib: Optional[float] = None,
+    force_hbm: bool = False,
 ) -> np.ndarray:
     """Pre-train the RND2D + AE2D wrapper stack (reference train(),
     train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
@@ -145,6 +147,14 @@ def train(
     semantic, not bit-exact: the carry's RNG key restarts from ``seed``, so
     the action stream differs from the uncrashed run; the learned state
     (params + Adam moments + accumulation counters) is exact.
+
+    HBM preflight (``utils/preflight.py``): before the first segment the
+    fused step program is priced with XLA's memory analysis on the same jit
+    instance the loop runs (so the compile is reused, not doubled), and
+    configs over the runtime budget raise :class:`HBMBudgetError` instead of
+    silently killing the TPU worker — the measured r4 failure mode past
+    ~13.5-14.2 GiB.  ``hbm_budget_gib=None`` = 13.0 GiB on TPU, no check on
+    other backends; ``force_hbm=True`` warns and proceeds.
 
     Returns the per-step summed reward history (skipped segments excluded),
     and writes:
@@ -227,6 +237,19 @@ def train(
 
         carry = shard_carry(carry, mesh_obj, config)
 
+    from .utils.preflight import check_hbm_budget
+
+    epochs, steps_per_rule = int(steps[0]), int(steps[1])
+    mem = check_hbm_budget(
+        ro._run, carry, num_steps=steps_per_rule,
+        budget_gib=hbm_budget_gib, force=force_hbm,
+        label=f"train step (inst={instances}, {height}x{width})",
+    )
+    if mem is not None:
+        print(f"HBM preflight: {mem['peak_estimate_gib']:.2f} GiB priced "
+              f"(temp {mem.get('temp_size_in_bytes', 0) / 2**30:.2f} GiB)",
+              flush=True)
+
     exp_id = "mcl" + str(int(time.time()))
     model_dir = os.path.join(log_dir, "models")
     metric_dir = os.path.join(log_dir, "metrics")
@@ -235,7 +258,6 @@ def train(
 
     rewards_hist: List[np.ndarray] = []
 
-    epochs, steps_per_rule = int(steps[0]), int(steps[1])
     if mixed_rules:
         packed = [rules_mod.pack_rule_bits(r[0], r[1]) for r in rules]
         # host-side numpy (NOT a jnp array): Rollout.run donates the carry,
@@ -355,6 +377,15 @@ if __name__ == "__main__":
                              " through the training scan — 8x smaller state,"
                              " lazy per-step obs unpack; the memory lever "
                              "for huge env batches (BASELINE north star)")
+    parser.add_argument("--hbm-budget-gib", type=float, default=None,
+                        help="runtime HBM budget for the preflight check "
+                             "(default: 13.0 on TPU, no check elsewhere). "
+                             "Over-budget configs refuse to launch — past "
+                             "~13.5-14.2 GiB the measured failure is a "
+                             "silently dead TPU worker, not a clean OOM")
+    parser.add_argument("--force", action="store_true",
+                        help="launch even if the HBM preflight prices the "
+                             "program over budget (warns instead of raising)")
     parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
                         default="threefry",
                         help="PRNG for in-scan randomness. Dropout masks "
@@ -385,6 +416,8 @@ if __name__ == "__main__":
         progress_file=args.progress_file,
         fused_head=args.fused_head,
         packed_state=args.packed_state,
+        hbm_budget_gib=args.hbm_budget_gib,
+        force_hbm=args.force,
     )
     print(json.dumps({"total_reward": float(history.sum()),
                       "segments": len(history) // args.steps_per_rule}))

@@ -604,3 +604,35 @@ def test_supervisor_clears_stale_progress(tmp_path):
                if line.startswith('{"supervisor"')]
     assert events2[0]["supervisor"] == "launch"
     assert events2[0]["skip_segments"] == 4
+
+
+def test_hbm_preflight_refuses_over_budget(tmp_path):
+    """VERDICT r4 item 2: a config priced over the runtime HBM budget must
+    raise BEFORE launching (the real failure mode past the budget is a
+    silently killed TPU worker).  An explicit micro-budget engages the
+    guard on CPU; ``force_hbm=True`` downgrades it to a warning."""
+    from carle_tpu.utils.preflight import HBMBudgetError
+
+    kw = dict(instances=2, steps=[1, 4], rules=[[[3], [2, 3]]],
+              height=64, width=64, batch_size=4, seed=0)
+    with pytest.raises(HBMBudgetError) as exc:
+        train(log_dir=str(tmp_path / "a"), hbm_budget_gib=1e-6, **kw)
+    assert "force" in str(exc.value)
+    assert exc.value.analysis["peak_estimate_gib"] >= 0
+    # nothing was trained — the refusal happened before the first segment
+    assert not os.path.isdir(os.path.join(str(tmp_path / "a"), "models")) or \
+        not os.listdir(os.path.join(str(tmp_path / "a"), "models"))
+
+    # forced: same budget, warns and completes
+    history = train(log_dir=str(tmp_path / "b"), hbm_budget_gib=1e-6,
+                    force_hbm=True, **kw)
+    assert history.shape == (4,)
+
+
+def test_hbm_preflight_skipped_off_tpu(tmp_path):
+    """Default budget (None) must not engage on the CPU backend — the
+    silent-kill failure mode is TPU-specific."""
+    history = train(instances=2, steps=[1, 4], rules=[[[3], [2, 3]]],
+                    height=64, width=64, batch_size=4, seed=0,
+                    log_dir=str(tmp_path / "logs"))
+    assert history.shape == (4,)

@@ -142,9 +142,10 @@ def learner_apply(
     ``loss_fn(params, state, ctx) -> (per_instance_loss [inst], new_extra)``
     defines the objective over the step context (obs via ``ctx.obs`` or —
     fused nets — the uint8 ``ctx.obs_cells``; dropout key via ``ctx.key``);
-    ``bonus_fn(per_instance_loss, obs) -> [inst, 1]`` maps it to the reward
-    bonus (identity for RND/AE, ``0.1 - loss`` masked for PredictionBonus,
-    ...).  With ``train=False`` this is the reference's ``get_bonus_only``
+    ``bonus_fn(per_instance_loss, ctx) -> [inst, 1]`` maps it to the reward
+    bonus (identity for RND/AE, ``0.1 - loss`` masked for PredictionBonus —
+    which reads liveness from the cheapest ctx view so packed stacks never
+    unpack for it, ...).  With ``train=False`` this is the reference's ``get_bonus_only``
     (mcl.py:389-395): forward pass only, dropout off, no gradient or
     optimizer work at all.
 
@@ -174,7 +175,7 @@ def learner_apply(
             per_inst, new_extra = loss_fn(state.params, state, ctx)
             state = state._replace(extra=new_extra)
 
-        bonus = bonus_fn(per_inst, ctx.obs)
+        bonus = bonus_fn(per_inst, ctx)
         return state, reward + state.reward_scale * bonus
 
     return apply

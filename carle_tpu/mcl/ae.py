@@ -91,6 +91,7 @@ def ae2d_def(
     compute_dtype=None,
     remat: bool = False,
     fused_head: bool = False,
+    whole_ae: bool = True,
     **kwargs: Any,
 ) -> WrapperDef:
     nets.warn_if_bf16_on_tpu(compute_dtype)
@@ -105,13 +106,23 @@ def ae2d_def(
     def loss_fn(params, state: LearnerState, ctx):
         obs = net_input(ctx, fused_head)
         if fused_head:
-            # encoder in ONE kernel (uint8 obs, stage-1 never in HBM) and
-            # final decoder stage + error reduction in ONE kernel: the
-            # full-resolution recon (and its cotangent) never leaves VMEM —
-            # the dominant per-env HBM transients of fused training
-            # (nets.conv_encoder / nets.conv_loss_tail).  Same math as the
-            # unfused branch: mean over C,H,W (mcl.py:508).
+            # the default is the WHOLE autoencoder as ONE kernel
+            # (nets.conv_ae_loss): encoder, decoder, and error reduction
+            # fused so no activation — not even the pooled embedding —
+            # exists in HBM (the r4 envs/chip census priced the embedding's
+            # six f32 copies at ~0.75 MB/env, the arena's dominant term).
+            # ``whole_ae=False`` keeps the r4 two-kernel composition
+            # (conv_encoder + conv_decoder_loss) for A/B.  Same math as
+            # the unfused branch: mean over C,H,W (mcl.py:508).
             mesh = None if isinstance(fused_head, bool) else fused_head
+            n_elem = ctx.obs.shape[1] * ctx.obs.shape[2] * ctx.obs.shape[3]
+            if whole_ae:
+                err = nets.conv_ae_loss(obs, params["conv1"],
+                                        params["conv2"], params["deconv1"],
+                                        params["deconv2"], obs, ctx.key,
+                                        pools=(2, 2), drop_p=DROP_P,
+                                        train=use_dropout, mesh=mesh)
+                return err / jnp.float32(n_elem), state.extra
             k1, k2, k3, k4 = nets.split_keys(ctx.key, 4)
             x = nets.conv_encoder(obs, params["conv1"], params["conv2"], k1,
                                   pools=(2, 2), drop_p=DROP_P,
@@ -124,7 +135,6 @@ def ae2d_def(
             del k4
             # CELL count from the f32 obs SHAPE (trace-time only — obs may
             # be the packed u32 universe whose last dim is W/32)
-            n_elem = ctx.obs.shape[1] * ctx.obs.shape[2] * ctx.obs.shape[3]
             return err / jnp.float32(n_elem), state.extra
         prediction = ae_forward(params, obs, ctx.key, use_dropout,
                                 compute_dtype, fused_head)
@@ -133,7 +143,7 @@ def ae2d_def(
             (obs.astype(jnp.float32) - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, state.extra
 
-    def bonus_fn(per_inst, obs):
+    def bonus_fn(per_inst, ctx):
         return per_inst[:, None]
 
     return WrapperDef(

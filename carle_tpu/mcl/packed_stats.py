@@ -290,6 +290,30 @@ def morpho_def_packed(
     )
 
 
+def prediction_def_packed(config: EnvConfig, **kwargs: Any) -> WrapperDef:
+    """PredictionBonus with a bit-packed frame ring ([inst, K, H, W/32]
+    uint32 — 32x less carry than the reference's f32 list, mcl.py:577).
+    The ring stores ``ctx.packed`` directly (no pack cost on a packed
+    stack); with a fused head both the prediction source and the loss
+    target are consumed as words in VMEM, so ``ctx.obs`` stays dead and
+    liveness comes from the words too (mcl/prediction.py)."""
+    from .prediction import prediction_def
+
+    return prediction_def(
+        config, buffer_dtype="packed", **kwargs
+    )._replace(name="PredictionBonus(packed)")
+
+
+def surprise_def_packed(config: EnvConfig, **kwargs: Any) -> WrapperDef:
+    """SurpriseBonus on the packed frame ring (see
+    :func:`prediction_def_packed`; sign-flipped bonus, mcl.py:708-727)."""
+    from .prediction import surprise_def
+
+    return surprise_def(
+        config, buffer_dtype="packed", **kwargs
+    )._replace(name="SurpriseBonus(packed)")
+
+
 def corner_def_packed(
     config: EnvConfig, reward_scale: float = 1.0, **kwargs: Any
 ) -> WrapperDef:

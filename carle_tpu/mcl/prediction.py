@@ -7,13 +7,32 @@ ring buffer; bonus = ``0.1 - prediction_error``, zeroed for dead universes
 zeroed for dead universes (mcl.py:708-727).
 
 The reference's Python-list ``grid_buffer`` (append, predict from
-``buffer[0]``, pop when len > 5) becomes a fixed [inst, K, 1, H, W] ring in
-the carried state (instances on dim 0 like every batched leaf, so the mesh
+``buffer[0]``, pop when len > 5) becomes a fixed [inst, K, ...] ring in the
+carried state (instances on dim 0 like every batched leaf, so the mesh
 layer's dim-0 sharding rule applies) with identical source-frame semantics,
-including the
-warm-up phase where the source stays the first frame.  The reference's
-duplicated method definitions (mcl.py:609-677) resolve to the same behaviour
-implemented here (last definition wins in Python).
+including the warm-up phase where the source stays the first frame.  The
+reference's duplicated method definitions (mcl.py:609-677) resolve to the
+same behaviour implemented here (last definition wins in Python).
+
+Ring storage (``buffer_dtype``, VERDICT r4 item 4): frames are BINARY cell
+planes, so the reference's float32 list is 32x the information content.
+
+* ``"uint8"`` (default) — [inst, K, 1, H, W] uint8, 4x less carry than the
+  reference representation, bit-identical rewards (the cast to f32 at the
+  predictor input reproduces the same values exactly);
+* ``"packed"`` — [inst, K, H, W/32] uint32 words straight off a packed
+  stack's ``ctx.packed`` (32x less carry; the fused kernels consume the
+  packed source/target directly, so ``ctx.obs`` stays dead and the packed
+  spatial env never unpacks for these wrappers — packed_stats.py exposes
+  this as ``prediction_def_packed``/``surprise_def_packed``);
+* ``"float32"`` — the reference-shaped carry, kept for A/B.
+
+At 512² the f32 ring was 5.2 MB/env of carry (20 B/cell for 1-bit data);
+uint8 is 1.3 MB/env and packed 164 KB/env.
+
+With ``fused_head`` the loss mirrors ae.py's fused path: encoder in ONE
+Pallas kernel, both decoder stages + the error reduction in another, so
+neither the full-resolution prediction nor its cotangent exists in HBM.
 """
 
 from __future__ import annotations
@@ -23,29 +42,34 @@ from typing import Any, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from .. import nets
 from ..config import EnvConfig
+from ..ops.bitpack import unpack_grid
 from ._online import (
     REFERENCE_EFFECTIVE_LR,
     LearnerState,
     init_learner,
     learner_apply,
     make_optimizer,
+    net_input,
 )
-from .ae import AE2D, ae_forward, init_ae_params
+from .ae import AE2D, DROP_P, ae_forward, init_ae_params
 from .base import WrapperDef, default_on_reset
 
 DECLARED_LR = 3e-4  # mcl.py:563; see _online.py — effectively 6e-2 upstream
 
 
 class FrameBuffer(NamedTuple):
-    frames: jax.Array  # f32 [inst, K, 1, H, W]
+    frames: jax.Array  # [inst, K, 1, H, W] f32/uint8, or [inst, K, H, W/32]
+    # uint32 packed words (buffer_dtype="packed")
     count: jax.Array   # int32 scalar
 
 
 def _push(buf: FrameBuffer, obs: jax.Array, k: int) -> Tuple[jax.Array, FrameBuffer]:
     """Reference list semantics (mcl.py:581-599): the prediction source is
     ``buffer[0]`` after appending (== obs while the buffer is empty); once
-    len exceeds K the oldest frame is dropped."""
+    len exceeds K the oldest frame is dropped.  Dtype/layout-agnostic: the
+    ring axis is dim 1 whatever the frame representation."""
     src = jnp.where(buf.count == 0, obs, buf.frames[:, 0])
     # lax.cond executes ONE branch: the old where(shifted, appended) form
     # materialised both candidate rings every step (~3x the buffer's HBM
@@ -62,6 +86,17 @@ def _push(buf: FrameBuffer, obs: jax.Array, k: int) -> Tuple[jax.Array, FrameBuf
     return src, FrameBuffer(frames=frames, count=count)
 
 
+def _alive(ctx) -> jax.Array:
+    """Per-instance liveness without touching the f32 obs when cheaper
+    views exist (a packed stack's popcount-free any(); the uint8 cells) —
+    identical to the reference's ``mean(obs) > 0`` for binary frames."""
+    if getattr(ctx, "packed", None) is not None:
+        return jnp.any(ctx.packed != 0, axis=(1, 2))
+    if getattr(ctx, "obs_cells", None) is not None:
+        return jnp.any(ctx.obs_cells != 0, axis=(1, 2, 3))
+    return jnp.mean(ctx.obs, axis=(1, 2, 3)) > 0.0
+
+
 def _make_def(
     config: EnvConfig,
     name: str,
@@ -74,39 +109,87 @@ def _make_def(
     dropout: Optional[bool] = None,
     remat: bool = False,
     fused_head: Any = False,
+    buffer_dtype: str = "uint8",
     **kwargs: Any,
 ) -> WrapperDef:
     use_dropout = train if dropout is None else dropout
     opt = make_optimizer(REFERENCE_EFFECTIVE_LR if lr is None else lr)
     k = prediction_steps
+    if buffer_dtype not in ("uint8", "packed", "float32"):
+        raise ValueError(f"buffer_dtype {buffer_dtype!r}: expected "
+                         f"'uint8', 'packed' or 'float32'")
+    if buffer_dtype == "packed" and isinstance(fused_head, nets.SpaceSharding):
+        raise ValueError(
+            "buffer_dtype='packed' is not supported under a SpaceSharding "
+            "fused head (the space-sharded kernels consume cell rows, not "
+            "words) — use the uint8 ring there"
+        )
 
     def init(key: jax.Array) -> LearnerState:
+        if buffer_dtype == "packed":
+            if config.width % 32:
+                raise ValueError("packed ring needs width % 32 == 0")
+            shape = (config.instances, k, config.height, config.width // 32)
+            dtype = jnp.uint32
+        else:
+            shape = (config.instances, k, 1, config.height, config.width)
+            dtype = jnp.uint8 if buffer_dtype == "uint8" else jnp.float32
         buf = FrameBuffer(
-            frames=jnp.zeros(
-                (config.instances, k, 1, config.height, config.width),
-                dtype=jnp.float32,
-            ),
+            frames=jnp.zeros(shape, dtype=dtype),
             count=jnp.asarray(0, dtype=jnp.int32),
         )
         return init_learner(
             reward_scale, batch_size, init_ae_params(key, config), {}, opt, extra=buf
         )
 
+    def store_view(ctx) -> jax.Array:
+        """The frame as the ring stores it."""
+        if buffer_dtype == "float32":
+            return ctx.obs
+        if buffer_dtype == "uint8":
+            return (ctx.obs_cells if ctx.obs_cells is not None
+                    else ctx.obs.astype(jnp.uint8))
+        if ctx.packed is None:
+            raise ValueError(
+                "buffer_dtype='packed' needs a packed stack "
+                "(parallel/packed_env.PackedSpatialStack) — ctx.packed is "
+                "None on the uint8 path; use the uint8 ring there"
+            )
+        return ctx.packed
+
     def loss_fn(params, state: LearnerState, ctx):
-        # the frame ring buffer carries f32 frames (reference list
-        # semantics, mcl.py:577), so this wrapper stays on ctx.obs
-        obs = ctx.obs
-        src, new_buf = _push(state.extra, obs, k)
-        prediction = ae_forward(params, jax.lax.stop_gradient(src), ctx.key,
+        src, new_buf = _push(state.extra, store_view(ctx), k)
+        # integer rings carry no differentiable path; only the f32 ring
+        # needs the reference's detach (mcl.py:592 .detach())
+        if buffer_dtype == "float32":
+            src = jax.lax.stop_gradient(src)
+        if fused_head:
+            # the WHOLE predictor as ONE kernel (nets.conv_ae_loss, same
+            # fusion as ae.py): src = the ring frame, target = the current
+            # frame — packed words / uint8 cells consumed directly, no
+            # activation (embedding included) ever in HBM
+            mesh = None if isinstance(fused_head, bool) else fused_head
+            src_in = src[:, None] if buffer_dtype == "packed" else src
+            target = net_input(ctx, fused_head)
+            err = nets.conv_ae_loss(src_in, params["conv1"],
+                                    params["conv2"], params["deconv1"],
+                                    params["deconv2"], target, ctx.key,
+                                    pools=(2, 2), drop_p=DROP_P,
+                                    train=use_dropout, mesh=mesh)
+            # CELL count from the f32 obs SHAPE (trace-time only)
+            n_elem = ctx.obs.shape[1] * ctx.obs.shape[2] * ctx.obs.shape[3]
+            return err / jnp.float32(n_elem), new_buf
+        if buffer_dtype == "packed":
+            src = unpack_grid(src, config.width)[:, None]
+        prediction = ae_forward(params, src.astype(jnp.float32), ctx.key,
                                 use_dropout, fused_head=fused_head)
         # target is the current frame; error mean over C,H,W (mcl.py:596-598)
-        per_inst = jnp.mean((obs - prediction) ** 2, axis=(1, 2, 3))
+        per_inst = jnp.mean((ctx.obs - prediction) ** 2, axis=(1, 2, 3))
         return per_inst, new_buf
 
-    def bonus_fn(per_inst, obs):
+    def bonus_fn(per_inst, ctx):
         raw = per_inst if surprise else (0.1 - per_inst)
-        alive = jnp.mean(obs, axis=(1, 2, 3)) > 0.0  # dead universes earn 0
-        return jnp.where(alive, raw, 0.0)[:, None]
+        return jnp.where(_alive(ctx), raw, 0.0)[:, None]  # dead earn 0
 
     return WrapperDef(
         name=name,

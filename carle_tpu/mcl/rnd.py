@@ -152,7 +152,7 @@ def rnd2d_def(
         per_inst = jnp.mean((jax.lax.stop_gradient(target) - prediction) ** 2, axis=1)
         return per_inst, state.extra
 
-    def bonus_fn(per_inst, obs):
+    def bonus_fn(per_inst, ctx):
         return per_inst[:, None]
 
     return WrapperDef(

@@ -553,3 +553,57 @@ def test_serialized_wrapper_chain_identical_rewards():
         base = rewards(cls, serialize=False)
         ser = rewards(cls, serialize=True)
         np.testing.assert_array_equal(base, ser, err_msg=str(cls))
+
+
+# ---------------------------------------------------------------------------
+# frame-ring storage (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+
+
+def test_prediction_ring_uint8_matches_float32():
+    """The default uint8 frame ring must reproduce the reference-shaped
+    float32 ring's rewards exactly — frames are binary, so the cast at the
+    predictor input is lossless."""
+    from carle_tpu import EnvConfig, rules
+    from carle_tpu.mcl.prediction import prediction_def, surprise_def
+    from carle_tpu.rollout import Rollout
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    rng = np.random.RandomState(7)
+    actions = (rng.rand(12, 2, 16, 16) < 0.15).astype(np.uint8)
+
+    def run(dtype):
+        defs = [prediction_def(cfg, batch_size=2, buffer_dtype=dtype),
+                surprise_def(cfg, batch_size=2, buffer_dtype=dtype)]
+        ro = Rollout(cfg, defs)
+        carry = ro.init(jax.random.PRNGKey(5), rules.LIFE)
+        carry, rewards = ro.run_actions(carry, actions)
+        ring = carry.stack.wrappers[0].extra
+        return np.asarray(rewards), ring
+
+    r_u8, ring_u8 = run("uint8")
+    r_f32, ring_f32 = run("float32")
+    assert ring_u8.frames.dtype == jnp.uint8
+    assert ring_f32.frames.dtype == jnp.float32
+    # 4x less carry, bit-identical training trajectory
+    assert ring_u8.frames.nbytes * 4 == ring_f32.frames.nbytes
+    np.testing.assert_array_equal(r_u8, r_f32)
+    np.testing.assert_array_equal(
+        np.asarray(ring_u8.frames, dtype=np.float32),
+        np.asarray(ring_f32.frames))
+
+
+def test_prediction_packed_ring_requires_packed_stack():
+    from carle_tpu import EnvConfig, rules
+    from carle_tpu.mcl.packed_stats import prediction_def_packed
+    from carle_tpu.rollout import Rollout
+    import pytest
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=1)
+    ro = Rollout(cfg, [prediction_def_packed(cfg, batch_size=2)])
+    carry = ro.init(jax.random.PRNGKey(0), rules.LIFE)
+    actions = np.zeros((1, 1, 16, 16), dtype=np.uint8)
+    with pytest.raises(ValueError, match="packed"):
+        ro.run_actions(carry, actions)

@@ -641,3 +641,108 @@ def conv_decoder_loss(
     else:
         seed = jnp.int32(0)
     return dl(x, p1["w"], p1["b"], p2["w"], p2["b"], obs, seed)
+
+
+def _shard_fused_ae(call, mesh):
+    """:func:`_shard_fused` for the whole-AE signature
+    ``(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask)`` —
+    src/obs shard with the instance batch, params/mask replicate."""
+    from jax.sharding import PartitionSpec as P
+
+    axis = mesh.axis_names[0]
+
+    def local(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask):
+        seed = seed + jax.lax.axis_index(axis).astype(jnp.int32) * jnp.int32(
+            0x3779B1)
+        return call(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask)
+
+    return jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis),) + (P(),) * 8 + (P(axis), P(), P()),
+        out_specs=P(axis),
+        check_vma=False,
+    )
+
+
+def conv_ae_loss(
+    src: jax.Array,
+    p1: Params,
+    p2: Params,
+    pd1: Params,
+    pd2: Params,
+    obs: jax.Array,
+    key: Optional[jax.Array],
+    *,
+    pools: Tuple[int, int],
+    drop_p: float,
+    train: bool,
+    force_kernel: bool = False,
+    mesh: Any = None,
+) -> jax.Array:
+    """The ENTIRE autoencoder — both conv encoder stages, both transpose-conv
+    decoder stages, and the reconstruction-error reduction vs ``obs`` — as
+    ONE Pallas kernel (ops/pallas_head.make_fused_ae_loss): returns
+    ``sum((obs - recon(src))^2)`` over C,H,W per instance ([N] f32; caller
+    divides by C·H·W for the reference's mean, mcl.py:508).
+
+    Beyond :func:`conv_encoder` + :func:`conv_decoder_loss`, the pooled
+    EMBEDDING also never exists in HBM — the r4 512² envs/chip census
+    priced its six f32[n, 2, 128, 128] copies at ~0.75 MB/env of the
+    2.6 MB/env temp arena, the dominant term once every cell-sized buffer
+    was fused away.  ``src`` and ``obs`` may each be uint8 cells or packed
+    u32 words; they differ for PredictionBonus (ring frame vs current
+    frame, mcl.py:558-728) and coincide for AE2D.
+
+    With ``mesh=SpaceSharding`` (row-sharded observations) the whole-AE
+    fusion is not available — falls back to the per-stage halo'd kernels,
+    whose instance counts are small (the spatial tier's binder is the
+    universe, not per-env residuals).  All four dropout stages draw from
+    ONE hardware-PRNG stream per kernel (vs two streams in the two-kernel
+    composition — same distribution, different masks)."""
+    if isinstance(mesh, SpaceSharding):
+        k1, k2 = split_keys(key, 2)
+        x = conv_encoder(src, p1, p2, k1, pools=pools, drop_p=drop_p,
+                         train=train, mesh=mesh, force_kernel=force_kernel)
+        return conv_decoder_loss(x, pd1, pd2, obs, k2, drop_p=drop_p,
+                                 train=train, mesh=mesh,
+                                 force_kernel=force_kernel)
+    from .ops.pallas_head import make_fused_ae_loss
+
+    from .ops.ca import is_tpu_platform
+
+    pool1, pool2 = pools
+    for pool in pools:
+        if pool < 2 or pool & (pool - 1):
+            raise ValueError(f"pools must be powers of two >= 2, got {pools}")
+    on_tpu = is_tpu_platform()
+    if not on_tpu and not force_kernel:
+        xf = _cells_f32(src)
+        k1, k2, k3, k4 = split_keys(key, 4)
+        z = conv2d(xf, p1, padding=1)
+        z = jax.nn.relu(dropout(z, k1, drop_p, train))
+        for _ in range(pool1.bit_length() - 1):
+            z = max_pool2(z)
+        z = conv2d(z, p2, padding=1)
+        z = jax.nn.relu(dropout(z, k2, drop_p, train))
+        for _ in range(pool2.bit_length() - 1):
+            z = max_pool2(z)
+        a = conv_transpose2d(z, pd1, stride=2, padding=1)
+        a = jax.nn.relu(dropout(a, k3, drop_p, train))
+        r = conv_transpose2d(a, pd2, stride=2, padding=1)
+        y = jax.nn.sigmoid(dropout(r, k4, drop_p, train))
+        return jnp.sum((_cells_f32(obs) - y) ** 2, axis=(1, 2, 3))
+    ae = make_fused_ae_loss(pool1, pool2, drop_p, train,
+                            interpret=not on_tpu)
+    if mesh is not None:
+        ae = _shard_fused_ae(ae, mesh)
+    if train and drop_p > 0.0:
+        if key is None:
+            raise ValueError(
+                "train=True with drop_p > 0 requires a PRNG key"
+            )
+        seed = jax.random.randint(key, (), 0, jnp.int32(2**31 - 1))
+    else:
+        seed = jnp.int32(0)
+    mask = jnp.ones((src.shape[2] // pool1, 1), jnp.float32)
+    return ae(src, p1["w"], p1["b"], p2["w"], p2["b"],
+              pd1["w"], pd1["b"], pd2["w"], pd2["b"], obs, seed, mask)

@@ -1378,17 +1378,25 @@ def make_fused_encoder(p1: int, p2: int, drop_p: float = 0.0,
 # obs and the tiny pooled embedding.
 
 
-def _dl_dilate(x_ref, c: int, uh, uw):
-    return [_contract1_t(_contract1_t(_plane_f32(x_ref[:, i]), uh), uw)
-            for i in range(c)]
-
-
 def _dl_forward(x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
                 cin: int, cmid: int, cout: int, drop_p: float):
     """Both decoder stages; returns (mid activations, keepA list, pre-act
     d2 list, keepB list, y list) — everything the backward needs, retained
     in VMEM (no PRNG replay: two stages' masks coexist cheaply)."""
-    dil1 = _dl_dilate(x_ref, cin, uh1, uw1)
+    return _dl_forward_planes(
+        [_plane_f32(x_ref[:, i]) for i in range(cin)],
+        wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
+        cmid, cout, drop_p)
+
+
+def _dl_forward_planes(planes, wt1_ref, b1_ref, wt2_ref, b2_ref,
+                       uh1, uw1, uh2, uw2,
+                       cmid: int, cout: int, drop_p: float):
+    """:func:`_dl_forward` from embedding PLANES already living in VMEM —
+    the whole-AE kernel hands the encoder's output straight in without an
+    x_ref (the embedding never exists outside the kernel)."""
+    cin = len(planes)
+    dil1 = [_contract1_t(_contract1_t(p, uh1), uw1) for p in planes]
     mids, keepsA = [], []
     for m in range(cmid):
         z = _deconv_block(dil1, wt1_ref, b1_ref, m, cin)
@@ -1670,3 +1678,467 @@ def make_fused_decoder_loss(drop_p: float = 0.0, train: bool = False,
 
     decoder_loss.defvjp(fwd, bwd)
     return decoder_loss
+
+
+# ---------------------------------------------------------------------------
+# Whole-AE: encoder + decoder + reconstruction loss in ONE kernel.
+# ---------------------------------------------------------------------------
+#
+# The r4 HLO buffer census at the 512² envs/chip ceiling (STATUS r4,
+# assets/ladder512_r04.jsonl) showed six f32[n, 2, 128, 128] copies of the
+# AE EMBEDDING (conv_encoder's output, conv_decoder_loss's input, their
+# saved residuals and cotangents — ~0.75 MB/env) dominating the 2.6 MB/env
+# temp arena once every cell-sized buffer was gone.  Fusing the whole
+# autoencoder (reference mcl.py:445-512: 2-stage conv encoder, 2-stage
+# transpose-conv decoder, reconstruction error) into ONE pallas_call makes
+# the embedding a kernel-local VMEM value: the only HBM tenants of an AE
+# training step are the (uint8/packed) source+target and 8 scalar-sized
+# parameter grads.  The same kernel serves PredictionBonus/SurpriseBonus
+# (mcl.py:558-728): ``src`` (the ring frame) and ``obs`` (the current
+# frame) are separate inputs that may each independently be uint8 cells or
+# packed u32 words.
+#
+# Backward strategy = the proven pieces composed: the encoder recompute
+# RETAINS stage-1 pre-act/keep planes (as _enc_bwd_kernel) plus stage-2
+# pre-act/keep/act planes (new — the decoder backward needs the embedding
+# anyway), and the decoder forward retains its planes as
+# _decoder_loss_bwd_kernel; dropout masks replay bit-identically from the
+# shared per-tile PRNG stream because forward and backward draw in the
+# same order (enc1 x c1, enc2 x c2, decA x cmid, decB x cout).
+
+
+def _ae_fwd_kernel(seed_ref, src_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   wt1_ref, bt1_ref, wt2_ref, bt2_ref,
+                   sh1_ref, sw1_ref, sh2_ref, sw2_ref, m1_ref,
+                   uh1_ref, uw1_ref, uh2_ref, uw2_ref, obs_ref, err_ref,
+                   *, c1: int, c2: int, cin: int, p1: int, p2: int,
+                   cmid: int, cout: int, drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    sh1, sw1 = sh1_ref[...], sw1_ref[...]
+    sh2, sw2 = sh2_ref[...], sw2_ref[...]
+    m1 = m1_ref[...]
+    uh1, uw1 = uh1_ref[...], uw1_ref[...]
+    uh2, uw2 = uh2_ref[...], uw2_ref[...]
+    taps0 = _tap_planes(src_ref, cin)
+    x1 = [_enc_stage(taps0, w1_ref, b1_ref, o, cin, p1, sh1, sw1, drop_p,
+                     m1)
+          for o in range(c1)]
+    taps1 = [_taps_of(p) for p in x1]
+    emb = [_enc_stage(taps1, w2_ref, b2_ref, o, c1, p2, sh2, sw2, drop_p)
+           for o in range(c2)]
+    _, _, _, _, outs = _dl_forward_planes(
+        emb, wt1_ref, bt1_ref, wt2_ref, bt2_ref, uh1, uw1, uh2, uw2,
+        cmid, cout, drop_p)
+    tile = src_ref.shape[0]
+    totals = [jnp.float32(0.0)] * tile
+    for o, (_, _, y) in enumerate(outs):
+        d2 = (_plane_f32(obs_ref[:, o]) - y) ** 2
+        for t in range(tile):
+            totals[t] = totals[t] + jnp.sum(d2[t])
+    for t in range(tile):
+        # VMEM lane broadcast (see _loss_tail_fwd_kernel)
+        err_ref[t] = jnp.zeros((1, 128), jnp.float32) + totals[t]
+
+
+def _ae_bwd_kernel(seed_ref, src_ref, w1_ref, b1_ref, w2_ref, b2_ref,
+                   wt1_ref, bt1_ref, wt2_ref, bt2_ref,
+                   sh1_ref, sw1_ref, sh2_ref, sw2_ref, m1_ref,
+                   uh1_ref, uw1_ref, uh2_ref, uw2_ref,
+                   bh1_ref, bw1_ref, bh2_ref, bw2_ref, obs_ref, gbar_ref,
+                   dw1_ref, db1_ref, dw2_ref, db2_ref,
+                   dwt1_ref, dbt1_ref, dwt2_ref, dbt2_ref,
+                   *, c1: int, c2: int, cin: int, p1: int, p2: int,
+                   cmid: int, cout: int, drop_p: float):
+    pi = pl.program_id(0)
+    pltpu.prng_seed(seed_ref[0], pi)
+    sh1, sw1 = sh1_ref[...], sw1_ref[...]
+    sh2, sw2 = sh2_ref[...], sw2_ref[...]
+    m1 = m1_ref[...]
+    uh1, uw1 = uh1_ref[...], uw1_ref[...]
+    uh2, uw2 = uh2_ref[...], uw2_ref[...]
+    bh1, bw1 = bh1_ref[...], bw1_ref[...]
+    bh2, bw2 = bh2_ref[...], bw2_ref[...]
+
+    @pl.when(pi == 0)
+    def _init():
+        # SMEM accepts scalar stores only — unrolled zero-init
+        for o in range(c1):
+            db1_ref[o, 0] = 0.0
+            for c in range(cin):
+                for dy in range(3):
+                    for dx in range(3):
+                        dw1_ref[o, c, dy, dx] = 0.0
+        for o in range(c2):
+            db2_ref[o, 0] = 0.0
+            for c in range(c1):
+                for dy in range(3):
+                    for dx in range(3):
+                        dw2_ref[o, c, dy, dx] = 0.0
+        for c in range(c2):
+            for m in range(cmid):
+                for ky in range(4):
+                    for kx in range(4):
+                        dwt1_ref[c, m, ky, kx] = 0.0
+        for m in range(cmid):
+            dbt1_ref[m, 0] = 0.0
+            for o in range(cout):
+                for ky in range(4):
+                    for kx in range(4):
+                        dwt2_ref[m, o, ky, kx] = 0.0
+        for o in range(cout):
+            dbt2_ref[o, 0] = 0.0
+
+    # --- encoder recompute, retaining what both backwards need ------------
+    taps0 = _tap_planes(src_ref, cin)
+    x1, d1s, keeps1 = [], [], []
+    for o in range(c1):
+        z1 = _conv_block(taps0, w1_ref, b1_ref, o, cin)
+        if drop_p > 0.0:
+            keep1 = _keep_mask(z1.shape, drop_p)
+            d1 = jnp.where(keep1, z1 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            keep1, d1 = None, z1
+        d1s.append(d1)
+        keeps1.append(keep1)
+        x1.append(_decimate(_window_max(jnp.maximum(d1, 0.0), p1),
+                            sh1, sw1) * m1)
+    taps1 = [_taps_of(p) for p in x1]
+    embs, d2s, keeps2, a2s = [], [], [], []
+    for o in range(c2):
+        z2 = _conv_block(taps1, w2_ref, b2_ref, o, c1)
+        if drop_p > 0.0:
+            keep2 = _keep_mask(z2.shape, drop_p)
+            d2 = jnp.where(keep2, z2 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            keep2, d2 = None, z2
+        a2 = jnp.maximum(d2, 0.0)
+        embs.append(_decimate(_window_max(a2, p2), sh2, sw2))
+        d2s.append(d2)
+        keeps2.append(keep2)
+        a2s.append(a2)
+
+    # --- decoder forward (retained) + backward -----------------------------
+    dil1, mids, keepsA, dil2, outs = _dl_forward_planes(
+        embs, wt1_ref, bt1_ref, wt2_ref, bt2_ref, uh1, uw1, uh2, uw2,
+        cmid, cout, drop_p)
+    gbar = gbar_ref[...]  # [tile, 1, 1]
+
+    t, hm, wm = mids[0].shape
+    g_mid = [jnp.zeros((t, hm, wm), jnp.float32) for _ in range(cmid)]
+    for o, (keepB, d, y) in enumerate(outs):
+        g = gbar * (2.0 * (y - _plane_f32(obs_ref[:, o])))
+        g_d = g * y * (1.0 - y)  # sigmoid'
+        if drop_p > 0.0:
+            g_c = jnp.where(keepB, g_d * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c = g_d
+        dbt2_ref[o, 0] = dbt2_ref[o, 0] + jnp.sum(g_c)
+        for m in range(cmid):
+            for ky in range(4):
+                for kx in range(4):
+                    tap = _shift2(g_c, ky - 1, kx - 1)
+                    dwt2_ref[m, o, ky, kx] = (
+                        dwt2_ref[m, o, ky, kx] + jnp.sum(dil2[m] * tap)
+                    )
+        for m in range(cmid):
+            corr = jnp.zeros_like(g_c)
+            for ky in range(4):
+                for kx in range(4):
+                    corr = corr + wt2_ref[m, o, ky, kx] * _shift2(
+                        g_c, ky - 1, kx - 1)
+            g_mid[m] = g_mid[m] + _contract1(_contract1(corr, uh2), uw2)
+
+    te, he, we = embs[0].shape
+    g_emb = [jnp.zeros((te, he, we), jnp.float32) for _ in range(c2)]
+    for m in range(cmid):
+        g_a = jnp.where(mids[m] > 0.0, g_mid[m], 0.0)
+        if drop_p > 0.0:
+            g_c = jnp.where(keepsA[m], g_a * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c = g_a
+        dbt1_ref[m, 0] = dbt1_ref[m, 0] + jnp.sum(g_c)
+        for c in range(c2):
+            for ky in range(4):
+                for kx in range(4):
+                    tap = _shift2(g_c, ky - 1, kx - 1)
+                    dwt1_ref[c, m, ky, kx] = (
+                        dwt1_ref[c, m, ky, kx] + jnp.sum(dil1[c] * tap)
+                    )
+        for c in range(c2):
+            corr = jnp.zeros_like(g_c)
+            for ky in range(4):
+                for kx in range(4):
+                    corr = corr + wt1_ref[c, m, ky, kx] * _shift2(
+                        g_c, ky - 1, kx - 1)
+            g_emb[c] = g_emb[c] + _contract1(_contract1(corr, uh1), uw1)
+
+    # --- encoder stage-2 backward from the VMEM embedding cotangent --------
+    t1, h1, w1d = x1[0].shape
+    gx1 = [jnp.zeros((t1, h1, w1d), jnp.float32) for _ in range(c1)]
+    for o in range(c2):
+        g_z2 = _pool_route(a2s[o], g_emb[o], p2, sh2, sw2, bh2, bw2)
+        g_d2 = jnp.where(d2s[o] > 0.0, g_z2, 0.0)
+        if drop_p > 0.0:
+            g_c2 = jnp.where(keeps2[o], g_d2 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c2 = g_d2
+        db2_ref[o, 0] = db2_ref[o, 0] + jnp.sum(g_c2)
+        for c in range(c1):
+            for dy in range(3):
+                for dx in range(3):
+                    tap = _shift_rows(taps1[c][dx], dy - 1)
+                    dw2_ref[o, c, dy, dx] = (
+                        dw2_ref[o, c, dy, dx] + jnp.sum(tap * g_c2)
+                    )
+        gt = _grad_taps(g_c2)
+        for c in range(c1):
+            acc = gx1[c]
+            for dy in range(3):
+                for dx in range(3):
+                    acc = acc + _shift_rows(gt[dx], 1 - dy) * w2_ref[o, c,
+                                                                     dy, dx]
+            gx1[c] = acc
+
+    # --- encoder stage-1 backward (retained pre-act/mask planes) -----------
+    for o in range(c1):
+        d1 = d1s[o]
+        a1 = jnp.maximum(d1, 0.0)
+        g_z1 = _pool_route(a1, gx1[o] * m1, p1, sh1, sw1, bh1, bw1)
+        g_d1 = jnp.where(d1 > 0.0, g_z1, 0.0)
+        if drop_p > 0.0:
+            g_c1 = jnp.where(keeps1[o], g_d1 * (1.0 / (1.0 - drop_p)), 0.0)
+        else:
+            g_c1 = g_d1
+        db1_ref[o, 0] = db1_ref[o, 0] + jnp.sum(g_c1)
+        for c in range(cin):
+            for dy in range(3):
+                for dx in range(3):
+                    tap = _shift_rows(taps0[c][dx], dy - 1)
+                    dw1_ref[o, c, dy, dx] = (
+                        dw1_ref[o, c, dy, dx] + jnp.sum(tap * g_c1)
+                    )
+
+
+def _ae_bytes_per_inst(cin: int, c1: int, c2: int, cmid: int,
+                       h: int, w: int, p1: int) -> int:
+    """Working-set estimate = encoder-bwd retention (incl. the new stage-2
+    pre-act/keep/act planes at 1/p1² res) + decoder-loss planes at full
+    output resolution."""
+    enc = ((3 * cin + 4 + 2 * c1) * h * w * 4
+           + (4 * c1 + 12 + 3 * c2) * (h // p1) * (w // p1) * 4)
+    dec = _dl_bytes_per_inst(c2, cmid, h, w)
+    return int(enc + dec)
+
+
+AE_TILE_BUDGET_BYTES = 12 * 2**20
+
+
+def _ae_call(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask,
+             gbar, *, p1: int, p2: int, drop_p: float, interpret: bool,
+             backward: bool):
+    n, cin, h, wx = src.shape
+    wd = wx * 32 if src.dtype == jnp.uint32 else wx
+    c1 = w1.shape[0]
+    c2 = w2.shape[0]
+    cmid = wt1.shape[1]
+    cout = wt2.shape[1]
+    if p1 * p2 != 4:
+        # the stride-2 x2 decoder returns to input resolution only for a
+        # total encoder pool of 4 (the wrapper nets' shape, mcl.py:452-467)
+        raise ValueError(f"whole-AE kernel needs p1*p2 == 4, got {(p1, p2)}")
+    from .tiling import largest_divisor_tile
+
+    tile = largest_divisor_tile(
+        n, _ae_bytes_per_inst(cin, c1, c2, cmid, h, wd, p1),
+        AE_TILE_BUDGET_BYTES)
+    h1, w1d = h // p1, wd // p1
+    ho, wo = h1 // p2, w1d // p2
+    sh1 = jnp.asarray(_decim_matrix(h, p1))
+    sw1 = jnp.asarray(_decim_matrix(wd, p1))
+    sh2 = jnp.asarray(_decim_matrix(h1, p2))
+    sw2 = jnp.asarray(_decim_matrix(w1d, p2))
+    uh1 = jnp.asarray(_decim_matrix(2 * ho, 2))
+    uw1 = jnp.asarray(_decim_matrix(2 * wo, 2))
+    uh2 = jnp.asarray(_decim_matrix(4 * ho, 2))
+    uw2 = jnp.asarray(_decim_matrix(4 * wo, 2))
+    common_in = [
+        pl.BlockSpec((tile, cin, h, wx), lambda i, *_: (i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w1.shape, lambda i, *_: (0,) * w1.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c1, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(w2.shape, lambda i, *_: (0,) * w2.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((c2, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt1.shape, lambda i, *_: (0,) * wt1.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cmid, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec(wt2.shape, lambda i, *_: (0,) * wt2.ndim,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(m.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+        for m in (sh1, sw1, sh2, sw2)
+    ] + [
+        pl.BlockSpec((h1, 1), lambda i, *_: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ] + [
+        pl.BlockSpec(m.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
+        for m in (uh1, uw1, uh2, uw2)
+    ]
+    args = [
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        src,  # dtype passthrough: u8 cells / u32 words expand in VMEM
+        w1.astype(jnp.float32),
+        b1.astype(jnp.float32).reshape(c1, 1),
+        w2.astype(jnp.float32),
+        b2.astype(jnp.float32).reshape(c2, 1),
+        wt1.astype(jnp.float32),
+        bt1.astype(jnp.float32).reshape(cmid, 1),
+        wt2.astype(jnp.float32),
+        bt2.astype(jnp.float32).reshape(cout, 1),
+        sh1, sw1, sh2, sw2,
+        mask.astype(jnp.float32).reshape(h1, 1),
+        uh1, uw1, uh2, uw2,
+    ]
+    obs_spec = pl.BlockSpec((tile, cout, h, obs.shape[3]),
+                            lambda i, *_: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+    est = 4 * tile * _ae_bytes_per_inst(cin, c1, c2, cmid, h, wd, p1)
+    cp = (None if est <= 16 * 2**20 else
+          pltpu.CompilerParams(vmem_limit_bytes=int(min(100 * 2**20, est))))
+    if not backward:
+        err = pl.pallas_call(
+            functools.partial(_ae_fwd_kernel, c1=c1, c2=c2, cin=cin,
+                              p1=p1, p2=p2, cmid=cmid, cout=cout,
+                              drop_p=drop_p),
+            out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(n // tile,),
+                in_specs=common_in + [obs_spec],
+                out_specs=pl.BlockSpec((tile, 1, 128),
+                                       lambda i, *_: (i, 0, 0),
+                                       memory_space=pltpu.VMEM),
+            ),
+            compiler_params=cp,
+            interpret=(pltpu.InterpretParams() if interpret else False),
+        )(*args, obs)
+        return err[:, 0, 0]
+    bh1 = jnp.asarray(_window_matrix(h, p1))
+    bw1 = jnp.asarray(_window_matrix(wd, p1))
+    bh2 = jnp.asarray(_window_matrix(h1, p2))
+    bw2 = jnp.asarray(_window_matrix(w1d, p2))
+    grads = pl.pallas_call(
+        functools.partial(_ae_bwd_kernel, c1=c1, c2=c2, cin=cin,
+                          p1=p1, p2=p2, cmid=cmid, cout=cout,
+                          drop_p=drop_p),
+        out_shape=(
+            jax.ShapeDtypeStruct(w1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c1, 1), jnp.float32),
+            jax.ShapeDtypeStruct(w2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((c2, 1), jnp.float32),
+            jax.ShapeDtypeStruct(wt1.shape, jnp.float32),
+            jax.ShapeDtypeStruct((cmid, 1), jnp.float32),
+            jax.ShapeDtypeStruct(wt2.shape, jnp.float32),
+            jax.ShapeDtypeStruct((cout, 1), jnp.float32),
+        ),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n // tile,),
+            in_specs=common_in + [
+                pl.BlockSpec(m.shape, lambda i, *_: (0, 0),
+                             memory_space=pltpu.VMEM)
+                for m in (bh1, bw1, bh2, bw2)
+            ] + [obs_spec] + [
+                pl.BlockSpec((tile, 1, 1), lambda i, *_: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec(w1.shape, lambda i, *_: (0,) * w1.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((c1, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(w2.shape, lambda i, *_: (0,) * w2.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((c2, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(wt1.shape, lambda i, *_: (0,) * wt1.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((cmid, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec(wt2.shape, lambda i, *_: (0,) * wt2.ndim,
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
+                             memory_space=pltpu.SMEM),
+            ),
+        ),
+        compiler_params=cp,
+        interpret=(pltpu.InterpretParams() if interpret else False),
+    )(*args, bh1, bw1, bh2, bw2, obs,
+      gbar.astype(jnp.float32).reshape(n, 1, 1))
+    dw1, db1, dw2, db2, dwt1, dbt1, dwt2, dbt2 = grads
+    return (dw1, db1.reshape(c1), dw2, db2.reshape(c2),
+            dwt1, dbt1.reshape(cmid), dwt2, dbt2.reshape(cout))
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_ae_loss(p1: int, p2: int, drop_p: float = 0.0,
+                       train: bool = False, interpret: bool = False):
+    """Build ``ae_loss(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed,
+    mask) -> err [N]`` — the ENTIRE autoencoder (2-stage conv encoder,
+    2-stage transpose-conv decoder, squared-error reduction vs ``obs``) as
+    one Pallas kernel with a custom VJP over all 8 parameter tensors.
+
+    ``src`` (the encoder input) and ``obs`` (the loss target) are separate
+    inputs — equal for AE2D (mcl.py:445-512), the ring frame vs the
+    current frame for PredictionBonus/SurpriseBonus (mcl.py:558-728) —
+    and may each independently be uint8 cells or packed u32 words
+    (expanded in VMEM).  Neither the embedding nor ANY activation or
+    cotangent of the net exists in HBM; the r4 envs/chip census priced
+    those embedding copies at ~0.75 MB/env of the 2.6 MB/env arena.
+
+    All four dropout stages draw from one per-tile hardware-PRNG stream
+    (a different stream than any multi-kernel composition — same
+    distribution; the backward replays it bit-identically by drawing in
+    forward order).  Input cotangents for ``src``/``obs`` are
+    structurally zero (both are observations, mcl.py:343-352)."""
+    p = drop_p if train else 0.0
+
+    @jax.custom_vjp
+    def ae_loss(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask):
+        return _ae_call(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs,
+                        seed, mask, None, p1=p1, p2=p2, drop_p=p,
+                        interpret=interpret, backward=False)
+
+    def fwd(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask):
+        return (ae_loss(src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs,
+                        seed, mask),
+                (src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask))
+
+    def bwd(res, gbar):
+        src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask = res
+        dw1, db1, dw2, db2, dwt1, dbt1, dwt2, dbt2 = _ae_call(
+            src, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs, seed, mask,
+            gbar, p1=p1, p2=p2, drop_p=p, interpret=interpret,
+            backward=True)
+
+        def zero_like_input(x):
+            return (np.zeros(x.shape, jax.dtypes.float0)
+                    if jnp.issubdtype(x.dtype, jnp.integer)
+                    else jnp.zeros_like(x))
+
+        return (zero_like_input(src), dw1.astype(w1.dtype),
+                db1.astype(b1.dtype), dw2.astype(w2.dtype),
+                db2.astype(b2.dtype), dwt1.astype(wt1.dtype),
+                dbt1.astype(bt1.dtype), dwt2.astype(wt2.dtype),
+                dbt2.astype(bt2.dtype), zero_like_input(obs),
+                np.zeros((), jax.dtypes.float0), jnp.zeros_like(mask))
+
+    ae_loss.defvjp(fwd, bwd)
+    return ae_loss

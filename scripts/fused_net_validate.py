@@ -32,7 +32,8 @@ from carle_tpu.utils.cache import enable_compilation_cache
 
 enable_compilation_cache()
 
-from carle_tpu.ops.pallas_head import (make_fused_decoder_loss,
+from carle_tpu.ops.pallas_head import (make_fused_ae_loss,
+                                       make_fused_decoder_loss,
                                        make_fused_encoder,
                                        make_fused_head,
                                        make_fused_loss_tail,
@@ -331,6 +332,63 @@ def main():
         return err.mean() / (obs.shape[1] * obs.shape[2] * obs.shape[3])
 
     grads_vs_oracle("AE-dl(u8)", ae_fused_dl, ae_ref, ae_params)
+
+    # the r5 whole-AE SINGLE kernel (encoder + decoder + loss in ONE
+    # pallas_call — the embedding never exists in HBM): all 8 param grads
+    # vs the f64 oracle
+    ael = make_fused_ae_loss(2, 2, 0.0, train=False)
+
+    def ae_fused_whole(p):
+        err = ael(obs_u8, p["conv1"]["w"], p["conv1"]["b"],
+                  p["conv2"]["w"], p["conv2"]["b"],
+                  p["deconv1"]["w"], p["deconv1"]["b"],
+                  p["deconv2"]["w"], p["deconv2"]["b"], obs_u8,
+                  jnp.int32(0), m_ae)
+        return err.mean() / (obs.shape[1] * obs.shape[2] * obs.shape[3])
+
+    grads_vs_oracle("AE-whole(u8)", ae_fused_whole, ae_ref, ae_params)
+
+    # coarse dropout-replay guard for the whole-AE kernel (its bwd redraws
+    # enc1/enc2/decA/decB masks from one stream in forward order; a
+    # miscounted draw gives O(1) grad errors).  All-positive regime keeps
+    # relu linear; pool-window maxima are generically margin-separated, so
+    # a small central FD resolves alignment to ~1e-2 — coarse, but a
+    # replay divergence is catastrophic, not subtle.  (The exact p1*p2==4
+    # shape rules out the pool=1 linear-regime trick the other kernels use.)
+    rng5 = np.random.RandomState(55)
+    ael_d = make_fused_ae_loss(2, 2, 0.1, train=True)
+    xs = jnp.asarray(rng5.uniform(0.5, 1.5, obs.shape).astype(np.float32))
+    pos = {k: {"w": jnp.asarray(rng5.uniform(0.05, 0.15,
+                                             np.asarray(v["w"]).shape)
+                                .astype(np.float32)),
+               "b": jnp.asarray(rng5.uniform(0.9, 1.1,
+                                             np.asarray(v["b"]).shape)
+                                .astype(np.float32))}
+           for k, v in ae_params.items()}
+
+    def loss_whole(p):
+        return ael_d(xs, p["conv1"]["w"], p["conv1"]["b"],
+                     p["conv2"]["w"], p["conv2"]["b"],
+                     p["deconv1"]["w"], p["deconv1"]["b"],
+                     p["deconv2"]["w"], p["deconv2"]["b"], xs,
+                     jnp.int32(123), m_ae).sum()
+
+    g = jax.jit(jax.grad(loss_whole))(pos)
+    dirs = jax.tree.map(
+        lambda a: jnp.asarray(rng5.uniform(-1, 1, np.asarray(a).shape)
+                              .astype(np.float32)), pos)
+    eps = 2e-3
+    lp = jax.jit(loss_whole)(jax.tree.map(lambda a, d: a + eps * d, pos,
+                                          dirs))
+    lm = jax.jit(loss_whole)(jax.tree.map(lambda a, d: a - eps * d, pos,
+                                          dirs))
+    fd = (float(lp) - float(lm)) / (2 * eps)
+    an = float(sum((gg * dd).sum() for gg, dd in
+                   zip(jax.tree.leaves(g), jax.tree.leaves(dirs))))
+    rel = abs(fd - an) / (abs(fd) + 1e-9)
+    print(f"whole-AE dropout-on directional derivative: fd={fd:.4f} "
+          f"grad={an:.4f} rel={rel:.2e}", flush=True)
+    assert rel < 2e-2, (fd, an)
 
     enc_rnd = make_fused_encoder(4, 2, 0.0, train=False)
 

@@ -758,3 +758,184 @@ def test_net_input_prefers_packed_for_fused():
     assert net_input(ctx, False) == "f32"
     assert net_input(ctx, SpaceSharding(None)) == "u8"
     assert net_input(ctx._replace(packed=None), True) == "u8"
+
+
+# ---------------------------------------------------------------------------
+# Whole-AE single kernel (VERDICT r4 item 1)
+# ---------------------------------------------------------------------------
+
+
+def _ae_ref(src_f, w1, b1, w2, b2, wt1, bt1, wt2, bt2, obs_f):
+    z = _ref_pool(jax.nn.relu(
+        nets.conv2d(src_f, {"w": w1, "b": b1}, padding=1)), 2)
+    z = _ref_pool(jax.nn.relu(
+        nets.conv2d(z, {"w": w2, "b": b2}, padding=1)), 2)
+    a = jax.nn.relu(nets.conv_transpose2d(z, {"w": wt1, "b": bt1}))
+    y = jax.nn.sigmoid(nets.conv_transpose2d(a, {"w": wt2, "b": bt2}))
+    return jnp.sum((obs_f - y) ** 2, axis=(1, 2, 3))
+
+
+def _ae_test_params(rng):
+    return (jnp.asarray(rng.randn(4, 1, 3, 3).astype(np.float32) * .3),
+            jnp.asarray(rng.randn(4).astype(np.float32) * .1),
+            jnp.asarray(rng.randn(2, 4, 3, 3).astype(np.float32) * .3),
+            jnp.asarray(rng.randn(2).astype(np.float32) * .1),
+            jnp.asarray(rng.randn(2, 1, 4, 4).astype(np.float32) * .3),
+            jnp.asarray(rng.randn(1).astype(np.float32) * .1),
+            jnp.asarray(rng.randn(1, 1, 4, 4).astype(np.float32) * .3),
+            jnp.asarray(rng.randn(1).astype(np.float32) * .1))
+
+
+def test_ae_loss_kernel_parity():
+    """The whole-AE kernel (encoder + decoder + loss in ONE pallas_call)
+    matches the unfused composition: value and ALL EIGHT parameter grads,
+    with src != obs (the PredictionBonus shape)."""
+    from carle_tpu.ops.pallas_head import make_fused_ae_loss
+
+    rng = np.random.RandomState(11)
+    n, h = 4, 32
+    src = jnp.asarray((rng.rand(n, 1, h, h) < 0.3).astype(np.uint8))
+    obs = jnp.asarray((rng.rand(n, 1, h, h) < 0.3).astype(np.uint8))
+    params = _ae_test_params(rng)
+    mask = jnp.ones((h // 2, 1), jnp.float32)
+    ae = make_fused_ae_loss(2, 2, 0.0, False, interpret=True)
+
+    ek = ae(src, *params, obs, jnp.int32(0), mask)
+    er = _ae_ref(src.astype(jnp.float32), *params, obs.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(ek), np.asarray(er), rtol=1e-5)
+
+    gk = jax.grad(lambda *p: jnp.sum(ae(src, *p, obs, jnp.int32(0), mask)),
+                  argnums=tuple(range(8)))(*params)
+    gr = jax.grad(
+        lambda *p: jnp.sum(_ae_ref(src.astype(jnp.float32), *p,
+                                   obs.astype(jnp.float32))),
+        argnums=tuple(range(8)))(*params)
+    for k, r in zip(gk, gr):
+        scale = float(np.abs(np.asarray(r)).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(k) / scale,
+                                   np.asarray(r) / scale,
+                                   rtol=5e-6, atol=5e-6)
+
+
+def test_ae_loss_kernel_accepts_packed():
+    """src and obs may independently be packed u32 words.  The in-VMEM
+    expansion itself is bit-exact (encoder test asserts array_equal); the
+    end-to-end values are compared to float tolerance because the
+    interpret-mode graph fuses differently per input dtype and XLA-CPU
+    reassociates the big reductions (measured 4.6e-7 relative)."""
+    from carle_tpu.ops.bitpack import pack_grid
+    from carle_tpu.ops.pallas_head import make_fused_ae_loss
+
+    rng = np.random.RandomState(12)
+    n, h = 2, 32
+    src_cells = (rng.rand(n, h, h) < 0.3).astype(np.uint8)
+    obs_cells = (rng.rand(n, h, h) < 0.3).astype(np.uint8)
+    src8 = jnp.asarray(src_cells)[:, None]
+    obs8 = jnp.asarray(obs_cells)[:, None]
+    srcp = pack_grid(jnp.asarray(src_cells))[:, None]
+    obsp = pack_grid(jnp.asarray(obs_cells))[:, None]
+    params = _ae_test_params(rng)
+    mask = jnp.ones((h // 2, 1), jnp.float32)
+    ae = make_fused_ae_loss(2, 2, 0.0, False, interpret=True)
+
+    ref = np.asarray(ae(src8, *params, obs8, jnp.int32(0), mask))
+    for s, o in ((srcp, obs8), (src8, obsp), (srcp, obsp)):
+        np.testing.assert_allclose(
+            np.asarray(ae(s, *params, o, jnp.int32(0), mask)), ref,
+            rtol=1e-5)
+    g8 = jax.grad(lambda *p: jnp.sum(ae(src8, *p, obs8, jnp.int32(0),
+                                        mask)),
+                  argnums=tuple(range(8)))(*params)
+    gp = jax.grad(lambda *p: jnp.sum(ae(srcp, *p, obsp, jnp.int32(0),
+                                        mask)),
+                  argnums=tuple(range(8)))(*params)
+    for a, b in zip(g8, gp):
+        scale = float(np.abs(np.asarray(a)).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_conv_ae_loss_fallback_and_kernel_agree():
+    """nets.conv_ae_loss: CPU fallback == interpret kernel (value + a
+    param grad), uint8 inputs."""
+    rng = np.random.RandomState(13)
+    n, h = 3, 32
+    src = jnp.asarray((rng.rand(n, 1, h, h) < 0.3).astype(np.uint8))
+    obs = jnp.asarray((rng.rand(n, 1, h, h) < 0.3).astype(np.uint8))
+    w1, b1, w2, b2, wt1, bt1, wt2, bt2 = _ae_test_params(rng)
+    p1 = {"w": w1, "b": b1}
+    p2 = {"w": w2, "b": b2}
+    pd1 = {"w": wt1, "b": bt1}
+    pd2 = {"w": wt2, "b": bt2}
+
+    def run(force):
+        return nets.conv_ae_loss(src, p1, p2, pd1, pd2, obs, None,
+                                 pools=(2, 2), drop_p=0.0, train=False,
+                                 force_kernel=force)
+
+    np.testing.assert_allclose(np.asarray(run(True)), np.asarray(run(False)),
+                               rtol=1e-5)
+
+    def loss(wa, force):
+        return jnp.sum(nets.conv_ae_loss(
+            src, {"w": wa, "b": b1}, p2, pd1, pd2, obs, None,
+            pools=(2, 2), drop_p=0.0, train=False, force_kernel=force))
+
+    gk = jax.grad(lambda wa: loss(wa, True))(w1)
+    gf = jax.grad(lambda wa: loss(wa, False))(w1)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gf),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_ae2d_def_whole_ae_wiring():
+    """ae2d_def(fused_head=True) routes through the whole-AE kernel (CPU:
+    its fallback) and matches the unfused def's rewards; whole_ae=False
+    keeps the two-kernel r4 composition."""
+    from carle_tpu import EnvConfig, rules
+    from carle_tpu.mcl.ae import ae2d_def
+    from carle_tpu.rollout import Rollout
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    rng = np.random.RandomState(3)
+    actions = (rng.rand(6, 2, 16, 16) < 0.15).astype(np.uint8)
+
+    def run(**kw):
+        defs = [ae2d_def(cfg, batch_size=2, dropout=False, **kw)]
+        ro = Rollout(cfg, defs)
+        carry = ro.init(jax.random.PRNGKey(2), rules.LIFE)
+        carry, rewards = ro.run_actions(carry, actions)
+        return np.asarray(rewards)
+
+    unfused = run()
+    whole = run(fused_head=True)
+    two_kernel = run(fused_head=True, whole_ae=False)
+    assert np.any(unfused != 0.0)
+    np.testing.assert_allclose(whole, unfused, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(two_kernel, unfused, rtol=1e-5, atol=1e-6)
+
+
+def test_prediction_def_fused_whole_ae():
+    """prediction_def(fused_head=True) (src = ring frame, target = current
+    frame through conv_ae_loss) matches the unfused def's rewards."""
+    from carle_tpu import EnvConfig, rules
+    from carle_tpu.mcl.prediction import prediction_def
+    from carle_tpu.rollout import Rollout
+
+    cfg = EnvConfig(height=64, width=64, action_height=16, action_width=16,
+                    instances=2)
+    rng = np.random.RandomState(4)
+    actions = (rng.rand(10, 2, 16, 16) < 0.15).astype(np.uint8)
+
+    def run(**kw):
+        defs = [prediction_def(cfg, batch_size=2, dropout=False, **kw)]
+        ro = Rollout(cfg, defs)
+        carry = ro.init(jax.random.PRNGKey(2), rules.LIFE)
+        carry, rewards = ro.run_actions(carry, actions)
+        return np.asarray(rewards)
+
+    unfused = run()
+    fused = run(fused_head=True)
+    assert np.any(unfused != 0.0)
+    np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-6)

@@ -47,6 +47,24 @@ class SpaceSharding(NamedTuple):
     env_axis: Optional[str] = None
 
 
+class BandTiling(NamedTuple):
+    """SINGLE-CHIP routing tag for the fused kernels at huge universes:
+    the observation's H axis is split into ``bands`` row bands processed
+    sequentially by the kernel grid (parallel/band_heads.py) — each band
+    rides through the encoder/decoder-loss kernels as its own
+    batch element with halo rows SLICED from the array (exact, no
+    communication) and globe edges zero-padded, so whole planes never
+    need to fit VMEM at once.  This is what lets learned wrappers run at
+    8192² on one chip, where holding full planes in VMEM needs a pod
+    slice and the unfused XLA conv transients measure 17.2 GB (STATUS
+    r4).  Pass as the wrappers' ``fused_head`` (or nets ``mesh=``)
+    argument; band-vs-global parity is exact up to dropout-stream
+    assignment (each band draws its own masks, like every other fused
+    composition delta)."""
+
+    bands: int
+
+
 # ---------------------------------------------------------------------------
 # initializers
 # ---------------------------------------------------------------------------
@@ -352,6 +370,12 @@ def conv_head(
     # non-power-of-two sizes instead of erroring like the fallback
     if pool < 2 or pool & (pool - 1):
         raise ValueError(f"pool must be a power of two >= 2, got {pool}")
+    if isinstance(mesh, BandTiling):
+        raise ValueError(
+            "BandTiling applies to the two-stage paths (conv_encoder, "
+            "conv_decoder_loss, conv_ae_loss); single-stage heads have no "
+            "banded variant"
+        )
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         # graceful fallback off-TPU: the interpreter is slow and stubs the
@@ -443,6 +467,13 @@ def conv_encoder(
         return encoder_spatial(x, p1, p2, key, pools=pools, drop_p=drop_p,
                                train=train, sharding=mesh,
                                force_kernel=force_kernel)
+    if isinstance(mesh, BandTiling):
+        # single-chip sequential row bands (huge universes)
+        from .parallel.band_heads import encoder_banded
+
+        return encoder_banded(x, p1, p2, key, pools=pools, drop_p=drop_p,
+                              train=train, tiling=mesh,
+                              force_kernel=force_kernel)
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         xf = _cells_f32(x)
@@ -497,6 +528,12 @@ def conv_tail(
 
         return tail_spatial(x, p, key, act=act, drop_p=drop_p, train=train,
                             sharding=mesh, force_kernel=force_kernel)
+    if isinstance(mesh, BandTiling):
+        raise ValueError(
+            "BandTiling serves the training losses (conv_encoder, "
+            "conv_decoder_loss, conv_ae_loss) — a banded conv_tail would "
+            "materialise the full-resolution activation it exists to avoid"
+        )
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         z = conv_transpose2d(x, p, stride=2, padding=1)
@@ -548,6 +585,12 @@ def conv_loss_tail(
         return loss_tail_spatial(x, p, obs, key, act=act, drop_p=drop_p,
                                  train=train, sharding=mesh,
                                  force_kernel=force_kernel)
+    if isinstance(mesh, BandTiling):
+        raise ValueError(
+            "BandTiling routes through conv_decoder_loss / conv_ae_loss "
+            "(the banded error reduction needs the two-stage row-weighted "
+            "kernel), not the single-stage loss tail"
+        )
     on_tpu = is_tpu_platform()
     if not on_tpu and not force_kernel:
         z = conv_transpose2d(x, p, stride=2, padding=1)
@@ -617,6 +660,12 @@ def conv_decoder_loss(
         return loss_tail_spatial(a, p2, obs, k2, act="sigmoid",
                                  drop_p=drop_p, train=train, sharding=mesh,
                                  force_kernel=force_kernel)
+    if isinstance(mesh, BandTiling):
+        from .parallel.band_heads import decoder_loss_banded
+
+        return decoder_loss_banded(x, p1, p2, obs, key, drop_p=drop_p,
+                                   train=train, tiling=mesh,
+                                   force_kernel=force_kernel)
     from .ops.pallas_head import make_fused_decoder_loss
 
     from .ops.ca import is_tpu_platform
@@ -706,6 +755,12 @@ def conv_ae_loss(
         return conv_decoder_loss(x, pd1, pd2, obs, k2, drop_p=drop_p,
                                  train=train, mesh=mesh,
                                  force_kernel=force_kernel)
+    if isinstance(mesh, BandTiling):
+        from .parallel.band_heads import ae_loss_banded
+
+        return ae_loss_banded(src, p1, p2, pd1, pd2, obs, key, pools=pools,
+                              drop_p=drop_p, train=train, tiling=mesh,
+                              force_kernel=force_kernel)
     from .ops.pallas_head import make_fused_ae_loss
 
     from .ops.ca import is_tpu_platform

@@ -1245,13 +1245,23 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((c2, 1), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-    ] + [
+    ]
+    # the stage-1 row-validity mask may be SHARED ([h1, 1] — the spatial
+    # tier, all shards same pattern) or PER-INSTANCE ([n, h1, 1] — the
+    # band tiling, where only the first/last band has out-of-globe rows).
+    # The kernel body broadcasts either shape over [t, h1, w1d] unchanged.
+    if mask.ndim == 3:
+        mask_arg = mask.astype(jnp.float32).reshape(n, h1, 1)
+        mask_spec = pl.BlockSpec((tile, h1, 1), lambda i, *_: (i, 0, 0),
+                                 memory_space=pltpu.VMEM)
+    else:
+        mask_arg = mask.astype(jnp.float32).reshape(h1, 1)
+        mask_spec = pl.BlockSpec((h1, 1), lambda i, *_: (0, 0),
+                                 memory_space=pltpu.VMEM)
+    common_in = common_in + [
         pl.BlockSpec(m.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
         for m in (sh1, sw1, sh2, sw2)
-    ] + [
-        pl.BlockSpec((h1, 1), lambda i, *_: (0, 0),
-                     memory_space=pltpu.VMEM),
-    ]
+    ] + [mask_spec]
     args = [
         jnp.asarray(seed, jnp.int32).reshape(1),
         x,  # dtype passthrough: uint8 obs upcast in VMEM (_plane_f32)
@@ -1260,7 +1270,7 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
         w2.astype(jnp.float32),
         b2.astype(jnp.float32).reshape(c2, 1),
         sh1, sw1, sh2, sw2,
-        mask.astype(jnp.float32).reshape(h1, 1),
+        mask_arg,
     ]
     cp = _enc_compiler_params(tile, cin, c1, h, wd, p1)
     if not backward:
@@ -1424,20 +1434,22 @@ def _dl_forward_planes(planes, wt1_ref, b1_ref, wt2_ref, b2_ref,
 
 def _decoder_loss_fwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
                              b2_ref, uh1_ref, uw1_ref, uh2_ref, uw2_ref,
-                             obs_ref, err_ref,
+                             em_ref, obs_ref, err_ref,
                              *, cin: int, cmid: int, cout: int,
                              drop_p: float):
     pi = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], pi)
     uh1, uw1 = uh1_ref[...], uw1_ref[...]
     uh2, uw2 = uh2_ref[...], uw2_ref[...]
+    em = em_ref[...]  # [h4, 1] error row weights (band tiling zeroes the
+    # halo-contaminated/overlap rows; ones elsewhere)
     _, _, _, _, outs = _dl_forward(
         x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
         cin, cmid, cout, drop_p)
     tile = x_ref.shape[0]
     totals = [jnp.float32(0.0)] * tile
     for o, (_, _, y) in enumerate(outs):
-        d2 = (_plane_f32(obs_ref[:, o]) - y) ** 2
+        d2 = em * (_plane_f32(obs_ref[:, o]) - y) ** 2
         for t in range(tile):
             totals[t] = totals[t] + jnp.sum(d2[t])
     for t in range(tile):
@@ -1447,7 +1459,7 @@ def _decoder_loss_fwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
 
 def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
                              b2_ref, uh1_ref, uw1_ref, uh2_ref, uw2_ref,
-                             obs_ref, gbar_ref,
+                             em_ref, obs_ref, gbar_ref,
                              dw1_ref, db1_ref, dw2_ref, db2_ref, gx_ref,
                              *, cin: int, cmid: int, cout: int,
                              drop_p: float):
@@ -1455,6 +1467,7 @@ def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
     pltpu.prng_seed(seed_ref[0], pi)
     uh1, uw1 = uh1_ref[...], uw1_ref[...]
     uh2, uw2 = uh2_ref[...], uw2_ref[...]
+    em = em_ref[...]
 
     @pl.when(pi == 0)
     def _init():
@@ -1481,7 +1494,7 @@ def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
     t, hm, wm = mids[0].shape
     g_mid = [jnp.zeros((t, hm, wm), jnp.float32) for _ in range(cmid)]
     for o, (keepB, d, y) in enumerate(outs):
-        g = gbar * (2.0 * (y - _plane_f32(obs_ref[:, o])))
+        g = gbar * em * (2.0 * (y - _plane_f32(obs_ref[:, o])))
         g_d = g * y * (1.0 - y)  # sigmoid'
         if drop_p > 0.0:
             g_c = jnp.where(keepB, g_d * (1.0 / (1.0 - drop_p)), 0.0)
@@ -1540,12 +1553,15 @@ def _dl_bytes_per_inst(cin: int, cmid: int, h4: int, w4: int) -> int:
 
 
 def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
-                       drop_p: float, interpret: bool, backward: bool):
+                       drop_p: float, interpret: bool, backward: bool,
+                       em=None):
     n, cin, hi, wi = x.shape
     cmid = wt1.shape[1]
     cout = wt2.shape[1]
     h2, w2 = 2 * hi, 2 * wi
     h4, w4 = 4 * hi, 4 * wi
+    if em is None:
+        em = jnp.ones((h4, 1), jnp.float32)
     from .tiling import largest_divisor_tile
 
     tile = largest_divisor_tile(n, _dl_bytes_per_inst(cin, cmid, h4, w4),
@@ -1565,10 +1581,23 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((cout, 1), lambda i, *_: (0, 0),
                      memory_space=pltpu.VMEM),
-    ] + [
+    ]
+    # the error row-weight may be SHARED ([h4, 1]) or PER-INSTANCE
+    # ([n, h4, 1] — band tiling: clamped windows sit at different offsets
+    # within edge bands).  Kernel body broadcasts either shape.
+    if em.ndim == 3:
+        em_arg = em.astype(jnp.float32).reshape(n, h4, 1)
+        em_spec = pl.BlockSpec((tile, h4, 1), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM)
+    else:
+        em_arg = em.astype(jnp.float32).reshape(h4, 1)
+        em_spec = pl.BlockSpec((h4, 1), lambda i, *_: (0, 0),
+                               memory_space=pltpu.VMEM)
+    common_in = common_in + [
         pl.BlockSpec(m.shape, lambda i, *_: (0, 0), memory_space=pltpu.VMEM)
         for m in (uh1, uw1, uh2, uw2)
     ] + [
+        em_spec,
         # obs may be PACKED (u32, last dim W/32): block follows its shape
         pl.BlockSpec((tile, cout, h4, obs.shape[3]),
                      lambda i, *_: (i, 0, 0, 0),
@@ -1582,6 +1611,7 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
         wt2.astype(jnp.float32),
         b2.astype(jnp.float32).reshape(cout, 1),
         uh1, uw1, uh2, uw2,
+        em_arg,
         obs,  # dtype passthrough: uint8 upcast in VMEM
     ]
     est = 4 * tile * _dl_bytes_per_inst(cin, cmid, h4, w4)
@@ -1675,6 +1705,45 @@ def make_fused_decoder_loss(drop_p: float = 0.0, train: bool = False,
                 db1.astype(b1.dtype), dw2.astype(wt2.dtype),
                 db2.astype(b2.dtype), gobs,
                 np.zeros((), jax.dtypes.float0))
+
+    decoder_loss.defvjp(fwd, bwd)
+    return decoder_loss
+
+
+@functools.lru_cache(maxsize=None)
+def make_fused_decoder_loss_banded(drop_p: float = 0.0, train: bool = False,
+                                   interpret: bool = False):
+    """:func:`make_fused_decoder_loss` with an explicit error ROW-WEIGHT
+    input: ``decoder_loss(x, wt1, b1, wt2, b2, obs, seed, em) -> err [N]``
+    where ``em`` is [4·Hi, 1] f32 multiplying the squared error per output
+    row (and scaling the backward identically).  The band tiling
+    (parallel/band_heads.py) zeroes the halo-contaminated/overlap rows so
+    per-band errors sum to the exact global loss; ``em`` of ones recovers
+    the plain kernel bit-for-bit."""
+    p = drop_p if train else 0.0
+
+    @jax.custom_vjp
+    def decoder_loss(x, wt1, b1, wt2, b2, obs, seed, em):
+        return _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, None,
+                                  drop_p=p, interpret=interpret,
+                                  backward=False, em=em)
+
+    def fwd(x, wt1, b1, wt2, b2, obs, seed, em):
+        return (decoder_loss(x, wt1, b1, wt2, b2, obs, seed, em),
+                (x, wt1, b1, wt2, b2, obs, seed, em))
+
+    def bwd(res, gbar):
+        x, wt1, b1, wt2, b2, obs, seed, em = res
+        dw1, db1, dw2, db2, gx = _decoder_loss_call(
+            x, wt1, b1, wt2, b2, obs, seed, gbar, drop_p=p,
+            interpret=interpret, backward=True, em=em)
+        gobs = (np.zeros(obs.shape, jax.dtypes.float0)
+                if jnp.issubdtype(obs.dtype, jnp.integer)
+                else jnp.zeros_like(obs))
+        return (gx.astype(x.dtype), dw1.astype(wt1.dtype),
+                db1.astype(b1.dtype), dw2.astype(wt2.dtype),
+                db2.astype(b2.dtype), gobs,
+                np.zeros((), jax.dtypes.float0), jnp.zeros_like(em))
 
     decoder_loss.defvjp(fwd, bwd)
     return decoder_loss

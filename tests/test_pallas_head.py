@@ -939,3 +939,101 @@ def test_prediction_def_fused_whole_ae():
     fused = run(fused_head=True)
     assert np.any(unfused != 0.0)
     np.testing.assert_allclose(fused, unfused, rtol=1e-5, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# Single-chip row-band tiling (VERDICT r4 item 3)
+# ---------------------------------------------------------------------------
+
+
+def test_encoder_banded_matches_global():
+    """encoder_banded (sequential band loop, per-instance validity masks)
+    == the global encoder kernel, for both wrapper-net pool configs and
+    uint8/packed inputs."""
+    from carle_tpu.nets import BandTiling
+    from carle_tpu.ops.bitpack import pack_grid
+    from carle_tpu.parallel.band_heads import encoder_banded
+
+    rng = np.random.RandomState(21)
+    n, h, w = 2, 64, 64
+    cells = (rng.rand(n, h, w) < 0.3).astype(np.uint8)
+    for pools in ((2, 2), (4, 2)):
+        p1 = {"w": jnp.asarray(rng.randn(4, 1, 3, 3).astype(np.float32) * .3),
+              "b": jnp.asarray(rng.randn(4).astype(np.float32) * .1)}
+        p2 = {"w": jnp.asarray(rng.randn(2, 4, 3, 3).astype(np.float32) * .3),
+              "b": jnp.asarray(rng.randn(2).astype(np.float32) * .1)}
+        for x in (jnp.asarray(cells)[:, None],
+                  pack_grid(jnp.asarray(cells))[:, None]):
+            ref = nets.conv_encoder(x, p1, p2, None, pools=pools,
+                                    drop_p=0.0, train=False,
+                                    force_kernel=True)
+            banded = encoder_banded(
+                x, p1, p2, None, pools=pools, drop_p=0.0, train=False,
+                tiling=BandTiling(4), force_kernel=True)
+            np.testing.assert_allclose(np.asarray(banded), np.asarray(ref),
+                                       rtol=1e-5, atol=1e-6)
+
+
+def test_decoder_loss_banded_matches_global():
+    """Banded decoder+loss (row-weighted error kernel): per-band errors sum
+    to the global loss; param grads and the embedding cotangent match."""
+    from carle_tpu.nets import BandTiling
+    from carle_tpu.parallel.band_heads import decoder_loss_banded
+
+    rng = np.random.RandomState(22)
+    n, cin, he = 2, 2, 16
+    x = jnp.asarray(rng.randn(n, cin, he, he).astype(np.float32))
+    pd1 = {"w": jnp.asarray(rng.randn(2, 1, 4, 4).astype(np.float32) * .3),
+           "b": jnp.asarray(rng.randn(1).astype(np.float32) * .1)}
+    pd2 = {"w": jnp.asarray(rng.randn(1, 1, 4, 4).astype(np.float32) * .3),
+           "b": jnp.asarray(rng.randn(1).astype(np.float32) * .1)}
+    obs = jnp.asarray((rng.rand(n, 1, 4 * he, 4 * he) < 0.3)
+                      .astype(np.uint8))
+
+    def ref_fn(xx, w1):
+        return jnp.sum(nets.conv_decoder_loss(
+            xx, {"w": w1, "b": pd1["b"]}, pd2, obs, None, drop_p=0.0,
+            train=False, force_kernel=True))
+
+    def band_fn(xx, w1):
+        return jnp.sum(decoder_loss_banded(
+            xx, {"w": w1, "b": pd1["b"]}, pd2, obs, None, drop_p=0.0,
+            train=False, tiling=BandTiling(4), force_kernel=True))
+
+    np.testing.assert_allclose(float(band_fn(x, pd1["w"])),
+                               float(ref_fn(x, pd1["w"])), rtol=1e-5)
+    gb = jax.grad(band_fn, argnums=(0, 1))(x, pd1["w"])
+    gr = jax.grad(ref_fn, argnums=(0, 1))(x, pd1["w"])
+    for a, b in zip(gb, gr):
+        scale = float(np.abs(np.asarray(b)).max()) or 1.0
+        np.testing.assert_allclose(np.asarray(a) / scale,
+                                   np.asarray(b) / scale,
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_ae_loss_banded_matches_global():
+    """conv_ae_loss under BandTiling == the whole-AE kernel's loss (value
+    + the 8 param grads), uint8 src/obs."""
+    from carle_tpu.nets import BandTiling
+
+    rng = np.random.RandomState(23)
+    n, h = 2, 32
+    src = jnp.asarray((rng.rand(n, 1, h, h) < 0.3).astype(np.uint8))
+    obs = jnp.asarray((rng.rand(n, 1, h, h) < 0.3).astype(np.uint8))
+    w1, b1, w2, b2, wt1, bt1, wt2, bt2 = _ae_test_params(rng)
+    packs = dict(p1={"w": w1, "b": b1}, p2={"w": w2, "b": b2},
+                 pd1={"w": wt1, "b": bt1}, pd2={"w": wt2, "b": bt2})
+
+    def loss(wa, mesh):
+        return jnp.sum(nets.conv_ae_loss(
+            src, {"w": wa, "b": b1}, packs["p2"], packs["pd1"],
+            packs["pd2"], obs, None, pools=(2, 2), drop_p=0.0,
+            train=False, force_kernel=True, mesh=mesh))
+
+    lb = float(loss(w1, nets.BandTiling(4)))
+    lr = float(loss(w1, None))
+    np.testing.assert_allclose(lb, lr, rtol=1e-5)
+    gb = jax.grad(lambda wa: loss(wa, BandTiling(4)))(w1)
+    gr = jax.grad(lambda wa: loss(wa, None))(w1)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gr),
+                               rtol=1e-5, atol=1e-6)

@@ -230,3 +230,83 @@ def _as_obs(obs: Any) -> jax.Array:
     if arr.ndim == 3:
         arr = arr[:, None]
     return arr
+
+
+# ---------------------------------------------------------------------------
+# Seeder agents — scripted structure deployment (battery calibration)
+# ---------------------------------------------------------------------------
+
+
+def make_seeder_agent(
+    pattern: Any,
+    action_width: int = 64,
+    action_height: int = 64,
+) -> Agent:
+    """Scripted agent that writes a KNOWN structure through the action
+    window whenever the universe is empty, and otherwise lets it run.
+
+    The reference ships structure helpers (get_glider / get_morley_puffer,
+    mcl.py:855-893) and pattern RLEs but never an agent that *plays* them;
+    this is the calibration oracle the challenge harness lacked — it bounds
+    what the published battery pays for a policy that reliably deploys
+    engineered machines (guns, puffers, fleets), anchoring learned-policy
+    scores (VERDICT r4 item 5).
+
+    ``pattern`` is a 0/1 cell array ([AH, AW], [1, AH, AW] or
+    [1, 1, AH, AW] — the mcl.patterns helpers' shape) or a LIST of such
+    (cycled per instance).  Empty-universe triggering makes the agent
+    stateless (the Agent protocol carries no step counter): the pattern
+    deploys on the battery's per-ruleset reset and re-deploys whenever the
+    rule kills it.
+    """
+    pats = pattern if isinstance(pattern, (list, tuple)) else [pattern]
+    canvases = []
+    for p in pats:
+        arr = np.asarray(p, dtype=np.float32).reshape(
+            np.asarray(p).shape[-2:])
+        if arr.shape[0] > action_height or arr.shape[1] > action_width:
+            raise ValueError(
+                f"pattern {arr.shape} exceeds the "
+                f"{action_height}x{action_width} action window")
+        canvas = np.zeros((action_height, action_width), np.float32)
+        r0 = (action_height - arr.shape[0]) // 2
+        c0 = (action_width - arr.shape[1]) // 2
+        canvas[r0: r0 + arr.shape[0], c0: c0 + arr.shape[1]] = arr
+        canvases.append(canvas)
+    bank = jnp.asarray(np.stack(canvases))  # [K, AH, AW]
+
+    def init(key: jax.Array) -> Dict[str, Any]:
+        return {}
+
+    def apply(params: Any, key: jax.Array, obs: jax.Array) -> jax.Array:
+        instances = obs.shape[0]
+        idx = jnp.arange(instances) % bank.shape[0]
+        pat = bank[idx][:, None]  # [inst, 1, AH, AW]
+        alive = jnp.any(obs > 0, axis=(1, 2, 3))
+        return jnp.where(alive[:, None, None, None], 0.0, pat)
+
+    return Agent(init=init, apply=apply)
+
+
+def tile_pattern(cell_pattern: Any, copies: int, spacing: int = 4,
+                 action_height: int = 64, action_width: int = 64) -> np.ndarray:
+    """Tile ``copies`` of a small pattern into one action canvas (a glider
+    fleet, a still-life lattice...) — row-major with ``spacing`` cells of
+    clearance, centred."""
+    arr = np.asarray(cell_pattern, dtype=np.float32)
+    arr = arr.reshape(arr.shape[-2:])
+    ph, pw = arr.shape
+    per_row = max(1, (action_width + spacing) // (pw + spacing))
+    rows = int(np.ceil(copies / per_row))
+    h = rows * (ph + spacing) - spacing
+    w = min(copies, per_row) * (pw + spacing) - spacing
+    if h > action_height or w > action_width:
+        raise ValueError(f"{copies} copies do not fit the window")
+    canvas = np.zeros((action_height, action_width), np.float32)
+    r0 = (action_height - h) // 2
+    c0 = (action_width - w) // 2
+    for k in range(copies):
+        r = r0 + (k // per_row) * (ph + spacing)
+        c = c0 + (k % per_row) * (pw + spacing)
+        canvas[r: r + ph, c: c + pw] = arr
+    return canvas

@@ -469,6 +469,7 @@ def evaluate_fused_batched(
     verbose: bool = True,
     agent_params: Any = None,
     replicas: int = 1,
+    mesh: Any = None,
 ) -> Tuple[float, np.ndarray]:
     """The whole battery as ONE batch: every ruleset becomes an env instance
     carrying its own 18-bit rule mask (per-instance rules — rules are data,
@@ -500,6 +501,12 @@ def evaluate_fused_batched(
     each copy an independent sample) — error bars from one compiled
     program instead of a seeds loop.  ``per_rule`` is then averaged over
     replicas.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) shards the instance batch —
+    rulesets x replicas — over the mesh's devices (parallel/mesh.py
+    placement rules: per-instance leaves shard dim 0, wrapper params
+    replicate), so a replicated battery scores on a pod slice in one
+    launch; ``len(rules) * replicas`` must divide by the device count.
 
     Returns (mean score, per-ruleset mean scores [len(rules)]).
     """
@@ -554,6 +561,10 @@ def evaluate_fused_batched(
     )
     env = carry.stack.env._replace(rule_bits=bits)
     carry = carry._replace(stack=carry.stack._replace(env=env))
+    if mesh is not None:
+        from carle_tpu.parallel import shard_carry
+
+        carry = shard_carry(carry, mesh, config)
     carry, _ = ro.reset(carry)
     carry, rewards = ro.run(carry, num_steps=steps)
 

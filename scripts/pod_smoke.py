@@ -153,14 +153,21 @@ def job_spatial8k(devs, size: int = 8192) -> None:
     shards = 1 if mesh is None else n
     plane_bytes = (size // shards + 2 * halo) * size * 4
     fused_ok = 7 * plane_bytes <= 100 * 2**20 and mesh is not None
-    fused_arg = SpaceSharding(mesh) if fused_ok else False
-    # the unfused XLA path hits the tiny-channel LAYOUT pathology at
-    # scale: the 4-channel conv activation gets a 128-lane-padded layout
-    # (f32[1,4,4096,4096] T(1,128) allocates 8 GB — 32x its 256 MB), so
-    # 4096²+ OOMs one chip.  Shrink the learned leg to 2048² (padded
-    # transients ~4 GB) and label it; the full-size fused leg is a pod
-    # job by the VMEM bound above
-    learned_size = size if fused_ok else min(size, 2048)
+    if fused_ok:
+        fused_arg = SpaceSharding(mesh)
+        learned_size = size
+    else:
+        # SINGLE-CHIP full-size learned leg via row-band tiling (r5): the
+        # encoder runs as a sequential band loop through one kernel call
+        # (parallel/band_heads.py), so neither whole VMEM planes (the
+        # SpaceSharding bound above) nor the unfused XLA path's
+        # 128-lane-padded conv transients (f32[1,4,4096,4096] allocated
+        # 8 GB — 32x logical — which OOM'd 4096²+ in r4) are needed.
+        # Band height 16 keeps the per-band working set ~16 MB.
+        from carle_tpu.nets import BandTiling
+
+        fused_arg = BandTiling(max(size // 16, 1))
+        learned_size = size
     lcfg = (cfg if learned_size == size else
             EnvConfig(height=learned_size, width=learned_size,
                       action_height=64, action_width=64, instances=1))
@@ -199,7 +206,9 @@ def job_spatial8k(devs, size: int = 8192) -> None:
         "wrapped_env_packed_stats_cells_per_s": cells / dt_env_packed,
         "wrapped_env_learned_cells_per_s":
             learned_size * learned_size / dt_env_learned,
-        "learned_wrapper_fused": bool(fused_ok),
+        "learned_wrapper_fused": True,
+        "learned_wrapper_mode": ("space_sharded" if fused_ok
+                                 else "band_tiled"),
         "learned_wrapper_size": learned_size,
         "free_packed_cells_per_s": cells / dt_free,
     }))

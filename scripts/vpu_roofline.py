@@ -53,8 +53,22 @@ MEASURED = {
     "static_v": 1.90e12,    # same schedule, dynamic lane rotates (1.81-2.0)
     "static_h": 1.36e12,    # round-1 horizontal-pair schedule (8 rolls)
     "static_cm": 1.34e12,   # column-major (4 concat lane shifts)
-    "data_vd": 1.55e12,     # n3-first XOR-mux fold (1.52-1.58)
+    "data_vd": 1.60e12,     # n3-first XOR-mux fold (r4 re-stamp 1.600-1.606;
+    #                         1.52-1.58 in its landing session)
     "data_vc": 1.35e12,     # select-mux fold (1.34-1.36)
+}
+
+# Two-stream variants: SAME per-word schedule as their single-chain base —
+# the rate delta is pure Mosaic scheduling slack (independent dependency
+# chains interleave crossbar and ALU issue), so they are reported against
+# the base's ceiling but EXCLUDED from the per-event fit (identical rows
+# with different rates would force the fit to absorb scheduling quality
+# into per-event costs — the exact confound the overlap probe exposed).
+MEASURED_TWO_STREAM = {
+    "static_vc2": ("static_vc", 2.19e12),   # r4 default (2.187-2.229)
+    "data_vd2": ("data_vd", 1.6575e12),     # r4 tail (1.655-1.660)
+    "data_vd2_rulevec": ("data_vd", 1.593e12),  # per-instance rule VECTOR
+    #   (18 masks hoisted per half; final-code hw_smoke re-stamp)
 }
 WORD = 32
 
@@ -164,6 +178,20 @@ def main() -> int:
             "t_word_measured_ps": float(b[i]),
             "t_word_fit_ps": float(pred[i]),
             "fit_residual_pct": float(100 * (pred[i] - b[i]) / b[i]),
+        }
+    # two-stream rows: base schedule's counts/ceiling, measured rate, and
+    # the scheduling-slack gain over the single chain
+    for n, (base, rate) in MEASURED_TWO_STREAM.items():
+        alu, lane, sub, kind = schedules[base]
+        ceiling_alu_only = WORD * ALU_WORDS * CLOCK / alu
+        out["schedules"][n] = {
+            "alu_ops": alu, "lane_shifts": lane, "sublane_shifts": sub,
+            "lane_kind": {"c": "concat", "d": "dynamic-rotate"}[kind],
+            "streams": 2, "base": base, "fit_excluded": True,
+            "measured_cells_per_s": rate,
+            "alu_only_ceiling_cells_per_s": ceiling_alu_only,
+            "fraction_of_alu_only": rate / ceiling_alu_only,
+            "gain_over_single_chain": rate / MEASURED[base],
         }
     out["machine_model"] = {
         "clock_hz": CLOCK, "alu_words_per_cycle": ALU_WORDS,

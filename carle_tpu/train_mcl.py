@@ -72,6 +72,40 @@ def _find_checkpoint(directory: str, name: str) -> str:
     return max(candidates, key=os.path.getmtime)
 
 
+# Measured fused-training cost on v5e (r5): ~1.2e-10 s per cell-step (2.9k
+# env-steps/s at 512² with RND+AE whole-AE kernels, flat per-env from 256
+# to 6144 envs).  Used with a 25% safety margin ONLY to predict whether a
+# segment's single-scan launch would exceed the execution-transport
+# watchdog (below) — a 2x misprediction just splits a launch in half.
+K_CELL_SECONDS = 1.5e-10
+
+
+def _chunk_steps(steps: int, instances: int, height: int, width: int,
+                 budget_s: float) -> int:
+    """Largest divisor of ``steps`` whose single launch stays under
+    ``budget_s`` predicted seconds.
+
+    Why: launches over ~60 s of device execution are KILLED on this
+    environment's execution transport ("TPU worker crashed or restarted"
+    — r5 ladder bisection: the same 6144-env program dies at 32
+    steps/launch ≈ 69 s and runs at full rate at 16 ≈ 34 s; r4's
+    'runtime HBM limit' was this watchdog wearing a memory costume).
+    Chunking a segment into several launches of one compiled length is
+    throughput-neutral (launch overhead is ms against a seconds-long
+    scan) and costs ONE compile, same as the unchunked segment."""
+    if budget_s <= 0:
+        return steps
+    pred = steps * instances * height * width * K_CELL_SECONDS
+    if pred <= budget_s:
+        return steps
+    per_step = pred / steps
+    max_c = max(1, int(budget_s / per_step))
+    for c in range(min(max_c, steps), 0, -1):
+        if steps % c == 0:
+            return c
+    return 1
+
+
 def _write_progress(path: str, payload: Dict[str, Any]) -> None:
     """Atomic progress write (tmp + rename): a crash mid-write must never
     leave a torn JSON for the supervisor to trip over."""
@@ -102,6 +136,7 @@ def train(
     packed_state: bool = False,
     hbm_budget_gib: Optional[float] = None,
     force_hbm: bool = False,
+    launch_budget_s: float = 50.0,
 ) -> np.ndarray:
     """Pre-train the RND2D + AE2D wrapper stack (reference train(),
     train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
@@ -151,10 +186,17 @@ def train(
     HBM preflight (``utils/preflight.py``): before the first segment the
     fused step program is priced with XLA's memory analysis on the same jit
     instance the loop runs (so the compile is reused, not doubled), and
-    configs over the runtime budget raise :class:`HBMBudgetError` instead of
-    silently killing the TPU worker — the measured r4 failure mode past
-    ~13.5-14.2 GiB.  ``hbm_budget_gib=None`` = 13.0 GiB on TPU, no check on
-    other backends; ``force_hbm=True`` warns and proceeds.
+    configs over the budget raise :class:`HBMBudgetError`.  Past the budget
+    the program compiles but throughput CLIFFS (r5 measured: a 15.2 GiB
+    step runs 2.8x slower than the same config serialized at 13.7), and
+    the 15.75 GiB compile limit looms.  ``hbm_budget_gib=None`` = 13.0 GiB
+    on TPU, no check elsewhere; ``force_hbm=True`` warns and proceeds.
+
+    Launch chunking (``launch_budget_s``, default 50): launches whose
+    device execution exceeds ~60 s are KILLED by this environment's
+    execution transport ("TPU worker crashed" — the r5 ladder bisection
+    that dissolved r4's "runtime HBM limit"); big segments are split into
+    several launches of one compiled scan length.  0 disables.
 
     Returns the per-step summed reward history (skipped segments excluded),
     and writes:
@@ -283,8 +325,24 @@ def train(
             carry, _ = ro.reset(carry)
 
             t1 = time.time()
-            carry, seg_rewards = ro.run(carry, num_steps=steps_per_rule)
-            seg_sum = np.asarray(seg_rewards.sum(axis=(1, 2)))  # [steps]
+            # big configs split the segment into several launches of ONE
+            # compiled scan length so no launch outlives the execution
+            # watchdog (_chunk_steps; throughput-neutral, same compile
+            # count). TPU-only: the predictor models the fused TPU step.
+            chunk = (_chunk_steps(steps_per_rule, instances, height, width,
+                                  launch_budget_s)
+                     if jax.default_backend() == "tpu" else steps_per_rule)
+            if chunk < steps_per_rule and seg_index == skip_segments + 1:
+                print(f"launch chunking: {steps_per_rule} steps as "
+                      f"{steps_per_rule // chunk} launches of {chunk} "
+                      f"(predicted single-launch time exceeds "
+                      f"{launch_budget_s:.0f}s — launches over ~60s are "
+                      f"killed by the execution transport)", flush=True)
+            parts = []
+            for _ in range(steps_per_rule // chunk):
+                carry, seg_rewards = ro.run(carry, num_steps=chunk)
+                parts.append(np.asarray(seg_rewards.sum(axis=(1, 2))))
+            seg_sum = np.concatenate(parts)  # [steps]
             t2 = time.time()
 
             rewards_hist.append(seg_sum)
@@ -386,6 +444,11 @@ if __name__ == "__main__":
     parser.add_argument("--force", action="store_true",
                         help="launch even if the HBM preflight prices the "
                              "program over budget (warns instead of raising)")
+    parser.add_argument("--launch-budget-s", type=float, default=50.0,
+                        help="split segments into launches predicted to "
+                             "stay under this many seconds (launches over "
+                             "~60s are killed by the execution transport); "
+                             "0 disables chunking")
     parser.add_argument("--rng-impl", choices=("threefry", "rbg"),
                         default="threefry",
                         help="PRNG for in-scan randomness. Dropout masks "
@@ -418,6 +481,7 @@ if __name__ == "__main__":
         packed_state=args.packed_state,
         hbm_budget_gib=args.hbm_budget_gib,
         force_hbm=args.force,
+        launch_budget_s=args.launch_budget_s,
     )
     print(json.dumps({"total_reward": float(history.sum()),
                       "segments": len(history) // args.steps_per_rule}))

@@ -1,24 +1,27 @@
 """HBM preflight: price a training program before it executes.
 
-Round-4 measurement (STATUS r4, assets/fault_probe_r04.jsonl,
-assets/ladder512_r04.jsonl): crossing the EFFECTIVE runtime HBM limit on a
-16 GB v5e kills the TPU worker outright — no ``RESOURCE_EXHAUSTED``, no
-traceback, a silently dead process.  XLA's compile-time check only rejects
-programs over the 15.75 GiB accounting limit, so there is a band of configs
-(measured: 5376 envs of 512² fused training ≈ 13.5 GiB runs; 5632 ≈
-14.2 GiB crashes the worker) that compiles clean and then dies at launch.
-
 This module prices a program with XLA's own ``memory_analysis`` on the SAME
 jit instance the driver then runs — the compiled executable lands in the
 in-process jit cache (and the persistent compilation cache), so the
 preflight's marginal cost is one analysis call, not a second compile — and
-refuses over-budget configs with an actionable error instead of a dead chip.
+refuses over-budget configs with an actionable error.
 
-The default budget is deliberately conservative (13.0 GiB): the measured
-crash boundary sits in [13.5, 14.2) GiB of priced memory, and the pricing
-basis (donation-aliased temp+args+outputs) carries a few-percent model
-error, so the guard refuses before the gray zone.  Configs known to fit may
-force past it (``--force`` / ``force=True``).
+What actually happens past the budget (r5 ladder bisection,
+assets/ladder512_r05.jsonl — this REVISES r4's "runtime HBM limit" story):
+
+* the r4 "silently killed TPU worker" events were a ~60-second per-launch
+  execution watchdog, not memory at all (the same 6144-env program dies at
+  32 steps/launch ≈ 69 s and runs at full rate at 16 ≈ 34 s; r4's 5376
+  ceiling ran 59.9 s launches).  Launch chunking
+  (train_mcl._chunk_steps) handles that axis.
+* memory still has a real cliff: a 15.2 GiB-priced step RUNS but 2.8x
+  slower than the same instance count serialized at 13.7 GiB (1014 vs
+  2865 env-steps/s at 6144 envs of 512²), and XLA refuses to compile past
+  15.75 GiB outright.
+
+The default budget (13.0 GiB) keeps configs clear of the throughput cliff
+and the compile ceiling with margin for the pricing basis's model error.
+Configs known to behave may force past it (``--force`` / ``force=True``).
 """
 
 from __future__ import annotations
@@ -27,8 +30,8 @@ from typing import Any, Dict, Optional
 
 import jax
 
-# Measured v5e band (r4): 13.5 GiB priced → runs; 14.2 GiB priced → dead
-# worker.  Refuse before the gray zone starts.
+# Measured v5e (r5): full rate through 13.7 GiB priced; 2.8x throughput
+# cliff by 15.2; compile refusal at 15.75.  Refuse with margin.
 DEFAULT_BUDGET_GIB = 13.0
 
 _MEM_FIELDS = (
@@ -102,12 +105,13 @@ def check_hbm_budget(
     if peak > budget_gib:
         msg = (
             f"HBM preflight: {label} prices at {peak:.2f} GiB, over the "
-            f"{budget_gib:.2f} GiB runtime budget.  On v5e the measured "
-            f"behaviour past ~13.5-14.2 GiB is a silently KILLED TPU "
-            f"worker, not a clean OOM (STATUS r4).  Shrink the config "
-            f"(fewer instances / smaller universe / --packed-state), or "
-            f"force past the guard (force=True / --force) if this config "
-            f"is known to fit."
+            f"{budget_gib:.2f} GiB budget.  Measured on v5e (r5): past "
+            f"~14-15 GiB throughput cliffs ~3x (and XLA refuses to "
+            f"compile past 15.75).  Shrink the config (fewer instances / "
+            f"smaller universe / --packed-state), serialize the wrapper "
+            f"chain (WrapperStack serialize=True — frees ~0.25 MB/env at "
+            f"512² and restores full rate near the ceiling), or force "
+            f"past the guard (force=True / --force)."
         )
         if not force:
             raise HBMBudgetError(msg, mem)

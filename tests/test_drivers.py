@@ -636,3 +636,21 @@ def test_hbm_preflight_skipped_off_tpu(tmp_path):
                     height=64, width=64, batch_size=4, seed=0,
                     log_dir=str(tmp_path / "logs"))
     assert history.shape == (4,)
+
+
+def test_launch_chunking_preserves_history(monkeypatch):
+    """The watchdog-avoidance launch chunking (r5: launches over ~60s are
+    killed by the execution transport) must produce the same reward
+    history as the single-scan segment — same seed, same action stream,
+    chunk boundaries invisible."""
+    import carle_tpu.train_mcl as tm
+
+    kw = dict(instances=2, steps=[1, 8], rules=[[[3], [2, 3]]],
+              height=64, width=64, batch_size=4, seed=0)
+    h_single = train(log_dir="/tmp/chunk_a", **kw)
+
+    monkeypatch.setattr(tm.jax, "default_backend", lambda: "tpu")
+    # micro budget -> every divisor over-budget -> 8 launches of 1 step
+    h_chunked = tm.train(log_dir="/tmp/chunk_b", launch_budget_s=1e-9, **kw)
+    assert h_chunked.shape == h_single.shape == (8,)
+    np.testing.assert_allclose(h_chunked, h_single, rtol=1e-6)

@@ -1203,17 +1203,17 @@ def _enc_bytes_per_inst(cin: int, c1: int, h: int, w: int, p1: int) -> int:
 
 
 def _enc_tile(instances: int, cin: int, c1: int, h: int, w: int,
-              p1: int) -> int:
+              p1: int, factor: int = 4) -> int:
     from .tiling import largest_divisor_tile
 
     return largest_divisor_tile(
-        instances, _enc_bytes_per_inst(cin, c1, h, w, p1),
+        instances, _enc_bytes_per_inst(cin, c1, h, w, p1) * factor // 4,
         ENC_TILE_BUDGET_BYTES)
 
 
 def _enc_compiler_params(tile: int, cin: int, c1: int, h: int, w: int,
-                         p1: int):
-    est = 4 * tile * _enc_bytes_per_inst(cin, c1, h, w, p1)
+                         p1: int, factor: int = 4):
+    est = factor * tile * _enc_bytes_per_inst(cin, c1, h, w, p1)
     if est <= 16 * 2**20:
         return None
     return pltpu.CompilerParams(vmem_limit_bytes=int(min(100 * 2**20, est)))
@@ -1227,7 +1227,11 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
     wd = wx * 32 if x.dtype == jnp.uint32 else wx
     c1 = w1.shape[0]
     c2 = w2.shape[0]
-    tile = _enc_tile(n, cin, c1, h, wd, p1)
+    # banded calls (per-instance masks) carry wide short blocks whose real
+    # Mosaic stack runs well past the 4x live-plane model (same finding as
+    # the banded decoder-loss: ~5-7x measured at 2048² bands)
+    factor = 10 if mask.ndim == 3 else 4
+    tile = _enc_tile(n, cin, c1, h, wd, p1, factor)
     h1, w1d = h // p1, wd // p1
     ho, wo = h1 // p2, w1d // p2
     sh1 = jnp.asarray(_decim_matrix(h, p1))
@@ -1272,7 +1276,7 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
         sh1, sw1, sh2, sw2,
         mask_arg,
     ]
-    cp = _enc_compiler_params(tile, cin, c1, h, wd, p1)
+    cp = _enc_compiler_params(tile, cin, c1, h, wd, p1, factor)
     if not backward:
         return pl.pallas_call(
             functools.partial(_enc_fwd_kernel, c1=c1, c2=c2, cin=cin,
@@ -1562,10 +1566,17 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
     h4, w4 = 4 * hi, 4 * wi
     if em is None:
         em = jnp.ones((h4, 1), jnp.float32)
+    # Banded (per-instance-em) calls carry wide short blocks (h4 << w4 =
+    # full W): Mosaic's real backward stack measured ~10x the
+    # _dl_bytes_per_inst model there (54.4 MB vs a 5.7 MB estimate at
+    # 2048² bands — the model's live-plane count calibrates on square
+    # shapes).  Budget tiles and the scoped-vmem limit accordingly.
+    factor = 10 if em.ndim == 3 else 4
     from .tiling import largest_divisor_tile
 
-    tile = largest_divisor_tile(n, _dl_bytes_per_inst(cin, cmid, h4, w4),
-                                TILE_BUDGET_BYTES)
+    tile = largest_divisor_tile(
+        n, _dl_bytes_per_inst(cin, cmid, h4, w4) * factor // 4,
+        TILE_BUDGET_BYTES)
     uh1 = jnp.asarray(_decim_matrix(h2, 2))
     uw1 = jnp.asarray(_decim_matrix(w2, 2))
     uh2 = jnp.asarray(_decim_matrix(h4, 2))
@@ -1614,7 +1625,7 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
         em_arg,
         obs,  # dtype passthrough: uint8 upcast in VMEM
     ]
-    est = 4 * tile * _dl_bytes_per_inst(cin, cmid, h4, w4)
+    est = factor * tile * _dl_bytes_per_inst(cin, cmid, h4, w4)
     cp = (None if est <= 16 * 2**20 else
           pltpu.CompilerParams(vmem_limit_bytes=int(min(100 * 2**20, est))))
     if not backward:

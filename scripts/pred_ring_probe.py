@@ -28,7 +28,12 @@ def main() -> int:
     parser.add_argument("--instances", type=int, default=1)
     parser.add_argument("--platform", default=None)
     parser.add_argument("--fused", action="store_true", default=None,
-                        help="fused whole-AE kernels (default: on TPU)")
+                        help="fused kernels (default: on TPU)")
+    parser.add_argument("--bands", type=int, default=None,
+                        help="row bands for the fused nets (default: "
+                             "whole-AE single kernel up to 512², band "
+                             "tiling above — the whole-AE tile working "
+                             "set exceeds VMEM past ~512²)")
     args = parser.parse_args()
 
     import jax
@@ -52,6 +57,13 @@ def main() -> int:
 
     fused = is_tpu_platform() if args.fused is None else args.fused
     size, inst = args.size, args.instances
+    if fused:
+        bands = args.bands if args.bands is not None else (
+            0 if size <= 512 else max(size // 64, 1))
+        if bands:
+            from carle_tpu.nets import BandTiling
+
+            fused = BandTiling(bands)
     cfg = EnvConfig(height=size, width=size, action_height=64,
                     action_width=64, instances=inst)
     stack = PackedSpatialStack(
@@ -76,9 +88,14 @@ def main() -> int:
     device_sync(rewards)
     dt = time.time() - t0
 
+    from carle_tpu.nets import BandTiling as _BT
+
     print(json.dumps({
         "size": size, "instances": inst, "steps": args.steps,
-        "fused_whole_ae": bool(fused),
+        "fused": bool(fused),
+        "fused_mode": ("band_tiled" if isinstance(fused, _BT)
+                       else "whole_ae" if fused else "unfused"),
+        "bands": fused.bands if isinstance(fused, _BT) else 0,
         "env_steps_per_s": args.steps * inst / dt,
         "cells_per_s": args.steps * inst * size * size / dt,
         "ring_bytes": int(ring_bytes),

@@ -93,20 +93,45 @@ def _shift_neg(x: jax.Array, di: int, dj: int) -> jax.Array:
 
 _HI = jax.lax.Precision.HIGHEST
 
+# Lanes per decimation/window matmul chunk.  The pool selection matrices
+# are [W, W/p] — O(W²) — which is irrelevant at whole-plane sizes (512²:
+# 0.5 MB) but fatal for band tiling at huge W (8192: 64 MB in VMEM plus
+# hundreds of MB of register spills, the measured r5 compile OOM).  The
+# matrices are block-diagonal with identical blocks, so contractions over
+# the W axis run chunk-by-chunk against ONE shared [C, C/p] block.
+DECIM_CHUNK = 2048
 
-def _contract1(x: jax.Array, m: jax.Array) -> jax.Array:
-    """Contract x's axis 1 with m's axis 0: [T,A,B] @ [A,A'] -> [T,B,A']."""
-    return jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())), precision=_HI)
+
+def _contract1(x: jax.Array, m: jax.Array, chunks: int = 1) -> jax.Array:
+    """Contract x's axis 1 with m's axis 0: [T,A,B] @ [A,A'] -> [T,B,A'].
+    ``chunks > 1``: m is the shared [A/chunks, A'/chunks] diagonal block
+    of a block-diagonal matrix (pool selection/window patterns repeat)."""
+    if chunks == 1:
+        return jax.lax.dot_general(x, m, (((1,), (0,)), ((), ())),
+                                   precision=_HI)
+    c = x.shape[1] // chunks
+    return jnp.concatenate(
+        [jax.lax.dot_general(x[:, i * c:(i + 1) * c, :], m,
+                             (((1,), (0,)), ((), ())), precision=_HI)
+         for i in range(chunks)], axis=-1)
 
 
-def _contract1_t(x: jax.Array, m: jax.Array) -> jax.Array:
+def _contract1_t(x: jax.Array, m: jax.Array, chunks: int = 1) -> jax.Array:
     """Contract x's axis 1 with m's axis 1: [T,A',B] @ [A,A'] -> [T,B,A]."""
-    return jax.lax.dot_general(x, m, (((1,), (1,)), ((), ())), precision=_HI)
+    if chunks == 1:
+        return jax.lax.dot_general(x, m, (((1,), (1,)), ((), ())),
+                                   precision=_HI)
+    c = x.shape[1] // chunks
+    return jnp.concatenate(
+        [jax.lax.dot_general(x[:, i * c:(i + 1) * c, :], m,
+                             (((1,), (1,)), ((), ())), precision=_HI)
+         for i in range(chunks)], axis=-1)
 
 
-def _decimate(x: jax.Array, sh: jax.Array, sw: jax.Array) -> jax.Array:
+def _decimate(x: jax.Array, sh: jax.Array, sw: jax.Array,
+              wchunks: int = 1) -> jax.Array:
     """[T,H,W] -> [T,H/p,W/p], out[a,b] = x[p*a, p*b] (exact)."""
-    return _contract1(_contract1(x, sh), sw)  # [T,W,HP] -> [T,HP,WP]
+    return _contract1(_contract1(x, sh), sw, wchunks)  # -> [T,HP,WP]
 
 
 def _window_max(z: jax.Array, pool: int) -> jax.Array:
@@ -1034,7 +1059,7 @@ def make_fused_tail(act: str, drop_p: float = 0.0, train: bool = False,
 
 
 def _enc_stage(taps, w_ref, b_ref, o, cin, pool, sh, sw, drop_p,
-               rmask=None):
+               rmask=None, wchunks=1):
     """One output channel of conv+dropout+relu+pool from hoisted taps.
     ``rmask`` ([H/pool, 1], broadcast over lanes) zeroes pooled rows that
     lie OUTSIDE the global universe: a halo'd spatial shard's
@@ -1047,7 +1072,7 @@ def _enc_stage(taps, w_ref, b_ref, o, cin, pool, sh, sw, drop_p,
         z = _apply_drop_relu(z, keep, drop_p)
     else:
         z = jnp.maximum(z, 0.0)
-    out = _decimate(_window_max(z, pool), sh, sw)
+    out = _decimate(_window_max(z, pool), sh, sw, wchunks)
     if rmask is not None:
         out = out * rmask
     return out
@@ -1056,7 +1081,7 @@ def _enc_stage(taps, w_ref, b_ref, o, cin, pool, sh, sw, drop_p,
 def _enc_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     sh1_ref, sw1_ref, sh2_ref, sw2_ref, m1_ref, out_ref,
                     *, c1: int, c2: int, cin: int, p1: int, p2: int,
-                    drop_p: float):
+                    drop_p: float, wchunks: int = 1):
     pi = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], pi)
     sh1, sw1 = sh1_ref[...], sw1_ref[...]
@@ -1066,23 +1091,23 @@ def _enc_fwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
     # PRNG draw order (replayed by the backward): keep1_0..keep1_{c1-1}
     # at full res, then keep2_0..keep2_{c2-1} at 1/p1 res
     x1 = [_enc_stage(taps0, w1_ref, b1_ref, o, cin, p1, sh1, sw1, drop_p,
-                     m1)
+                     m1, wchunks)
           for o in range(c1)]
     taps1 = [_taps_of(p) for p in x1]
     for o in range(c2):
         out_ref[:, o] = _enc_stage(taps1, w2_ref, b2_ref, o, c1, p2,
-                                   sh2, sw2, drop_p)
+                                   sh2, sw2, drop_p, None, wchunks)
 
 
-def _pool_route(a, g_pooled, pool, sh, sw, bh, bw):
+def _pool_route(a, g_pooled, pool, sh, sw, bh, bw, wchunks=1):
     """Route a pooled-resolution grad back through the window max over
     ``a`` (reduce-max VJP semantics: ties share equally — same convention
     as the single-stage head kernels)."""
-    m_dec = _decimate(_window_max(a, pool), sh, sw)
-    mb = _contract1_t(_contract1_t(m_dec, bh), bw)
+    m_dec = _decimate(_window_max(a, pool), sh, sw, wchunks)
+    mb = _contract1_t(_contract1_t(m_dec, bh), bw, wchunks)
     eqf = jnp.where(a == mb, 1.0, 0.0)
-    cnt = _contract1(_contract1(eqf, bh), bw)
-    gb = _contract1_t(_contract1_t(g_pooled / cnt, bh), bw)
+    cnt = _contract1(_contract1(eqf, bh), bw, wchunks)
+    gb = _contract1_t(_contract1_t(g_pooled / cnt, bh), bw, wchunks)
     return gb * eqf
 
 
@@ -1091,7 +1116,7 @@ def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
                     bh1_ref, bw1_ref, bh2_ref, bw2_ref, g_ref,
                     dw1_ref, db1_ref, dw2_ref, db2_ref,
                     *, c1: int, c2: int, cin: int, p1: int, p2: int,
-                    drop_p: float):
+                    drop_p: float, wchunks: int = 1):
     pi = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], pi)
     sh1, sw1 = sh1_ref[...], sw1_ref[...]
@@ -1132,7 +1157,7 @@ def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         d1s.append(d1)
         keeps1.append(keep1)
         x1.append(_decimate(_window_max(jnp.maximum(d1, 0.0), p1),
-                            sh1, sw1) * m1)
+                            sh1, sw1, wchunks) * m1)
     taps1 = [_taps_of(p) for p in x1]
     t, h1, w1d = x1[0].shape
     gx1 = [jnp.zeros((t, h1, w1d), jnp.float32) for _ in range(c1)]
@@ -1144,7 +1169,8 @@ def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         else:
             d2 = z2
         a2 = jnp.maximum(d2, 0.0)
-        g_z2 = _pool_route(a2, g_ref[:, o], p2, sh2, sw2, bh2, bw2)
+        g_z2 = _pool_route(a2, g_ref[:, o], p2, sh2, sw2, bh2, bw2,
+                           wchunks)
         g_d2 = jnp.where(d2 > 0.0, g_z2, 0.0)
         if drop_p > 0.0:
             g_c2 = jnp.where(keep2, g_d2 * (1.0 / (1.0 - drop_p)), 0.0)
@@ -1173,7 +1199,8 @@ def _enc_bwd_kernel(seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref,
         d1 = d1s[o]
         a1 = jnp.maximum(d1, 0.0)
         # the true gradient through the hard row mask is zero
-        g_z1 = _pool_route(a1, gx1[o] * m1, p1, sh1, sw1, bh1, bw1)
+        g_z1 = _pool_route(a1, gx1[o] * m1, p1, sh1, sw1, bh1, bw1,
+                           wchunks)
         g_d1 = jnp.where(d1 > 0.0, g_z1, 0.0)
         if drop_p > 0.0:
             g_c1 = jnp.where(keeps1[o], g_d1 * (1.0 / (1.0 - drop_p)), 0.0)
@@ -1216,7 +1243,11 @@ def _enc_compiler_params(tile: int, cin: int, c1: int, h: int, w: int,
     est = factor * tile * _enc_bytes_per_inst(cin, c1, h, w, p1)
     if est <= 16 * 2**20:
         return None
-    return pltpu.CompilerParams(vmem_limit_bytes=int(min(100 * 2**20, est)))
+    # banded (factor-10) calls may legitimately need >100 MB of stack at
+    # huge W (measured 105.9 MB at 8192 lanes, hb=16); v5e has 128 MB
+    # physical — cap with room for the in/out windows
+    cap = (112 if factor > 4 else 100) * 2**20
+    return pltpu.CompilerParams(vmem_limit_bytes=int(min(cap, est)))
 
 
 def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
@@ -1234,10 +1265,15 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
     tile = _enc_tile(n, cin, c1, h, wd, p1, factor)
     h1, w1d = h // p1, wd // p1
     ho, wo = h1 // p2, w1d // p2
+    # O(W²) pool matrices are fatal at huge W (8192: 64 MB VMEM + register
+    # spills) — switch to per-chunk shared blocks (see DECIM_CHUNK)
+    wchunks = (wd // DECIM_CHUNK
+               if wd > DECIM_CHUNK and wd % DECIM_CHUNK == 0 else 1)
+    w_mat = wd if wchunks == 1 else DECIM_CHUNK
     sh1 = jnp.asarray(_decim_matrix(h, p1))
-    sw1 = jnp.asarray(_decim_matrix(wd, p1))
+    sw1 = jnp.asarray(_decim_matrix(w_mat, p1))
     sh2 = jnp.asarray(_decim_matrix(h1, p2))
-    sw2 = jnp.asarray(_decim_matrix(w1d, p2))
+    sw2 = jnp.asarray(_decim_matrix(w_mat // p1, p2))
     common_in = [
         pl.BlockSpec((tile, cin, h, wx), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1280,7 +1316,8 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
     if not backward:
         return pl.pallas_call(
             functools.partial(_enc_fwd_kernel, c1=c1, c2=c2, cin=cin,
-                              p1=p1, p2=p2, drop_p=drop_p),
+                              p1=p1, p2=p2, drop_p=drop_p,
+                              wchunks=wchunks),
             out_shape=jax.ShapeDtypeStruct((n, c2, ho, wo), jnp.float32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -1294,12 +1331,12 @@ def _enc_call(x, w1, b1, w2, b2, seed, mask, g, *, p1: int, p2: int,
             interpret=(pltpu.InterpretParams() if interpret else False),
         )(*args)
     bh1 = jnp.asarray(_window_matrix(h, p1))
-    bw1 = jnp.asarray(_window_matrix(wd, p1))
+    bw1 = jnp.asarray(_window_matrix(w_mat, p1))
     bh2 = jnp.asarray(_window_matrix(h1, p2))
-    bw2 = jnp.asarray(_window_matrix(w1d, p2))
+    bw2 = jnp.asarray(_window_matrix(w_mat // p1, p2))
     dw1, db1, dw2, db2 = pl.pallas_call(
         functools.partial(_enc_bwd_kernel, c1=c1, c2=c2, cin=cin,
-                          p1=p1, p2=p2, drop_p=drop_p),
+                          p1=p1, p2=p2, drop_p=drop_p, wchunks=wchunks),
         out_shape=(
             jax.ShapeDtypeStruct(w1.shape, jnp.float32),
             jax.ShapeDtypeStruct((c1, 1), jnp.float32),

@@ -163,10 +163,11 @@ def job_spatial8k(devs, size: int = 8192) -> None:
         # SpaceSharding bound above) nor the unfused XLA path's
         # 128-lane-padded conv transients (f32[1,4,4096,4096] allocated
         # 8 GB — 32x logical — which OOM'd 4096²+ in r4) are needed.
-        # Band height 16 keeps the per-band working set ~16 MB.
+        # Band height 8 keeps the banded backward's Mosaic stack
+        # inside VMEM at 8192 lanes (hb=16 measured 105.9 MB).
         from carle_tpu.nets import BandTiling
 
-        fused_arg = BandTiling(max(size // 16, 1))
+        fused_arg = BandTiling(max(size // 8, 1))
         learned_size = size
     lcfg = (cfg if learned_size == size else
             EnvConfig(height=learned_size, width=learned_size,

@@ -1037,3 +1037,36 @@ def test_ae_loss_banded_matches_global():
     gr = jax.grad(lambda wa: loss(wa, None))(w1)
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gr),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_encoder_chunked_decimation_matches(monkeypatch):
+    """At huge W the pool selection/window matrices go block-diagonal-
+    chunked (DECIM_CHUNK — O(W²) matrices were the measured 8192² compile
+    OOM).  Chunked == unchunked bit-for-bit, forward and grads."""
+    from carle_tpu.ops import pallas_head as ph
+
+    rng = np.random.RandomState(31)
+    n, h, w = 2, 32, 128
+    x = jnp.asarray((rng.rand(n, 1, h, w) < 0.3).astype(np.uint8))
+    w1 = jnp.asarray(rng.randn(4, 1, 3, 3).astype(np.float32) * .3)
+    b1 = jnp.asarray(rng.randn(4).astype(np.float32) * .1)
+    w2 = jnp.asarray(rng.randn(2, 4, 3, 3).astype(np.float32) * .3)
+    b2 = jnp.asarray(rng.randn(2).astype(np.float32) * .1)
+    ones = jnp.ones((h // 2, 1), jnp.float32)
+
+    def run():
+        # fresh factory per DECIM_CHUNK value (the lru_cache keys only on
+        # the public args; clear it so the kernel retraces)
+        ph.make_fused_encoder.cache_clear()
+        enc = ph.make_fused_encoder(2, 2, 0.0, False, interpret=True)
+        out = enc(x, w1, b1, w2, b2, jnp.int32(0), ones)
+        g = jax.grad(lambda a: (enc(x, a, b1, w2, b2, jnp.int32(0),
+                                    ones) ** 2).sum())(w1)
+        return np.asarray(out), np.asarray(g)
+
+    ref_out, ref_g = run()
+    monkeypatch.setattr(ph, "DECIM_CHUNK", 32)  # -> wchunks = 4
+    chk_out, chk_g = run()
+    ph.make_fused_encoder.cache_clear()
+    np.testing.assert_array_equal(chk_out, ref_out)
+    np.testing.assert_array_equal(chk_g, ref_g)

@@ -112,8 +112,11 @@ def ae2d_def(
             # exists in HBM (the r4 envs/chip census priced the embedding's
             # six f32 copies at ~0.75 MB/env, the arena's dominant term).
             # ``whole_ae=False`` keeps the r4 two-kernel composition
-            # (conv_encoder + conv_decoder_loss) for A/B.  Same math as
-            # the unfused branch: mean over C,H,W (mcl.py:508).
+            # (conv_encoder + conv_decoder_loss) — measured ~5% faster at
+            # SMALL scale (15.3k vs 14.6k env-steps/s at 32x256² on v5e)
+            # where memory doesn't bind; the whole-AE default is what
+            # reaches 7040 envs/chip at 512².  Same math as the unfused
+            # branch: mean over C,H,W (mcl.py:508).
             mesh = None if isinstance(fused_head, bool) else fused_head
             n_elem = ctx.obs.shape[1] * ctx.obs.shape[2] * ctx.obs.shape[3]
             if whole_ae:

@@ -163,11 +163,12 @@ def job_spatial8k(devs, size: int = 8192) -> None:
         # SpaceSharding bound above) nor the unfused XLA path's
         # 128-lane-padded conv transients (f32[1,4,4096,4096] allocated
         # 8 GB — 32x logical — which OOM'd 4096²+ in r4) are needed.
-        # Band height 8 keeps the banded backward's Mosaic stack
-        # inside VMEM at 8192 lanes (hb=16 measured 105.9 MB).
+        # Band height 16 = the measured optimum at 8192 lanes (1.9x over
+        # hb=8 — per-band overhead amortizes; hb=32's Mosaic stack
+        # exceeds the 112 MB scoped-vmem cap and fails to compile).
         from carle_tpu.nets import BandTiling
 
-        fused_arg = BandTiling(max(size // 8, 1))
+        fused_arg = BandTiling(max(size // 16, 1))
         learned_size = size
     lcfg = (cfg if learned_size == size else
             EnvConfig(height=learned_size, width=learned_size,

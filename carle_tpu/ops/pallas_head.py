@@ -1430,24 +1430,29 @@ def make_fused_encoder(p1: int, p2: int, drop_p: float = 0.0,
 
 
 def _dl_forward(x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
-                cin: int, cmid: int, cout: int, drop_p: float):
+                cin: int, cmid: int, cout: int, drop_p: float,
+                wchunks: int = 1):
     """Both decoder stages; returns (mid activations, keepA list, pre-act
     d2 list, keepB list, y list) — everything the backward needs, retained
     in VMEM (no PRNG replay: two stages' masks coexist cheaply)."""
     return _dl_forward_planes(
         [_plane_f32(x_ref[:, i]) for i in range(cin)],
         wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
-        cmid, cout, drop_p)
+        cmid, cout, drop_p, wchunks)
 
 
 def _dl_forward_planes(planes, wt1_ref, b1_ref, wt2_ref, b2_ref,
                        uh1, uw1, uh2, uw2,
-                       cmid: int, cout: int, drop_p: float):
+                       cmid: int, cout: int, drop_p: float,
+                       wchunks: int = 1):
     """:func:`_dl_forward` from embedding PLANES already living in VMEM —
     the whole-AE kernel hands the encoder's output straight in without an
-    x_ref (the embedding never exists outside the kernel)."""
+    x_ref (the embedding never exists outside the kernel).  ``wchunks``
+    chunks the W-axis dilation contractions against shared diagonal
+    blocks (the O(W²) matrices again — see DECIM_CHUNK)."""
     cin = len(planes)
-    dil1 = [_contract1_t(_contract1_t(p, uh1), uw1) for p in planes]
+    dil1 = [_contract1_t(_contract1_t(p, uh1), uw1, wchunks)
+            for p in planes]
     mids, keepsA = [], []
     for m in range(cmid):
         z = _deconv_block(dil1, wt1_ref, b1_ref, m, cin)
@@ -1460,7 +1465,7 @@ def _dl_forward_planes(planes, wt1_ref, b1_ref, wt2_ref, b2_ref,
         mids.append(jnp.maximum(d, 0.0))
     # dilate the mid activations for stage B
     t = mids[0].shape[0]
-    dil2 = [_contract1_t(_contract1_t(a, uh2), uw2) for a in mids]
+    dil2 = [_contract1_t(_contract1_t(a, uh2), uw2, wchunks) for a in mids]
     outs = []
     for o in range(cout):
         z = _deconv_block(dil2, wt2_ref, b2_ref, o, cmid)
@@ -1477,7 +1482,7 @@ def _decoder_loss_fwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
                              b2_ref, uh1_ref, uw1_ref, uh2_ref, uw2_ref,
                              em_ref, obs_ref, err_ref,
                              *, cin: int, cmid: int, cout: int,
-                             drop_p: float):
+                             drop_p: float, wchunks: int = 1):
     pi = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], pi)
     uh1, uw1 = uh1_ref[...], uw1_ref[...]
@@ -1486,7 +1491,7 @@ def _decoder_loss_fwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
     # halo-contaminated/overlap rows; ones elsewhere)
     _, _, _, _, outs = _dl_forward(
         x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
-        cin, cmid, cout, drop_p)
+        cin, cmid, cout, drop_p, wchunks)
     tile = x_ref.shape[0]
     totals = [jnp.float32(0.0)] * tile
     for o, (_, _, y) in enumerate(outs):
@@ -1503,7 +1508,7 @@ def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
                              em_ref, obs_ref, gbar_ref,
                              dw1_ref, db1_ref, dw2_ref, db2_ref, gx_ref,
                              *, cin: int, cmid: int, cout: int,
-                             drop_p: float):
+                             drop_p: float, wchunks: int = 1):
     pi = pl.program_id(0)
     pltpu.prng_seed(seed_ref[0], pi)
     uh1, uw1 = uh1_ref[...], uw1_ref[...]
@@ -1528,7 +1533,7 @@ def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
 
     dil1, mids, keepsA, dil2, outs = _dl_forward(
         x_ref, wt1_ref, b1_ref, wt2_ref, b2_ref, uh1, uw1, uh2, uw2,
-        cin, cmid, cout, drop_p)
+        cin, cmid, cout, drop_p, wchunks)
     gbar = gbar_ref[...]  # [tile, 1, 1]
 
     # --- stage B backward: err -> y -> d -> (dw2, db2, g_mid) -------------
@@ -1555,7 +1560,8 @@ def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
                 for kx in range(4):
                     corr = corr + wt2_ref[m, o, ky, kx] * _shift2(
                         g_c, ky - 1, kx - 1)
-            g_mid[m] = g_mid[m] + _contract1(_contract1(corr, uh2), uw2)
+            g_mid[m] = g_mid[m] + _contract1(_contract1(corr, uh2), uw2,
+                                             wchunks)
 
     # --- stage A backward: g_mid -> relu/drop -> (dw1, db1, gx) -----------
     t, hi, wi = x_ref[:, 0].shape if x_ref.ndim == 4 else x_ref.shape
@@ -1581,7 +1587,8 @@ def _decoder_loss_bwd_kernel(seed_ref, x_ref, wt1_ref, b1_ref, wt2_ref,
                 for kx in range(4):
                     corr = corr + wt1_ref[c, m, ky, kx] * _shift2(
                         g_c, ky - 1, kx - 1)
-            gx_acc[c] = gx_acc[c] + _contract1(_contract1(corr, uh1), uw1)
+            gx_acc[c] = gx_acc[c] + _contract1(_contract1(corr, uh1), uw1,
+                                               wchunks)
     for c in range(cin):
         gx_ref[:, c] = gx_acc[c]
 
@@ -1614,10 +1621,17 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
     tile = largest_divisor_tile(
         n, _dl_bytes_per_inst(cin, cmid, h4, w4) * factor // 4,
         TILE_BUDGET_BYTES)
+    # O(W²) dilation matrices chunk against shared diagonal blocks at
+    # huge W, exactly like the encoder's pool matrices (DECIM_CHUNK);
+    # the emb-width chunk unit is DECIM_CHUNK/4 so the dilated stages'
+    # chunks land on the same lane scale
+    unit = DECIM_CHUNK // 4
+    wchunks = (wi // unit if wi > unit and wi % unit == 0 else 1)
+    wm = wi if wchunks == 1 else unit
     uh1 = jnp.asarray(_decim_matrix(h2, 2))
-    uw1 = jnp.asarray(_decim_matrix(w2, 2))
+    uw1 = jnp.asarray(_decim_matrix(2 * wm, 2))
     uh2 = jnp.asarray(_decim_matrix(h4, 2))
-    uw2 = jnp.asarray(_decim_matrix(w4, 2))
+    uw2 = jnp.asarray(_decim_matrix(4 * wm, 2))
     common_in = [
         pl.BlockSpec((tile, cin, hi, wi), lambda i, *_: (i, 0, 0, 0),
                      memory_space=pltpu.VMEM),
@@ -1668,7 +1682,7 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
     if not backward:
         err = pl.pallas_call(
             functools.partial(_decoder_loss_fwd_kernel, cin=cin, cmid=cmid,
-                              cout=cout, drop_p=drop_p),
+                              cout=cout, drop_p=drop_p, wchunks=wchunks),
             out_shape=jax.ShapeDtypeStruct((n, 1, 128), jnp.float32),
             grid_spec=pltpu.PrefetchScalarGridSpec(
                 num_scalar_prefetch=1,
@@ -1684,7 +1698,7 @@ def _decoder_loss_call(x, wt1, b1, wt2, b2, obs, seed, gbar, *,
         return err[:, 0, 0]
     dw1, db1, dw2, db2, gx = pl.pallas_call(
         functools.partial(_decoder_loss_bwd_kernel, cin=cin, cmid=cmid,
-                          cout=cout, drop_p=drop_p),
+                          cout=cout, drop_p=drop_p, wchunks=wchunks),
         out_shape=(
             jax.ShapeDtypeStruct(wt1.shape, jnp.float32),
             jax.ShapeDtypeStruct((cmid, 1), jnp.float32),

@@ -1070,3 +1070,37 @@ def test_encoder_chunked_decimation_matches(monkeypatch):
     ph.make_fused_encoder.cache_clear()
     np.testing.assert_array_equal(chk_out, ref_out)
     np.testing.assert_array_equal(chk_g, ref_g)
+
+
+def test_decoder_loss_chunked_dilation_matches(monkeypatch):
+    """The decoder's O(W²) dilation matrices chunk like the encoder's pool
+    matrices at huge W — chunked == unchunked bit-for-bit (value + grads
+    incl. the embedding cotangent)."""
+    from carle_tpu.ops import pallas_head as ph
+
+    rng = np.random.RandomState(33)
+    n, cin, hi = 2, 2, 16
+    x = jnp.asarray(rng.randn(n, cin, hi, hi).astype(np.float32))
+    wt1 = jnp.asarray(rng.randn(cin, 1, 4, 4).astype(np.float32) * .3)
+    b1 = jnp.asarray(rng.randn(1).astype(np.float32) * .1)
+    wt2 = jnp.asarray(rng.randn(1, 1, 4, 4).astype(np.float32) * .3)
+    b2 = jnp.asarray(rng.randn(1).astype(np.float32) * .1)
+    obs = jnp.asarray((rng.rand(n, 1, 4 * hi, 4 * hi) < 0.3)
+                      .astype(np.uint8))
+
+    def run():
+        ph.make_fused_decoder_loss.cache_clear()
+        dl = ph.make_fused_decoder_loss(0.0, False, interpret=True)
+        val = dl(x, wt1, b1, wt2, b2, obs, jnp.int32(0))
+        g = jax.grad(lambda xx, a: jnp.sum(dl(xx, a, b1, wt2, b2, obs,
+                                              jnp.int32(0))),
+                     argnums=(0, 1))(x, wt1)
+        return np.asarray(val), [np.asarray(t) for t in g]
+
+    ref_v, ref_g = run()
+    monkeypatch.setattr(ph, "DECIM_CHUNK", 16)  # unit 4 -> wchunks = 4
+    chk_v, chk_g = run()
+    ph.make_fused_decoder_loss.cache_clear()
+    np.testing.assert_array_equal(chk_v, ref_v)
+    for a, b in zip(chk_g, ref_g):
+        np.testing.assert_array_equal(a, b)

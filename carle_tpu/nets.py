@@ -786,6 +786,25 @@ def conv_ae_loss(
         r = conv_transpose2d(a, pd2, stride=2, padding=1)
         y = jax.nn.sigmoid(dropout(r, k4, drop_p, train))
         return jnp.sum((_cells_f32(obs) - y) ** 2, axis=(1, 2, 3))
+    # the whole-AE kernel holds encoder + decoder retention for a whole
+    # instance in VMEM — past ~512² its tile=1 working set exceeds the
+    # scoped-vmem cap and the remote compile fails (HTTP 500).  Fall back
+    # to the r4 two-kernel composition there instead of failing: same
+    # math, the embedding returns to HBM (which is not the binder at the
+    # small instance counts huge universes allow).
+    from .ops.pallas_head import _ae_bytes_per_inst
+
+    wd = src.shape[3] * 32 if src.dtype == jnp.uint32 else src.shape[3]
+    ae_bytes = _ae_bytes_per_inst(
+        src.shape[1], p1["w"].shape[0], p2["w"].shape[0],
+        pd1["w"].shape[1], src.shape[2], wd, pool1)
+    if 4 * ae_bytes > 100 * 2**20:
+        k1, k2 = split_keys(key, 2)
+        x = conv_encoder(src, p1, p2, k1, pools=pools, drop_p=drop_p,
+                         train=train, mesh=mesh, force_kernel=force_kernel)
+        return conv_decoder_loss(x, pd1, pd2, obs, k2, drop_p=drop_p,
+                                 train=train, mesh=mesh,
+                                 force_kernel=force_kernel)
     ae = make_fused_ae_loss(pool1, pool2, drop_p, train,
                             interpret=not on_tpu)
     if mesh is not None:

@@ -282,8 +282,25 @@ def train(
     from .utils.preflight import check_hbm_budget
 
     epochs, steps_per_rule = int(steps[0]), int(steps[1])
+    # decide launch chunking FIRST so the preflight lowers+compiles the
+    # SAME program the segment loop runs (num_steps is a static argname —
+    # pricing the unchunked length would pay a second multi-minute remote
+    # compile and never execute the first).  The K_CELL predictor is
+    # calibrated on the fused whole-AE step; the unfused XLA path runs
+    # ~4x slower per step (the measured fused-head speedup), so scale it.
+    chunk = steps_per_rule
+    if jax.default_backend() == "tpu":
+        k_scale = 1 if fused_head else 5
+        chunk = _chunk_steps(steps_per_rule, instances, height, width,
+                             launch_budget_s / k_scale)
+    if chunk < steps_per_rule:
+        print(f"launch chunking: {steps_per_rule} steps as "
+              f"{steps_per_rule // chunk} launches of {chunk} "
+              f"(predicted single-launch time exceeds "
+              f"{launch_budget_s:.0f}s — launches over ~60s are killed "
+              f"by the execution transport)", flush=True)
     mem = check_hbm_budget(
-        ro._run, carry, num_steps=steps_per_rule,
+        ro._run, carry, num_steps=chunk,
         budget_gib=hbm_budget_gib, force=force_hbm,
         label=f"train step (inst={instances}, {height}x{width})",
     )
@@ -327,17 +344,8 @@ def train(
             t1 = time.time()
             # big configs split the segment into several launches of ONE
             # compiled scan length so no launch outlives the execution
-            # watchdog (_chunk_steps; throughput-neutral, same compile
-            # count). TPU-only: the predictor models the fused TPU step.
-            chunk = (_chunk_steps(steps_per_rule, instances, height, width,
-                                  launch_budget_s)
-                     if jax.default_backend() == "tpu" else steps_per_rule)
-            if chunk < steps_per_rule and seg_index == skip_segments + 1:
-                print(f"launch chunking: {steps_per_rule} steps as "
-                      f"{steps_per_rule // chunk} launches of {chunk} "
-                      f"(predicted single-launch time exceeds "
-                      f"{launch_budget_s:.0f}s — launches over ~60s are "
-                      f"killed by the execution transport)", flush=True)
+            # watchdog (chunk chosen above, before the preflight, so the
+            # priced program IS the executed program)
             parts = []
             for _ in range(steps_per_rule // chunk):
                 carry, seg_rewards = ro.run(carry, num_steps=chunk)

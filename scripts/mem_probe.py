@@ -56,26 +56,14 @@ def probe(instances: int, size: int, packed: bool, steps: int,
     if compile_only:
         # chipless accounting: lower + compile through the remote helper
         # WITHOUT executing, and report XLA's own memory analysis — the
-        # cheap way to see what binds when the runtime path faults
-        # ungracefully (the 5632+ worker crash, round 4)
-        # donate the carry exactly like Rollout._run does, so the analysis
-        # prices the SAME aliased program the run path executes (advisor r4:
-        # a non-donated basis overstates argument+output without the alias
-        # credit, skewing absolute peak_estimate_gib)
-        compiled = (jax.jit(ro._run_impl, static_argnames=("num_steps",),
-                            donate_argnames=("carry",))
-                    .lower(carry, num_steps=steps).compile())
-        ma = compiled.memory_analysis()
-        fields = ("temp_size_in_bytes", "argument_size_in_bytes",
-                  "output_size_in_bytes", "alias_size_in_bytes",
-                  "generated_code_size_in_bytes")
-        mem = {f: int(getattr(ma, f)) for f in fields
-               if hasattr(ma, f)}
-        mem["peak_estimate_gib"] = round(
-            (mem.get("temp_size_in_bytes", 0)
-             + mem.get("argument_size_in_bytes", 0)
-             + mem.get("output_size_in_bytes", 0)
-             - mem.get("alias_size_in_bytes", 0)) / 2**30, 3)
+        # cheap way to see what binds before committing a long job.
+        # Pricing basis = utils/preflight.price_program, the SAME code the
+        # training driver's HBM guard uses (ro._run is the donated jit
+        # instance the run path executes), so probe figures and preflight
+        # refusals can never drift apart.
+        from carle_tpu.utils.preflight import price_program
+
+        mem = price_program(ro._run, carry, num_steps=steps)
         return {"instances": instances, "size": size, "packed": packed,
                 "serialize": serialize, "compile_only": True,
                 "memory_analysis": mem, "ok": True}

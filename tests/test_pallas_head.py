@@ -1104,3 +1104,31 @@ def test_decoder_loss_chunked_dilation_matches(monkeypatch):
     np.testing.assert_array_equal(chk_v, ref_v)
     for a, b in zip(chk_g, ref_g):
         np.testing.assert_array_equal(a, b)
+
+
+def test_conv_ae_loss_auto_falls_back_past_vmem(monkeypatch):
+    """Past ~512² the whole-AE kernel's working set exceeds VMEM; the
+    wrapper must route to the two-kernel composition instead of failing
+    the remote compile (review r5)."""
+    from carle_tpu.ops import pallas_head as ph
+
+    rng = np.random.RandomState(41)
+    src = jnp.asarray((rng.rand(2, 1, 32, 32) < 0.3).astype(np.uint8))
+    w1, b1, w2, b2, wt1, bt1, wt2, bt2 = _ae_test_params(rng)
+    packs = (({"w": w1, "b": b1}, {"w": w2, "b": b2},
+              {"w": wt1, "b": bt1}, {"w": wt2, "b": bt2}))
+
+    def run():
+        return np.asarray(nets.conv_ae_loss(
+            src, *packs, src, None, pools=(2, 2), drop_p=0.0,
+            train=False, force_kernel=True))
+
+    ref = run()
+    # pretend the shape is huge: the whole-AE factory must NOT be touched
+    monkeypatch.setattr(ph, "_ae_bytes_per_inst",
+                        lambda *a, **k: 10**12)
+    monkeypatch.setattr(ph, "make_fused_ae_loss",
+                        lambda *a, **k: (_ for _ in ()).throw(
+                            AssertionError("whole-AE built past VMEM")))
+    out = run()
+    np.testing.assert_allclose(out, ref, rtol=1e-5)

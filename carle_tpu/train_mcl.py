@@ -72,12 +72,14 @@ def _find_checkpoint(directory: str, name: str) -> str:
     return max(candidates, key=os.path.getmtime)
 
 
-# Measured fused-training cost on v5e (r5): ~1.2e-10 s per cell-step (2.9k
-# env-steps/s at 512² with RND+AE whole-AE kernels, flat per-env from 256
-# to 6144 envs).  Used with a 25% safety margin ONLY to predict whether a
-# segment's single-scan launch would exceed the execution-transport
-# watchdog (below) — a 2x misprediction just splits a launch in half.
-K_CELL_SECONDS = 1.5e-10
+# Measured fused-training cost on v5e (r5): 2881 env-steps/s at 512² =
+# 7.55e8 cell-steps/s = 1.33e-9 s per cell-step (RND+AE whole-AE kernels,
+# flat per-env from 256 to 7040 envs; cross-check: the 5376-env 32-step
+# launch took 59.9 s = 32·5376·512²·1.33e-9).  Used with ~20% margin ONLY
+# to predict whether a segment's single-scan launch would exceed the
+# execution-transport watchdog (below) — a 2x misprediction just splits a
+# launch in half.
+K_CELL_SECONDS = 1.6e-9
 
 
 def _chunk_steps(steps: int, instances: int, height: int, width: int,
@@ -137,6 +139,7 @@ def train(
     hbm_budget_gib: Optional[float] = None,
     force_hbm: bool = False,
     launch_budget_s: float = 50.0,
+    serialize: bool = False,
 ) -> np.ndarray:
     """Pre-train the RND2D + AE2D wrapper stack (reference train(),
     train_mcl.py:15; like the reference, the ``mcl`` argument is accepted for
@@ -191,6 +194,12 @@ def train(
     step runs 2.8x slower than the same config serialized at 13.7), and
     the 15.75 GiB compile limit looms.  ``hbm_budget_gib=None`` = 13.0 GiB
     on TPU, no check elsewhere; ``force_hbm=True`` warns and proceeds.
+
+    ``serialize=True`` puts an optimization barrier between the wrapper
+    learners (WrapperStack serialize) — throughput-free at moderate scale
+    and REQUIRED for full rate near the HBM ceiling (r5: 6144 envs of
+    512² run 2865 env-steps/s serialized vs 1014 plain); the measured
+    7040 envs/chip ceiling uses it.
 
     Launch chunking (``launch_budget_s``, default 50): launches whose
     device execution exceeds ~60 s are KILLED by this environment's
@@ -262,7 +271,12 @@ def train(
     if packed_state:
         from .parallel.packed_env import PackedSpatialStack
 
-        stack = PackedSpatialStack(config, wrapper_defs, mesh=None)
+        stack = PackedSpatialStack(config, wrapper_defs, mesh=None,
+                                   serialize=serialize)
+    elif serialize:
+        from .mcl.base import WrapperStack
+
+        stack = WrapperStack(config, wrapper_defs, serialize=True)
     ro = Rollout(config, wrapper_defs, agent, stack=stack)
     carry = ro.init(jax.random.PRNGKey(seed), rules_mod.LIFE,
                     agent_params=agent_params)
@@ -452,6 +466,11 @@ if __name__ == "__main__":
     parser.add_argument("--force", action="store_true",
                         help="launch even if the HBM preflight prices the "
                              "program over budget (warns instead of raising)")
+    parser.add_argument("--serialize", action="store_true",
+                        help="optimization barrier between wrapper "
+                             "learners: throughput-free at moderate "
+                             "scale, required for full rate near the HBM "
+                             "ceiling (the 7040-envs/chip 512^2 config)")
     parser.add_argument("--launch-budget-s", type=float, default=50.0,
                         help="split segments into launches predicted to "
                              "stay under this many seconds (launches over "
@@ -490,6 +509,7 @@ if __name__ == "__main__":
         hbm_budget_gib=args.hbm_budget_gib,
         force_hbm=args.force,
         launch_budget_s=args.launch_budget_s,
+        serialize=args.serialize,
     )
     print(json.dumps({"total_reward": float(history.sum()),
                       "segments": len(history) // args.steps_per_rule}))

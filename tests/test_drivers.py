@@ -654,3 +654,19 @@ def test_launch_chunking_preserves_history(monkeypatch):
     h_chunked = tm.train(log_dir="/tmp/chunk_b", launch_budget_s=1e-9, **kw)
     assert h_chunked.shape == h_single.shape == (8,)
     np.testing.assert_allclose(h_chunked, h_single, rtol=1e-6)
+
+
+def test_train_serialize_matches_default(tmp_path):
+    """train(serialize=True) (the near-ceiling memory recipe) is an
+    optimization-barrier identity: reward history bit-equal to default."""
+    kw = dict(instances=2, steps=[1, 8], rules=[[[3], [2, 3]]],
+              height=64, width=64, batch_size=4, seed=0)
+    h_default = train(log_dir=str(tmp_path / "a"), **kw)
+    h_serial = train(log_dir=str(tmp_path / "b"), serialize=True, **kw)
+    np.testing.assert_array_equal(h_serial, h_default)
+
+    # and through the packed stack
+    h_p = train(log_dir=str(tmp_path / "c"), packed_state=True, **kw)
+    h_ps = train(log_dir=str(tmp_path / "d"), packed_state=True,
+                 serialize=True, **kw)
+    np.testing.assert_array_equal(h_ps, h_p)

@@ -112,6 +112,8 @@ def bench_bitpack_pallas_static(grid, rule_bits, steps_per_launch, launches,
         scheme = "vc"
     if scheme == "vd2":
         scheme = "vc2"
+    if scheme in ("vd4", "vd8", "vd16"):
+        scheme = "vc" + scheme[2:]
     packed = pack_grid(grid)
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
     birth, survive = (3,), (2, 3)
@@ -135,8 +137,11 @@ def bench_bitpack_pallas(grid, rule_bits, steps_per_launch, launches,
 
     if scheme == "v3":  # static-only probe
         scheme = "v"
-    if scheme == "vc2":  # static-only two-stream; nearest data is vd2
+    if scheme == "vc2":  # static-only multi-stream; nearest data is vdN
         scheme = "vd2"
+    if scheme in ("vc4", "vc8", "vc16", "vc32"):
+        n = min(int(scheme[2:]), 16)
+        scheme = f"vd{n}" if n >= 4 else "vd2"
     packed = pack_grid(grid)
     steps = jnp.asarray(steps_per_launch, dtype=jnp.int32)
     _sync(bit_multi_step_pallas(packed, rule_bits, steps, scheme=scheme))
@@ -213,12 +218,14 @@ def main() -> int:
     parser.add_argument("--backend",
                         choices=tuple(BACKENDS) + ("auto",), default="auto")
     parser.add_argument("--scheme", choices=("h", "v", "v3", "vc", "vcc", "vc2",
-                                             "vd", "vd2"),
+                                             "vc4", "vc8", "vc16", "vc32",
+                                             "vd", "vd2", "vd4", "vd8",
+                                             "vd16"),
                         default=None,
                         help="kernel step scheme; default = per-backend "
-                             "best (static: vc2 2.19e12 cells/s on v5e, "
-                             "rules-as-data: vd2 1.655-1.660e12 — the "
-                             "two-stream half-tile variants). "
+                             "best (static: vc16 2.52-2.53e12 cells/s on "
+                             "v5e, rules-as-data: vd8 1.79e12 — the "
+                             "multi-stream variants, r5). "
                              "vc = single-chain vertical-first with "
                              "slice+concat lane shifts (static 2.03-2.10e12, "
                              "data 1.34e12), vd = vc's schedule + n3-first "
@@ -280,13 +287,18 @@ def main() -> int:
     # aliased run would fabricate e.g. an exact vd-vs-vc static tie)
     scheme = args.scheme
     if scheme is None:  # per-backend best (measured, see --scheme help)
-        scheme = "vc2" if "static" in backend else "vd2"
+        scheme = "vc16" if "static" in backend else "vd8"
     if "static" in backend and scheme == "vd":
         scheme = "vc"  # vd is a data-only fold experiment
     if "static" in backend and scheme == "vd2":
         scheme = "vc2"  # nearest static two-stream
-    if "static" not in backend and scheme == "vc2":
-        scheme = "vd2"  # nearest data-backend two-stream
+    if "static" in backend and scheme in ("vd4", "vd8"):
+        scheme = "vc" + scheme[2:]
+    if "static" not in backend and scheme.startswith("vc") and scheme not in (
+            "vc", "vcc"):
+        # nearest data-backend multi-stream
+        n = min(int(scheme[2:]), 16)
+        scheme = f"vd{n}" if n > 2 else "vd2"
     if "static" not in backend and scheme == "v3":
         scheme = "v"   # v3 is a static-only probe
     if (args.scheme is not None

@@ -262,23 +262,23 @@ _DATA_STEPS = {
 
 
 def _multi_step_kernel(rule_ref, steps_ref, grid_ref, out_ref, *, scheme="v"):
-    if scheme == "vd2":
-        # TWO-STREAM vd — same scheduling-slack trick as the static "vc2"
-        # (see _static_multi_step_kernel): the tile's halves run as
-        # independent dependency chains so Mosaic can interleave adjacent
-        # crossbar and ALU ops across streams.
+    if scheme in _VD_STREAMS:
+        # MULTI-STREAM vd — same scheduling-slack trick as the static
+        # "vc2"/"vc4" (see _static_multi_step_kernel): the tile's
+        # halves/quarters run as independent dependency chains so Mosaic
+        # can interleave adjacent crossbar and ALU ops across streams.
+        streams = _VD_STREAMS[scheme]
         step = _DATA_STEPS["vd"]
-        t2 = grid_ref.shape[0] // 2
+        ts = grid_ref.shape[0] // streams
 
-        def body2(_, ab):
-            a, b = ab
-            return step(a, rule_ref[0]), step(b, rule_ref[0])
+        def body_n(_, parts):
+            return tuple(step(p, rule_ref[0]) for p in parts)
 
-        a, b = jax.lax.fori_loop(
-            0, steps_ref[0], body2,
-            (grid_ref[:t2], grid_ref[t2:]))
-        out_ref[:t2] = a
-        out_ref[t2:] = b
+        parts = jax.lax.fori_loop(
+            0, steps_ref[0], body_n,
+            tuple(grid_ref[i * ts:(i + 1) * ts] for i in range(streams)))
+        for i in range(streams):
+            out_ref[i * ts:(i + 1) * ts] = parts[i]
         return
     step = _DATA_STEPS[scheme]
 
@@ -515,29 +515,35 @@ _STATIC_STEPS = {
 }
 
 
+_VC_STREAMS = {"vc2": 2, "vc4": 4, "vc8": 8, "vc16": 16, "vc32": 32}
+_VD_STREAMS = {"vd2": 2, "vd4": 4, "vd8": 8, "vd16": 16}
+
+
 def _static_multi_step_kernel(steps_ref, grid_ref, out_ref, *, birth, survive,
                               scheme="v"):
-    if scheme == "vc2":
-        # TWO-STREAM vc: the tile's halves run as independent dependency
-        # chains inside one loop body, giving the Mosaic scheduler adjacent
-        # independent crossbar and ALU ops to interleave.  Measured on v5e
-        # (scripts/overlap_probe.py, two sessions): +5.2% / +6.2% over the
-        # single-chain vc at 4096x256x256 — scheduling slack, not true
-        # crossbar/ALU overlap (the probe's mix additivity is 0.95, and
-        # substituting the 2 lane shifts with 2 ALU ops measures SLOWER,
-        # so the crossbar already pipelines under the ALU stream).
+    if scheme in _VC_STREAMS:
+        # MULTI-STREAM vc: the tile's halves (vc2) or quarters (vc4) run
+        # as independent dependency chains inside one loop body, giving
+        # the Mosaic scheduler adjacent independent crossbar and ALU ops
+        # to interleave.  vc2 measured on v5e (scripts/overlap_probe.py,
+        # two sessions): +5.2% / +6.2% over the single-chain vc at
+        # 4096x256x256 — scheduling slack, not true crossbar/ALU overlap
+        # (the probe's mix additivity is 0.95, and substituting the 2
+        # lane shifts with 2 ALU ops measures SLOWER, so the crossbar
+        # already pipelines under the ALU stream).  vc4 probes whether
+        # more slack remains past two streams.
+        streams = _VC_STREAMS[scheme]
         step = _STATIC_STEPS["vc"]
-        t2 = grid_ref.shape[0] // 2
+        ts = grid_ref.shape[0] // streams
 
-        def body2(_, ab):
-            a, b = ab
-            return step(a, birth, survive), step(b, birth, survive)
+        def body_n(_, parts):
+            return tuple(step(p, birth, survive) for p in parts)
 
-        a, b = jax.lax.fori_loop(
-            0, steps_ref[0], body2,
-            (grid_ref[:t2], grid_ref[t2:]))
-        out_ref[:t2] = a
-        out_ref[t2:] = b
+        parts = jax.lax.fori_loop(
+            0, steps_ref[0], body_n,
+            tuple(grid_ref[i * ts:(i + 1) * ts] for i in range(streams)))
+        for i in range(streams):
+            out_ref[i * ts:(i + 1) * ts] = parts[i]
         return
     step = _STATIC_STEPS[scheme]
 
@@ -556,28 +562,32 @@ def _tile(instances: int, nwords: int, h: int,
 @functools.partial(jax.jit, static_argnames=("scheme",))
 def bit_multi_step_pallas(
     packed: jax.Array, rule_bits: jax.Array, num_steps: jax.Array,
-    scheme: str = "vd2",
+    scheme: str = "vd8",
 ) -> jax.Array:
     """``num_steps`` generations on a packed [inst, H, W/32] grid.
 
-    Default scheme "vd2" (the "vd" n3-first XOR-mux fold run as TWO
-    independent half-tile streams — the same scheduling-slack trick as the
-    static "vc2") measured 1.655-1.660e12 cells/s on v5e vs 1.600-1.606e12
-    same-session for single-chain "vd", 1.34-1.36e12 for "vc" (select-mux
-    fold) and 1.32e12 for "v" (dynamic lane rotates) — the serving-path
-    default for the env/packed engines; odd tiles fall back to "vd".
+    Default scheme "vd8" (r5: the "vd" n3-first XOR-mux fold run as EIGHT
+    independent tile-slice streams — multi-stream scheduling slack, same
+    trick as the static "vc16") measured 1.794e12 cells/s on v5e vs
+    1.733e12 vd4 / 1.659e12 vd2 / 1.60e12 single-chain vd same-session
+    (1.34-1.36e12 "vc" select-mux fold, 1.32e12 "v" dynamic rotates) —
+    the serving-path default for the env/packed engines; vd16 regresses
+    (1.74e12), and non-dividing tiles halve the stream count until it
+    fits.  The per-instance rule-VECTOR engine caps at 2 streams (18
+    hoisted masks per stream bound VMEM).
 
     ``rule_bits`` scalar or [instances] vector (per-instance rulesets in one
     launch — the fast path for mixed-rule batches like the eval battery)."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)  # [inst, W/32, H]
     tile = _tile(inst, nwords, h)
-    if scheme == "vd2" and tile % 2:
-        scheme = "vd"  # two streams need an even tile; same math either way
-    if scheme not in _DATA_STEPS and scheme != "vd2":
+    while scheme in _VD_STREAMS and tile % _VD_STREAMS[scheme]:
+        n = _VD_STREAMS[scheme] // 2
+        scheme = "vd" if n < 2 else f"vd{n}"
+    if scheme not in _DATA_STEPS and scheme not in _VD_STREAMS:
         raise ValueError(
             f"unknown scheme {scheme!r}; one of "
-            f"{sorted(_DATA_STEPS) + ['vd2']}")
+            f"{sorted(_DATA_STEPS) + sorted(_VD_STREAMS)}")
     rb = jnp.asarray(rule_bits, jnp.int32)
     if rb.ndim == 1:
         # ~10 live step planes + 18 hoisted rule masks resident: shrink the
@@ -585,6 +595,9 @@ def bit_multi_step_pallas(
         # 2.5% of 64 for the static kernel — scripts/tile_probe.py)
         tile = _tile(inst, nwords, h,
                      budget_bytes=int(8 * 2**20 * 10 / 28))
+        if scheme in _VD_STREAMS and _VD_STREAMS[scheme] > 2:
+            scheme = "vd2"  # the vector engine hoists 18 masks per stream;
+            # more streams' resident masks blow the VMEM budget
         if scheme == "vd2" and tile % 2:
             scheme = "vd"
         out = pl.pallas_call(
@@ -633,29 +646,33 @@ def bit_multi_step_pallas(
 @functools.partial(jax.jit, static_argnames=("birth", "survive", "scheme"))
 def bit_multi_step_pallas_static(
     packed: jax.Array, birth, survive, num_steps: jax.Array,
-    scheme: str = "vc2",
+    scheme: str = "vc16",
 ) -> jax.Array:
     """``num_steps`` generations with the rule baked into the kernel.
 
     ~3x fewer bitops per word than the rules-as-data kernel for sparse
     rulesets like Life; recompiles when (birth, survive) change — use for
-    long fixed-rule runs and benchmarks.  ``scheme="vc2"`` (default, r4)
-    is the TWO-STREAM vc step — the tile's halves as independent
-    dependency chains, +7% same-session over single-chain "vc" (bench
-    2.190e12 vs 2.047e12 cells/s on v5e, identical checksums; odd tiles
-    silently fall back to vc).  ``"vc"`` is the single-chain vertical-
-    first step with slice+concat lane shifts, ``"v"`` the same schedule
-    with dynamic lane rotates (1.81-2.0e12, session-dependent), ``"h"``
-    the round-1 horizontal-pair step (8 rolls, 1.36e12)."""
+    long fixed-rule runs and benchmarks.  ``scheme="vc16"`` (default,
+    r5) runs the vc step as SIXTEEN independent tile-slice streams —
+    multi-stream scheduling slack, measured 2.52-2.53e12 cells/s on v5e
+    (same-session ladder: vc2 2.21e12, vc4 2.28-2.33e12, vc8 2.46e12,
+    vc16 2.52-2.53e12, vc32 2.54e12 ~ ties vc16; identical checksums;
+    non-dividing tiles halve the stream count).  ``"vc"`` is the
+    single-chain vertical-first step with slice+concat lane shifts
+    (2.03-2.10e12), ``"v"`` the same schedule with dynamic lane rotates
+    (1.81-2.0e12, session-dependent), ``"h"`` the round-1
+    horizontal-pair step (8 rolls, 1.36e12)."""
     inst, h, nwords = packed.shape
     t = packed.transpose(0, 2, 1)
     tile = _tile(inst, nwords, h)
-    if scheme == "vc2" and tile % 2:
-        scheme = "vc"  # two streams need an even tile; same math either way
-    if scheme not in _STATIC_STEPS and scheme != "vc2":
+    while scheme in _VC_STREAMS and tile % _VC_STREAMS[scheme]:
+        # stream count must divide the tile; halve until it does
+        n = _VC_STREAMS[scheme] // 2
+        scheme = "vc" if n < 2 else f"vc{n}"
+    if scheme not in _STATIC_STEPS and scheme not in _VC_STREAMS:
         raise ValueError(
             f"unknown scheme {scheme!r}; one of "
-            f"{sorted(_STATIC_STEPS) + ['vc2']}")
+            f"{sorted(_STATIC_STEPS) + sorted(_VC_STREAMS)}")
     kernel = functools.partial(
         _static_multi_step_kernel,
         birth=frozenset(birth),

@@ -59,6 +59,11 @@ def _jobs(quick: bool):
         ("bench-static-vc2", py + ["bench.py",
                                    "--backend", "bitpack-pallas-static",
                                    "--scheme", "vc2"] + bench_common),
+        ("bench-static-vc16", py + ["bench.py",
+                                    "--backend", "bitpack-pallas-static",
+                                    "--scheme", "vc16"] + bench_common),
+        ("bench-data-vd8", py + ["bench.py", "--backend", "bitpack-pallas",
+                                 "--scheme", "vd8"] + bench_common),
         ("bench-per-instance-rules", py + ["bench.py",
                                            "--backend", "bitpack-pallas",
                                            "--per-instance-rules"]

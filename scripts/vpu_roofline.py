@@ -66,7 +66,14 @@ MEASURED = {
 # into per-event costs — the exact confound the overlap probe exposed).
 MEASURED_TWO_STREAM = {
     "static_vc2": ("static_vc", 2.19e12),   # r4 default (2.187-2.229)
+    "static_vc4": ("static_vc", 2.30e12),   # r5 ladder (2.275-2.326)
+    "static_vc8": ("static_vc", 2.458e12),
+    "static_vc16": ("static_vc", 2.53e12),  # r5 DEFAULT (2.52-2.533;
+    #   vc32 2.543 ties — the multi-stream slack plateaus at ~16 chains)
     "data_vd2": ("data_vd", 1.6575e12),     # r4 tail (1.655-1.660)
+    "data_vd4": ("data_vd", 1.733e12),
+    "data_vd8": ("data_vd", 1.794e12),      # r5 DEFAULT (vd16 regresses
+    #   to 1.74)
     "data_vd2_rulevec": ("data_vd", 1.593e12),  # per-instance rule VECTOR
     #   (18 masks hoisted per half; final-code hw_smoke re-stamp)
 }
@@ -187,7 +194,9 @@ def main() -> int:
         out["schedules"][n] = {
             "alu_ops": alu, "lane_shifts": lane, "sublane_shifts": sub,
             "lane_kind": {"c": "concat", "d": "dynamic-rotate"}[kind],
-            "streams": 2, "base": base, "fit_excluded": True,
+            "streams": (int(n.rsplit("vc", 1)[-1].rsplit("vd", 1)[-1])
+                        if n[-1].isdigit() else 2),
+            "base": base, "fit_excluded": True,
             "measured_cells_per_s": rate,
             "alu_only_ceiling_cells_per_s": ceiling_alu_only,
             "fraction_of_alu_only": rate / ceiling_alu_only,

@@ -350,3 +350,57 @@ def test_data_pallas_vd2_two_stream_parity():
         out3 = bit_multi_step_pallas(packed3, jnp.asarray(rules.LIFE),
                                      jnp.asarray(3), scheme="vd2")
     np.testing.assert_array_equal(np.asarray(out3), np.asarray(expected3))
+
+
+def test_static_pallas_vc4_four_stream_parity():
+    """The experimental four-stream "vc4" scheme is bit-exact vs the
+    packed reference, including the tile%4 fallback chain (vc4 -> vc2)."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from carle_tpu.ops.pallas_bitpack import bit_multi_step_pallas_static
+
+    rng = np.random.RandomState(23)
+    grid = (rng.rand(8, 128, 256) < 0.35).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+    expected = bit_multi_step(packed, jnp.asarray(rules.LIFE), 5)
+    with pltpu.force_tpu_interpret_mode():
+        out = bit_multi_step_pallas_static(packed, (3,), (2, 3),
+                                           jnp.asarray(5), scheme="vc4")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(expected))
+
+    grid6 = (rng.rand(6, 128, 256) < 0.35).astype(np.uint8)  # tile % 4 != 0
+    packed6 = pack_grid(jnp.asarray(grid6))
+    expected6 = bit_multi_step(packed6, jnp.asarray(rules.LIFE), 3)
+    with pltpu.force_tpu_interpret_mode():
+        out6 = bit_multi_step_pallas_static(packed6, (3,), (2, 3),
+                                            jnp.asarray(3), scheme="vc4")
+    np.testing.assert_array_equal(np.asarray(out6), np.asarray(expected6))
+
+
+def test_multi_stream_schemes_parity():
+    """vc8 (static) and vd4 (rules-as-data) multi-stream schemes are
+    bit-exact vs the packed XLA reference, including fallback chains."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from carle_tpu.ops.pallas_bitpack import (bit_multi_step_pallas,
+                                              bit_multi_step_pallas_static)
+
+    rng = np.random.RandomState(29)
+    grid = (rng.rand(8, 128, 256) < 0.35).astype(np.uint8)
+    packed = pack_grid(jnp.asarray(grid))
+    expected = bit_multi_step(packed, jnp.asarray(rules.LIFE), 4)
+    with pltpu.force_tpu_interpret_mode():
+        out8 = bit_multi_step_pallas_static(packed, (3,), (2, 3),
+                                            jnp.asarray(4), scheme="vc8")
+        outd4 = bit_multi_step_pallas(packed, jnp.asarray(rules.LIFE),
+                                      jnp.asarray(4), scheme="vd4")
+    np.testing.assert_array_equal(np.asarray(out8), np.asarray(expected))
+    np.testing.assert_array_equal(np.asarray(outd4), np.asarray(expected))
+
+    # per-instance rule VECTOR with vd4: the vector engine caps at 2
+    # streams (per-stream hoisted masks) — must still be exact
+    vec = jnp.full((8,), rules.LIFE, dtype=jnp.int32)
+    with pltpu.force_tpu_interpret_mode():
+        outv = bit_multi_step_pallas(packed, vec, jnp.asarray(4),
+                                     scheme="vd4")
+    np.testing.assert_array_equal(np.asarray(outv), np.asarray(expected))

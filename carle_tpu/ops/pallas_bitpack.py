@@ -308,26 +308,28 @@ def _multi_step_kernel_vec(steps_ref, grid_ref, rule_ref, out_ref, *,
             for k in range(18)
         ]
 
-    if scheme == "vd2":
-        # two-stream vd with per-half hoisted rule masks (see
-        # _multi_step_kernel above for the scheduling rationale)
+    if scheme in _VD_STREAMS:
+        # multi-stream vd with per-slice hoisted rule masks (see
+        # _multi_step_kernel above for the scheduling rationale).  The
+        # per-slice masks are SLICES of one logical 18-plane set — total
+        # resident mask VMEM is 18 tile-sized planes at ANY stream count
+        # — so the vector engine streams as freely as the scalar one.
+        streams = _VD_STREAMS[scheme]
         step = _DATA_STEPS["vd"]
-        t2 = grid_ref.shape[0] // 2
-        half = (t2,) + grid_ref.shape[1:]
-        ra, rb = rules[:t2], rules[t2:]
-        masks_a = hoisted_masks(ra, half)
-        masks_b = hoisted_masks(rb, half)
+        ts = grid_ref.shape[0] // streams
+        shp = (ts,) + grid_ref.shape[1:]
+        rs = [rules[i * ts:(i + 1) * ts] for i in range(streams)]
+        ms = [hoisted_masks(r, shp) for r in rs]
 
-        def body2(_, ab):
-            a, b = ab
-            return (step(a, ra, masks=masks_a),
-                    step(b, rb, masks=masks_b))
+        def body_n(_, parts):
+            return tuple(step(p, rs[i], masks=ms[i])
+                         for i, p in enumerate(parts))
 
-        a, b = jax.lax.fori_loop(
-            0, steps_ref[0], body2,
-            (grid_ref[:t2], grid_ref[t2:]))
-        out_ref[:t2] = a
-        out_ref[t2:] = b
+        parts = jax.lax.fori_loop(
+            0, steps_ref[0], body_n,
+            tuple(grid_ref[i * ts:(i + 1) * ts] for i in range(streams)))
+        for i in range(streams):
+            out_ref[i * ts:(i + 1) * ts] = parts[i]
         return
 
     step = _DATA_STEPS[scheme]
@@ -595,11 +597,9 @@ def bit_multi_step_pallas(
         # 2.5% of 64 for the static kernel — scripts/tile_probe.py)
         tile = _tile(inst, nwords, h,
                      budget_bytes=int(8 * 2**20 * 10 / 28))
-        if scheme in _VD_STREAMS and _VD_STREAMS[scheme] > 2:
-            scheme = "vd2"  # the vector engine hoists 18 masks per stream;
-            # more streams' resident masks blow the VMEM budget
-        if scheme == "vd2" and tile % 2:
-            scheme = "vd"
+        while scheme in _VD_STREAMS and tile % _VD_STREAMS[scheme]:
+            n = _VD_STREAMS[scheme] // 2
+            scheme = "vd" if n < 2 else f"vd{n}"
         out = pl.pallas_call(
             functools.partial(_multi_step_kernel_vec, scheme=scheme),
             out_shape=jax.ShapeDtypeStruct(t.shape, jnp.uint32),

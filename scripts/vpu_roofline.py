@@ -75,7 +75,9 @@ MEASURED_TWO_STREAM = {
     "data_vd8": ("data_vd", 1.794e12),      # r5 DEFAULT (vd16 regresses
     #   to 1.74)
     "data_vd2_rulevec": ("data_vd", 1.593e12),  # per-instance rule VECTOR
-    #   (18 masks hoisted per half; final-code hw_smoke re-stamp)
+    #   (18 masks hoisted per slice; final-code hw_smoke re-stamp)
+    "data_vd8_rulevec": ("data_vd", 1.656e12),  # r5: the vector engine
+    #   multi-streams too (mask slices cost no extra VMEM)
 }
 WORD = 32
 
